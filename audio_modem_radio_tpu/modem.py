@@ -1,0 +1,292 @@
+"""Modem mode registry: every reference mode, including the aliased ones.
+
+The reference exposes 13+ GUI-selectable modes that all map onto four physical
+layers — CPFSK, DBPSK, DQPSK, Hellschreiber (/root/reference/modem.py:345-401):
+8PSK/OFDM4/OFDM8/APSK16 alias DQPSK (the subcarrier count is ignored), DSSS
+aliases DBPSK, MSK/FT8 alias FSK with derived tone plans, PSK31 is DBPSK at
+31.25 baud, and FELD_HELL wraps the Hellschreiber codec with lossy utf-8
+text conversion. This module reproduces that exact capability surface (so
+WAVs interoperate config-for-config) and additionally registers structured
+mode metadata used by the encoder/decoder dispatch tables.
+
+``wav_from_array`` and ``SAMPLE_RATE`` complete the reference's public modem
+surface (modem.py:11,360-368).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from .ops.fsk import (
+    fsk_demodulate,
+    fsk_high_speed_demodulate,
+    fsk_high_speed_modulate,
+    fsk_modulate,
+)
+from .ops.hell import hellschreiber_demodulate, hellschreiber_modulate
+from .ops.psk import bpsk_demodulate, bpsk_modulate, qpsk_demodulate, qpsk_modulate
+from .utils.wavio import SAMPLE_RATE, wav_from_array  # re-export
+
+__all__ = [
+    "SAMPLE_RATE",
+    "wav_from_array",
+    "MODES",
+    "ModeSpec",
+    "modulate",
+    "demodulate",
+    "fsk_modulate",
+    "fsk_demodulate",
+    "bpsk_modulate",
+    "bpsk_demodulate",
+    "qpsk_modulate",
+    "qpsk_demodulate",
+    "psk8_modulate",
+    "psk8_demodulate",
+    "fsk_high_speed_modulate",
+    "fsk_high_speed_demodulate",
+    "ofdm_modulate_simple",
+    "ofdm_demodulate_simple",
+    "apsk16_modulate",
+    "apsk16_demodulate",
+    "dsss_modulate",
+    "dsss_demodulate",
+    "msk_modulate",
+    "msk_demodulate",
+    "ft8_modulate",
+    "ft8_demodulate",
+    "psk31_modulate",
+    "psk31_demodulate",
+    "feld_hell_modulate",
+    "feld_hell_demodulate",
+    "hellschreiber_modulate",
+    "hellschreiber_demodulate",
+]
+
+
+# --- reference-compatible aliased functions ----------------------------------
+
+def psk8_modulate(d, b=1200, c=3000.0, s=96000):
+    """8PSK alias -> DQPSK (reference modem.py:345)."""
+    return qpsk_modulate(d, b, c, s)
+
+
+def psk8_demodulate(x, b=1200, c=3000.0, s_r=96000):
+    return qpsk_demodulate(x, b, c, s_r)
+
+
+def ofdm_modulate_simple(d, baud, carrier, num_subcarriers, samp_rate=96000):
+    """OFDM alias -> DQPSK; subcarrier count is accepted and ignored
+    (reference modem.py:371-376)."""
+    del num_subcarriers
+    return qpsk_modulate(d, baud, carrier, samp_rate)
+
+
+def ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate=96000):
+    del num_subcarriers
+    return qpsk_demodulate(x, baud, carrier, samp_rate)
+
+
+def apsk16_modulate(d, b, c, s=96000):
+    return qpsk_modulate(d, b, c, s)
+
+
+def apsk16_demodulate(x, b, c, s=96000):
+    return qpsk_demodulate(x, b, c, s)
+
+
+def dsss_modulate(d, b, c, s=96000):
+    return bpsk_modulate(d, b, c, s)
+
+
+def dsss_demodulate(x, b, c, s=96000):
+    return bpsk_demodulate(x, b, c, s)
+
+
+def msk_modulate(d, b, c, s=96000):
+    """MSK alias -> FSK with mark=carrier, space=carrier+baud (modem.py:385)."""
+    return fsk_modulate(d, b, c, c + b, s)
+
+
+def msk_demodulate(x, b, c, s=96000):
+    return fsk_demodulate(x, b, c, c + b, s)
+
+
+def ft8_modulate(d, b, c, s=96000):
+    """FT8 alias -> 50-baud FSK, mark=carrier, space=carrier+50 (modem.py:388)."""
+    del b
+    return fsk_modulate(d, 50, c, c + 50, s)
+
+
+def ft8_demodulate(x, b, c, sr=96000):
+    del b
+    return fsk_demodulate(x, 50, c, c + 50, sr)
+
+
+def psk31_modulate(d, b, c, s=96000):
+    """PSK31 alias -> DBPSK at 31.25 baud (modem.py:394)."""
+    del b
+    return bpsk_modulate(d, 31.25, c, s)
+
+
+def psk31_demodulate(x, b, c, sr=96000):
+    del b
+    return bpsk_demodulate(x, 31.25, c, sr)
+
+
+def feld_hell_modulate(d: bytes, b=122.5, c=1000.0, s=96000):
+    """Feld-Hell alias: frame bytes -> lossy utf-8 text -> Hellschreiber."""
+    return hellschreiber_modulate(d.decode("utf-8", "ignore"), b, c, s)
+
+
+def feld_hell_demodulate(x, b=122.5, c=1000.0, sr=96000) -> bytes:
+    return hellschreiber_demodulate(x, b, c, sr).encode("utf-8")
+
+
+# --- structured registry ------------------------------------------------------
+
+@dataclass(frozen=True)
+class ModeSpec:
+    """One transmission mode: how to call the physical layer for it.
+
+    ``modulate(framed_bytes, symbol_rate) -> waveform`` and
+    ``demodulate(samples, symbol_rate) -> bytes``. ``bytes_per_sec`` is the
+    design-throughput estimator from the reference efficiency map
+    (/root/reference/encoder.py:66-73).
+    """
+
+    name: str
+    modulate: Callable[[bytes, int], np.ndarray]
+    demodulate: Callable[[np.ndarray, int], bytes]
+    bytes_per_sec: Callable[[int], float]
+    fixed_baud: Optional[float] = None
+
+
+def _spec(name, mod, demod, bps, fixed_baud=None) -> ModeSpec:
+    return ModeSpec(name, mod, demod, bps, fixed_baud)
+
+
+MODES: Dict[str, ModeSpec] = {
+    "FSK1200": _spec(
+        "FSK1200",
+        lambda d, r: fsk_modulate(d, 1200, 1200.0, 2200.0),
+        lambda x, r: fsk_demodulate(x, 1200, 1200.0, 2200.0),
+        lambda r: 100,
+        fixed_baud=1200,
+    ),
+    "FSK9600": _spec(
+        "FSK9600",
+        lambda d, r: fsk_modulate(d, 9600),
+        lambda x, r: fsk_demodulate(x, 9600),
+        lambda r: 800,
+        fixed_baud=9600,
+    ),
+    "FSK19200": _spec(
+        "FSK19200",
+        lambda d, r: fsk_high_speed_modulate(d, 19200),
+        lambda x, r: fsk_high_speed_demodulate(x, 19200),
+        lambda r: 1600,
+        fixed_baud=19200,
+    ),
+    "BPSK": _spec(
+        "BPSK",
+        lambda d, r: bpsk_modulate(d, r, 3000.0),
+        lambda x, r: bpsk_demodulate(x, r, 3000.0),
+        lambda r: r // 8,
+    ),
+    "QPSK": _spec(
+        "QPSK",
+        lambda d, r: qpsk_modulate(d, r, 3000.0),
+        lambda x, r: qpsk_demodulate(x, r, 3000.0),
+        lambda r: r // 4,
+    ),
+    "8PSK": _spec(
+        "8PSK",
+        lambda d, r: psk8_modulate(d, r, 12000.0),
+        lambda x, r: psk8_demodulate(x, r, 12000.0),
+        lambda r: (r * 3) // 8,
+    ),
+    "OFDM4": _spec(
+        "OFDM4",
+        lambda d, r: ofdm_modulate_simple(d, r, 12000.0, 4),
+        lambda x, r: ofdm_demodulate_simple(x, r, 12000.0, 4),
+        lambda r: r // 2,
+    ),
+    "OFDM8": _spec(
+        "OFDM8",
+        lambda d, r: ofdm_modulate_simple(d, r, 12000.0, 8),
+        lambda x, r: ofdm_demodulate_simple(x, r, 12000.0, 8),
+        lambda r: r,
+    ),
+    "APSK16": _spec(
+        "APSK16",
+        lambda d, r: apsk16_modulate(d, r, 12000.0),
+        lambda x, r: apsk16_demodulate(x, r, 12000.0),
+        lambda r: r // 2,
+    ),
+    "DSSS": _spec(
+        "DSSS",
+        lambda d, r: dsss_modulate(d, r, 3000.0),
+        lambda x, r: dsss_demodulate(x, r, 3000.0),
+        lambda r: r // 16,
+    ),
+    "MSK": _spec(
+        "MSK",
+        lambda d, r: msk_modulate(d, r, 6000.0),
+        lambda x, r: msk_demodulate(x, r, 6000.0),
+        lambda r: r // 4,
+    ),
+    "FT8": _spec(
+        "FT8",
+        lambda d, r: ft8_modulate(d, r, 3000.0),
+        lambda x, r: ft8_demodulate(x, r, 3000.0),
+        lambda r: 6,  # 50 baud / 8 bits
+        fixed_baud=50,
+    ),
+    "PSK31": _spec(
+        "PSK31",
+        lambda d, r: psk31_modulate(d, r, 3000.0),
+        lambda x, r: psk31_demodulate(x, r, 3000.0),
+        lambda r: 4,  # 31.25 baud / 8 bits
+        fixed_baud=31.25,
+    ),
+    "HELLSCHREIBER": _spec(
+        "HELLSCHREIBER",
+        lambda d, r: hellschreiber_modulate(d.decode("utf-8", "ignore")),
+        lambda x, r: hellschreiber_demodulate(x).encode("utf-8"),
+        lambda r: 15,
+        fixed_baud=122.5,
+    ),
+    "FELD_HELL": _spec(
+        "FELD_HELL",
+        lambda d, r: feld_hell_modulate(d, 122.5, 1000.0),
+        lambda x, r: feld_hell_demodulate(x, 122.5, 1000.0),
+        lambda r: 15,
+        fixed_baud=122.5,
+    ),
+    "SSTV": _spec(
+        # The reference GUI lists SSTV but ships no SSTV modulator; payloads
+        # prepared by prepare_sstv_like ride a DQPSK carrier here.
+        "SSTV",
+        lambda d, r: qpsk_modulate(d, r, 3000.0),
+        lambda x, r: qpsk_demodulate(x, r, 3000.0),
+        lambda r: 50,
+    ),
+}
+
+
+def modulate(mode: str, framed: bytes, symbol_rate: int) -> np.ndarray:
+    """Dispatch modulation by mode name; unknown modes raise ValueError."""
+    spec = MODES.get(mode)
+    if spec is None:
+        raise ValueError(f"Unknown mode: {mode}")
+    return spec.modulate(framed, symbol_rate)
+
+
+def demodulate(mode: str, samples: np.ndarray, symbol_rate: int) -> bytes:
+    """Dispatch demodulation; unknown modes fall back to QPSK like the
+    reference decoder (/root/reference/decoder.py:433-434)."""
+    spec = MODES.get(mode, MODES["QPSK"])
+    return spec.demodulate(samples, symbol_rate)

@@ -1,0 +1,125 @@
+"""Loop-back tests: decode(modulate(frame(bytes))) must be bit-exact.
+
+This is the spine of the test strategy (SURVEY.md §4): the reference had no
+tests, only a manual encode->decode loop the author ran by hand (and whose one
+logged QPSK attempt failed). Every physical mode is exercised on clean audio
+and under impairments (AWGN, amplitude scaling, time offset, polarity flip).
+"""
+
+import numpy as np
+import pytest
+
+from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+from audio_modem_radio_tpu.modem import MODES, demodulate, modulate
+from audio_modem_radio_tpu.ops.fsk import fsk_demodulate, fsk_modulate
+from audio_modem_radio_tpu.ops.psk import (
+    bpsk_demodulate,
+    bpsk_modulate,
+    qpsk_demodulate,
+    qpsk_modulate,
+)
+
+PAYLOAD = bytes(
+    b"The quick brown fox jumps over the lazy dog. 0123456789 " * 8
+)  # ~456 bytes
+
+
+def _frame(data: bytes = PAYLOAD, name: str = "t.bin") -> bytes:
+    return pack_frame(name, data, 0, 1, len(data), crc32(data))
+
+
+def _assert_decodes(raw: bytes, data: bytes = PAYLOAD):
+    frames = parse_frames(raw)
+    assert frames, "no FBPC frame recovered from demodulated bytes"
+    assert frames[0].data == data
+
+
+# --- clean-audio round trips over the physical layer -------------------------
+
+@pytest.mark.parametrize("baud", [1200, 4800, 9600])
+def test_bpsk_roundtrip(baud):
+    framed = _frame()
+    wave = bpsk_modulate(framed, baud=baud)
+    _assert_decodes(bpsk_demodulate(wave, baud=baud))
+
+
+@pytest.mark.parametrize("baud", [1200, 4800, 9600])
+def test_qpsk_roundtrip(baud):
+    framed = _frame()
+    wave = qpsk_modulate(framed, baud=baud)
+    _assert_decodes(qpsk_demodulate(wave, baud=baud))
+
+
+@pytest.mark.parametrize(
+    "baud,mark,space",
+    [(1200, 1200.0, 2200.0), (9600, 1200.0, 2200.0), (19200, 8000.0, 16000.0)],
+)
+def test_fsk_roundtrip(baud, mark, space):
+    framed = _frame()
+    wave = fsk_modulate(framed, baud=baud, mark_freq=mark, space_freq=space)
+    _assert_decodes(fsk_demodulate(wave, baud=baud, mark_freq=mark, space_freq=space))
+
+
+# --- impairments --------------------------------------------------------------
+
+def test_qpsk_survives_awgn(rng):
+    framed = _frame()
+    wave = qpsk_modulate(framed, baud=2400)
+    noisy = wave + rng.normal(0, 0.05, len(wave)).astype(np.float32)  # ~23 dB SNR
+    _assert_decodes(qpsk_demodulate(noisy, baud=2400))
+
+
+def test_bpsk_survives_polarity_flip():
+    # Differential encoding must make the sign of the waveform irrelevant.
+    framed = _frame()
+    wave = bpsk_modulate(framed, baud=2400)
+    _assert_decodes(bpsk_demodulate(-wave, baud=2400))
+
+
+def test_qpsk_survives_time_offset():
+    framed = _frame()
+    wave = qpsk_modulate(framed, baud=2400)
+    shifted = np.concatenate([np.zeros(1234, np.float32), wave, np.zeros(500, np.float32)])
+    _assert_decodes(qpsk_demodulate(shifted, baud=2400))
+
+
+def test_fsk_survives_awgn_and_scaling(rng):
+    framed = _frame()
+    wave = fsk_modulate(framed, baud=1200)
+    noisy = 0.3 * wave + rng.normal(0, 0.02, len(wave)).astype(np.float32)
+    _assert_decodes(fsk_demodulate(noisy, baud=1200))
+
+
+def test_int16_quantization_roundtrip():
+    # Through the actual WAV sample format (int16) and back.
+    framed = _frame()
+    wave = qpsk_modulate(framed, baud=9600)
+    q = (np.clip(wave, -1, 1) * 32767).astype(np.int16).astype(np.float32) / 32768.0
+    _assert_decodes(qpsk_demodulate(q, baud=9600))
+
+
+# --- full mode registry -------------------------------------------------------
+
+ALL_BYTE_MODES = [m for m in MODES if m not in ("HELLSCHREIBER", "FELD_HELL")]
+
+
+@pytest.mark.parametrize("mode", ALL_BYTE_MODES)
+def test_every_mode_roundtrips(mode):
+    data = PAYLOAD[:120]
+    framed = _frame(data)
+    rate = 2400
+    wave = modulate(mode, framed, rate)
+    raw = demodulate(mode, wave, rate)
+    _assert_decodes(raw, data)
+
+
+def test_unknown_mode_demod_falls_back_to_qpsk():
+    framed = _frame(PAYLOAD[:60])
+    wave = modulate("QPSK", framed, 2400)
+    raw = demodulate("NO_SUCH_MODE", wave, 2400)
+    _assert_decodes(raw, PAYLOAD[:60])
+
+
+def test_unknown_mode_modulate_raises():
+    with pytest.raises(ValueError):
+        modulate("NO_SUCH_MODE", b"x", 1200)
