@@ -1,0 +1,224 @@
+"""Multi-part file assembly and reception statistics (session layer, host-side).
+
+Implements the *intended* behavior of the reference's FileAssembly
+(/root/reference/decoder.py:20-136): fixed part slots, heuristic per-part
+signal quality, quality-scored duplicate replacement (a bad part can be healed
+by a better retransmission), size+CRC verification on reassembly, and expiry
+of stalled transfers. The reference's multi-part path is unreachable in
+practice because ``save_decoded_files`` unpacks 7-tuples while the shipping
+parser emits 3-key dicts (decoder.py:249 vs 197-201); here the parser returns
+full :class:`~audio_modem_radio_tpu.framing.Frame` headers and the assembly
+registry consumes them directly, so reassembly actually works.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, List, Optional
+
+from .framing import Frame, crc32
+
+
+class FileAssembly:
+    """Collects the parts of one multi-part transfer, best-quality-wins."""
+
+    def __init__(self, filename: str, total_parts: int, file_size: int, file_crc: int):
+        self.filename = filename
+        self.total_parts = total_parts
+        self.file_size = file_size
+        self.expected_crc = file_crc
+        self.parts: List[Optional[bytes]] = [None] * total_parts
+        self.parts_quality: List[float] = [0.0] * total_parts
+        self.received_parts = 0
+        self.creation_time = time.time()
+        self.last_update = time.time()
+
+    @staticmethod
+    def calculate_signal_quality(data: bytes) -> float:
+        """Structure heuristic in [0,1]: penalize zero-runs, low byte
+        diversity, and short-period repetition (reference decoder.py:32-54)."""
+        if not data:
+            return 0.0
+        try:
+            zero_ratio = data.count(0) / len(data)
+            unique_ratio = len(set(data)) / 256
+            repetition_penalty = 0.0
+            if len(data) > 10:
+                period = data[:5]
+                reps = len(data) // 5
+                if period * reps == data[: reps * 5]:
+                    repetition_penalty = 0.5
+            q = (1 - zero_ratio) * unique_ratio * (1 - repetition_penalty)
+            return max(0.0, min(1.0, q))
+        except Exception:
+            return 0.5
+
+    def add_part(self, part_number: int, data: bytes, signal_quality: Optional[float] = None) -> bool:
+        """Insert or maybe-replace a part; returns True when all parts present."""
+        if not (0 <= part_number < self.total_parts):
+            return False
+        if signal_quality is None:
+            signal_quality = self.calculate_signal_quality(data)
+        if self.parts[part_number] is not None:
+            if signal_quality > self.parts_quality[part_number]:
+                self.parts[part_number] = data
+                self.parts_quality[part_number] = signal_quality
+                self.last_update = time.time()
+        else:
+            self.parts[part_number] = data
+            self.parts_quality[part_number] = signal_quality
+            self.received_parts += 1
+            self.last_update = time.time()
+        return self.received_parts == self.total_parts
+
+    def get_progress(self) -> float:
+        return (self.received_parts / self.total_parts) * 100 if self.total_parts else 0.0
+
+    def get_missing_parts(self) -> List[int]:
+        return [i for i, p in enumerate(self.parts) if p is None]
+
+    def assemble_file(self) -> bytes:
+        """Concatenate parts; raises if incomplete. Size/CRC mismatches are
+        reported via ``integrity_ok`` rather than silently printed."""
+        if self.received_parts != self.total_parts:
+            raise ValueError(
+                f"incomplete transfer {self.received_parts}/{self.total_parts}, "
+                f"missing {self.get_missing_parts()}"
+            )
+        return b"".join(p for p in self.parts if p is not None)
+
+    def integrity_ok(self, data: bytes) -> bool:
+        size_ok = (self.file_size == 0) or (len(data) == self.file_size)
+        crc_ok = (self.expected_crc == 0) or (crc32(data) == self.expected_crc)
+        return size_ok and crc_ok
+
+    def is_expired(self, timeout_seconds: int = 3600) -> bool:
+        return (time.time() - self.last_update) > timeout_seconds
+
+    def get_quality_report(self) -> dict:
+        qs = self.parts_quality
+        return {
+            "average_quality": sum(qs) / len(qs) if qs else 0.0,
+            "min_quality": min(qs) if qs else 0.0,
+            "max_quality": max(qs) if qs else 0.0,
+            "completed_parts": self.received_parts,
+            "total_parts": self.total_parts,
+        }
+
+
+class AssemblyRegistry:
+    """Thread-safe registry of in-flight transfers keyed ``{name}_{file_crc}``.
+
+    Replaces the reference's unsynchronized module-global dicts
+    (decoder.py:125-136) — the decode worker and the GUI poll timers touched
+    them concurrently there.
+    """
+
+    def __init__(self, timeout_seconds: int = 3600):
+        self._lock = threading.Lock()
+        self._assemblies: Dict[str, FileAssembly] = {}
+        self.timeout_seconds = timeout_seconds
+        self.stats = self._fresh_stats()
+
+    @staticmethod
+    def _fresh_stats() -> dict:
+        return {
+            "total_files": 0,
+            "total_bytes": 0,
+            "success_rate": 0.0,
+            "last_reception": None,
+            "average_quality": 0.0,
+            "duplicates_rejected": 0,
+            "parts_reordered": 0,
+            "total_quality": 0.0,
+            "quality_samples": 0,
+        }
+
+    def key_for(self, frame: Frame) -> str:
+        # Key by the *base* filename: parts arrive named "<name>.partN"
+        # (encoder.py:149 in the reference) and must land in one assembly.
+        # (The reference keys by the part name, so each part would open its
+        # own assembly — one more reason its multi-part path never worked.)
+        base = frame.name
+        if frame.is_multipart and ".part" in base:
+            stem, _, suffix = base.rpartition(".part")
+            if suffix.isdigit():
+                base = stem
+        return f"{base}_{frame.file_crc}"
+
+    def offer(self, frame: Frame) -> Optional[bytes]:
+        """Feed one parsed frame; returns the whole file when it completes."""
+        with self._lock:
+            key = self.key_for(frame)
+            asm = self._assemblies.get(key)
+            if asm is None:
+                asm = FileAssembly(frame.name, frame.total_parts, frame.file_size, frame.file_crc)
+                self._assemblies[key] = asm
+            quality = FileAssembly.calculate_signal_quality(frame.data)
+            had = asm.parts[frame.part_number] is not None
+            complete = asm.add_part(frame.part_number, frame.data, quality)
+            if had:
+                self.stats["duplicates_rejected"] += 1
+            self.stats["total_quality"] += quality
+            self.stats["quality_samples"] += 1
+            if not complete:
+                return None
+            data = asm.assemble_file()
+            if not asm.integrity_ok(data):
+                # Keep the assembly around: a better retransmission of a bad
+                # part can still heal it before expiry.
+                return None
+            del self._assemblies[key]
+            self.stats["total_files"] += 1
+            self.stats["total_bytes"] += len(data)
+            self.stats["last_reception"] = time.time()
+            return data
+
+    def purge_expired(self) -> List[str]:
+        with self._lock:
+            expired = [k for k, a in self._assemblies.items() if a.is_expired(self.timeout_seconds)]
+            for k in expired:
+                del self._assemblies[k]
+            return expired
+
+    def get_status(self) -> List[dict]:
+        with self._lock:
+            return [
+                {
+                    "filename": a.filename,
+                    "progress": a.get_progress(),
+                    "received": a.received_parts,
+                    "total": a.total_parts,
+                    "missing": a.get_missing_parts(),
+                    **a.get_quality_report(),
+                }
+                for a in self._assemblies.values()
+            ]
+
+    def average_quality(self) -> float:
+        with self._lock:
+            qs = [q for a in self._assemblies.values() for q in a.parts_quality if q > 0]
+        return sum(qs) / len(qs) if qs else 0.0
+
+    def get_stats(self) -> dict:
+        with self._lock:
+            stats = dict(self.stats)
+        stats["average_quality"] = (
+            stats["total_quality"] / stats["quality_samples"] if stats["quality_samples"] else 0.0
+        )
+        return stats
+
+    def clear_stats(self) -> None:
+        with self._lock:
+            self.stats = self._fresh_stats()
+
+    def reset(self) -> None:
+        with self._lock:
+            self._assemblies.clear()
+            self.stats = self._fresh_stats()
+
+
+# Default process-wide registry (the decoder pipeline uses this unless an
+# explicit registry is passed).
+registry = AssemblyRegistry()

@@ -1,0 +1,235 @@
+"""Decode pipeline: WAV/samples -> demodulate -> parse -> decompress -> save.
+
+Capability parity with the reference decoder (/root/reference/decoder.py):
+
+* ``decode_wav_file`` — read WAV, mono-ize, resample to 96 kHz, decode
+  (decoder.py:380-389).
+* ``decode_from_buffer`` — mode dispatch, FBPC stream parse, per-frame
+  intelligent decompression, save to ``recv/`` (decoder.py:417-464). Unlike
+  the reference GUI path — which treats every frame as single-part — frames
+  whose header says ``total_parts > 1`` are routed through the assembly
+  registry, so multi-part transfers actually reassemble (the reference's
+  multi-part plumbing is broken by a tuple/dict mismatch, decoder.py:249).
+* ``decode_with_retry`` — up to 3 attempts at symbol-rate ±5%
+  (decoder.py:313-377). Attempts run through the same jitted demodulators;
+  the perturbed rates become alternate static configs.
+* ``get_reception_stats`` / ``clear_reception_stats`` / ``get_assembly_status``
+  — observability surface (decoder.py:467-513).
+
+Samples are zero-padded to bucketed lengths before demodulation so the jitted
+TPU programs are reused across captures instead of recompiling per length.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .assembly import AssemblyRegistry, registry as default_registry
+from .config import CONFIG
+from .framing import Frame, parse_frames
+from .modem import SAMPLE_RATE, demodulate
+from .utils.compression import intelligent_decompress
+from .utils.wavio import read_wav, resample
+
+logger = logging.getLogger("audio_modem_radio_tpu")
+
+RECV_DIR = "recv"
+
+
+def _ensure_recv_dir(recv_dir: str = RECV_DIR) -> str:
+    os.makedirs(recv_dir, exist_ok=True)
+    return recv_dir
+
+
+def pad_to_bucket(samples: np.ndarray) -> np.ndarray:
+    """Zero-pad to the next configured bucket length (jit-cache friendly)."""
+    buckets: Sequence[int] = CONFIG.get("tpu.batch_bucket_sizes") or []
+    n = len(samples)
+    for b in sorted(buckets):
+        if n <= b:
+            if n == b:
+                return samples
+            return np.concatenate([samples, np.zeros(b - n, dtype=samples.dtype)])
+    return samples  # beyond the largest bucket: use the exact length
+
+
+# Reference-compatible parser name; returns full Frame objects rather than
+# the reference's {name, data, final_crc} dicts.
+def parse_fbp_stream_enhanced(raw: bytes) -> List[Frame]:
+    return parse_frames(raw)
+
+
+def _safe_name(name: str) -> str:
+    return "".join(c for c in name if c.isalnum() or c in (" ", "-", "_", "."))
+
+
+def save_decoded_files(
+    frames: List[Frame],
+    recv_dir: str = RECV_DIR,
+    registry: Optional[AssemblyRegistry] = None,
+) -> List[str]:
+    """Persist parsed frames: single-part directly, multi-part via assembly.
+
+    Completed multi-part files decompress-then-save just like single parts;
+    expired assemblies are purged on every call (reference decoder.py:295-304).
+    """
+    reg = registry or default_registry
+    out_dir = _ensure_recv_dir(recv_dir)
+    saved: List[str] = []
+
+    for frame in frames:
+        try:
+            if frame.is_multipart:
+                # Parts are compressed individually at encode time, so they
+                # must be decompressed *before* insertion — the header's
+                # file_size/file_crc describe the original file bytes. (The
+                # reference concatenates raw part payloads and never
+                # decompresses them, decoder.py:255-268 — reassembled files
+                # there could never match their own header CRC.)
+                part_data = intelligent_decompress(frame.data)
+                complete = reg.offer(
+                    Frame(
+                        frame.name,
+                        part_data,
+                        frame.part_number,
+                        frame.total_parts,
+                        frame.file_size,
+                        frame.file_crc,
+                    )
+                )
+                if complete is None:
+                    continue
+                final = complete
+                base = frame.name.rsplit(".part", 1)[0]
+            else:
+                final = intelligent_decompress(frame.data)
+                base = frame.name
+                reg.stats["total_files"] += 1
+                reg.stats["total_bytes"] += len(final)
+                reg.stats["last_reception"] = time.time()
+            path = os.path.join(out_dir, f"recv_{int(time.time())}_{_safe_name(base)}")
+            k = 1
+            while os.path.exists(path):  # same name in the same second
+                path = os.path.join(out_dir, f"recv_{int(time.time())}_{k}_{_safe_name(base)}")
+                k += 1
+            with open(path, "wb") as f:
+                f.write(final)
+            saved.append(path)
+        except Exception:
+            logger.exception("failed to save decoded file %s", frame.name)
+
+    reg.purge_expired()
+    if frames:
+        reg.stats["success_rate"] = (len(saved) / len(frames)) * 100
+    return saved
+
+
+def decode_from_buffer(
+    data: np.ndarray,
+    mode: str,
+    symbol_rate: int,
+    recv_dir: str = RECV_DIR,
+    registry: Optional[AssemblyRegistry] = None,
+    sample_rate: int = SAMPLE_RATE,
+) -> List[str]:
+    """Demodulate a sample buffer and save every recovered file.
+
+    Unlike the reference's live-capture path, buffers at a non-96 kHz rate
+    are resampled here (the reference feeds 48 kHz mic audio to 96 kHz
+    demodulators unresampled — a documented defect, filebeep_advanced_v2.py:292).
+    """
+    samples = np.asarray(data, dtype=np.float32)
+    if samples.ndim > 1:
+        samples = samples[:, 0]
+    if sample_rate != SAMPLE_RATE:
+        samples = resample(samples, sample_rate, SAMPLE_RATE)
+
+    try:
+        raw = demodulate(mode, pad_to_bucket(samples), symbol_rate)
+        frames = parse_frames(raw)
+        logger.info("demodulated %d bytes -> %d valid frames", len(raw), len(frames))
+        return save_decoded_files(frames, recv_dir, registry)
+    except Exception:
+        logger.exception("demodulation failed")
+        return []
+
+
+def decode_wav_file(
+    path: str,
+    mode: str,
+    symbol_rate: int,
+    recv_dir: str = RECV_DIR,
+    registry: Optional[AssemblyRegistry] = None,
+) -> List[str]:
+    """Read a WAV file (any rate, any width) and decode it."""
+    data, sr = read_wav(path)
+    return decode_from_buffer(data, mode, symbol_rate, recv_dir, registry, sample_rate=sr)
+
+
+def decode_with_retry(
+    data: np.ndarray,
+    mode: str,
+    symbol_rate: int,
+    max_retries: int = 3,
+    recv_dir: str = RECV_DIR,
+    registry: Optional[AssemblyRegistry] = None,
+) -> List[str]:
+    """Decode with up to 3 attempts at perturbed symbol rates (1.0/0.95/1.05x).
+
+    The rate sweep compensates clock drift between transmitter and recorder
+    (reference decoder.py:313-377).
+    """
+    samples = np.asarray(data, dtype=np.float32)
+    for attempt, factor in enumerate((1.0, 0.95, 1.05)[:max_retries]):
+        rate = max(1, int(symbol_rate * factor))
+        try:
+            raw = demodulate(mode, pad_to_bucket(samples), rate)
+            frames = parse_frames(raw)
+            if frames:
+                saved = save_decoded_files(frames, recv_dir, registry)
+                if saved:
+                    logger.info("retry attempt %d (rate %d) succeeded", attempt + 1, rate)
+                    return saved
+        except Exception:
+            logger.exception("retry attempt %d (rate %d) failed", attempt + 1, rate)
+    logger.warning("all %d decode attempts failed", max_retries)
+    return []
+
+
+# --- observability -------------------------------------------------------------
+
+def get_reception_stats(registry: Optional[AssemblyRegistry] = None) -> dict:
+    return (registry or default_registry).get_stats()
+
+
+def clear_reception_stats(registry: Optional[AssemblyRegistry] = None) -> None:
+    (registry or default_registry).clear_stats()
+
+
+def get_assembly_status(registry: Optional[AssemblyRegistry] = None) -> List[dict]:
+    return (registry or default_registry).get_status()
+
+
+def calculate_global_average_quality(registry: Optional[AssemblyRegistry] = None) -> float:
+    return (registry or default_registry).average_quality()
+
+
+def debug_demodulation(samples: np.ndarray, mode: str, symbol_rate: int) -> dict:
+    """Sample statistics for troubleshooting (reference decoder.py:490-499)."""
+    s = np.asarray(samples)
+    info = {
+        "mode": mode,
+        "symbol_rate": symbol_rate,
+        "n_samples": int(len(s)),
+        "mean": float(np.mean(s)) if len(s) else 0.0,
+        "std": float(np.std(s)) if len(s) else 0.0,
+        "min": float(np.min(s)) if len(s) else 0.0,
+        "max": float(np.max(s)) if len(s) else 0.0,
+    }
+    logger.info("debug_demodulation: %s", info)
+    return info

@@ -1,0 +1,124 @@
+"""Channel intelligence: SNR estimation and mode recommendation.
+
+Capability parity with the reference policy layer
+(/root/reference/intelligent_communication.py): ``analyze_channel`` produces a
+conditions dict, ``get_recommended_mode`` scores static per-mode profiles by a
+priority (robustness / speed / balanced) with an FSK1200 fallback, and
+``intelligent_encode_setup`` maps the recommendation to encoder settings.
+
+The SNR estimator improves on the reference's power/variance ratio — which
+degenerates to ~0 dB for any zero-mean signal (intelligent_communication.py:
+20-31) — by a spectral split: signal power is taken as the energy in the
+occupied band (dominant spectral region), noise as the energy outside it.
+Both estimators clamp to [10, 40] dB like the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+MODE_PROFILES: Dict[str, Dict[str, float]] = {
+    "FSK1200": {"robustness": 0.9, "speed": 0.3, "min_snr": 8},
+    "FSK9600": {"robustness": 0.7, "speed": 0.7, "min_snr": 12},
+    "QPSK": {"robustness": 0.6, "speed": 0.8, "min_snr": 15},
+    "NEURAL": {"robustness": 0.8, "speed": 0.9, "min_snr": 10},
+    "FSK19200": {"robustness": 0.5, "speed": 0.9, "min_snr": 18},
+}
+
+_MODE_CONFIGS: Dict[str, Dict[str, Any]] = {
+    "FSK1200": {"symbol_rate": 1200, "compress": True},
+    "FSK9600": {"symbol_rate": 9600, "compress": True},
+    "QPSK": {"symbol_rate": 9600, "compress": True},
+    "NEURAL": {"symbol_rate": 8000, "compress": False},
+    "FSK19200": {"symbol_rate": 19200, "compress": True},
+}
+
+
+class ChannelAnalyzer:
+    """Estimates channel conditions from raw audio samples."""
+
+    def analyze_conditions(self, audio_samples: Optional[np.ndarray] = None) -> Dict[str, Any]:
+        return {
+            "snr_db": self.estimate_snr(audio_samples) if audio_samples is not None else 25.0,
+            "bandwidth_hz": 8000,
+            "noise_level": 0.2,
+            "timestamp": time.time(),
+        }
+
+    @staticmethod
+    def estimate_snr(samples: Optional[np.ndarray]) -> float:
+        """Spectral-split SNR estimate, clamped to [10, 40] dB."""
+        if samples is None or len(samples) < 1000:
+            return 25.0
+        try:
+            x = np.asarray(samples, dtype=np.float64)
+            x = x - x.mean()
+            psd = np.abs(np.fft.rfft(x)) ** 2
+            if psd.sum() <= 0:
+                return 10.0
+            # Occupied band = smallest set of bins holding 90% of the energy.
+            order = np.argsort(psd)[::-1]
+            csum = np.cumsum(psd[order])
+            k = int(np.searchsorted(csum, 0.9 * csum[-1])) + 1
+            signal_bins = order[:k]
+            noise_mask = np.ones(len(psd), dtype=bool)
+            noise_mask[signal_bins] = False
+            noise_power = psd[noise_mask].mean() if noise_mask.any() else 1e-12
+            signal_power = psd[signal_bins].mean()
+            snr = 10 * np.log10(signal_power / (noise_power + 1e-12))
+            return float(np.clip(snr, 10, 40))
+        except Exception:
+            return 25.0
+
+
+class ModeRecommender:
+    """Scores mode profiles against channel conditions."""
+
+    def __init__(self) -> None:
+        self.mode_profiles = MODE_PROFILES
+
+    def recommend_mode(self, conditions: Dict[str, Any], priority: str = "balanced") -> str:
+        candidates = []
+        for mode, prof in self.mode_profiles.items():
+            if conditions.get("snr_db", 0) < prof["min_snr"]:
+                continue
+            if priority == "robustness":
+                score = prof["robustness"]
+            elif priority == "speed":
+                score = prof["speed"]
+            else:
+                score = (prof["robustness"] + prof["speed"]) / 2
+            candidates.append((mode, score))
+        if not candidates:
+            return "FSK1200"
+        return max(candidates, key=lambda t: t[1])[0]
+
+
+channel_analyzer = ChannelAnalyzer()
+mode_recommender = ModeRecommender()
+
+
+def analyze_channel(audio_samples: Optional[np.ndarray] = None) -> Dict[str, Any]:
+    return channel_analyzer.analyze_conditions(audio_samples)
+
+
+def get_recommended_mode(conditions: Dict[str, Any], priority: str = "balanced") -> str:
+    return mode_recommender.recommend_mode(conditions, priority)
+
+
+def intelligent_encode_setup(
+    file_size: int,
+    priority: str = "balanced",
+    conditions: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Conditions -> recommended mode -> encoder settings."""
+    del file_size  # kept for API parity (the reference ignores it too)
+    if conditions is None:
+        conditions = analyze_channel()
+    mode = get_recommended_mode(conditions, priority)
+    config = dict(_MODE_CONFIGS.get(mode, _MODE_CONFIGS["FSK9600"]))
+    config["mode"] = mode
+    return config

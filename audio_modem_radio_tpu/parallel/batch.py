@@ -1,0 +1,168 @@
+"""Batched, sharded demodulation of many captures — the TPU throughput layer.
+
+This is the point of the TPU rebuild (BASELINE.json north star): thousands of
+recorded WAVs decode in parallel per chip. The pipeline:
+
+  host: read/resample/pad WAVs to one bucket length  ->  (B, N) float32
+  device: vmapped demod (PSK projection matmuls / FSK filter bank),
+          sharded over the mesh data axis; bit->byte packing and magic
+          sync also run on device, vmapped
+  host: FBPC frame parse + decompression + assembly per capture (cheap,
+        byte-level)
+
+The per-mode bit-level demodulators are the same jitted functions the
+single-file path uses; ``jax.vmap`` lifts them over the batch and
+``NamedSharding`` over a 1-D mesh splits the batch across chips — XLA inserts
+no collectives because captures are independent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly import AssemblyRegistry
+from ..framing import MAGIC_BIT_PATTERN, Frame, parse_frames
+from ..modem import MODES, SAMPLE_RATE
+from ..ops.common import find_bit_pattern, pack_bits_from
+from ..ops.fsk import fsk_demod_bits
+from ..ops.psk import psk_demod_bits
+from ..utils.wavio import read_wav, resample
+from .mesh import batch_sharding, get_mesh, pad_batch
+
+# --- per-mode bit-demodulator resolution --------------------------------------
+
+def resolve_bit_demod(mode: str, symbol_rate: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Return ``samples (N,) -> bits`` for a byte-stream mode.
+
+    Mirrors the dispatch/aliasing of the mode registry (modem.py); raises for
+    the text modes (HELLSCHREIBER/FELD_HELL), which don't batch byte-wise.
+    """
+    r = symbol_rate
+
+    def psk(baud, carrier, n):
+        return lambda x: psk_demod_bits(x, float(baud), float(carrier), SAMPLE_RATE, n)[0]
+
+    def fsk(baud, mark, space):
+        return lambda x: fsk_demod_bits(x, float(baud), float(mark), float(space), SAMPLE_RATE)[0]
+
+    table = {
+        "FSK1200": fsk(1200, 1200.0, 2200.0),
+        "FSK9600": fsk(9600, 1200.0, 2200.0),
+        "FSK19200": fsk(19200, 8000.0, 16000.0),
+        "BPSK": psk(r, 3000.0, 2),
+        "QPSK": psk(r, 3000.0, 4),
+        "8PSK": psk(r, 12000.0, 4),
+        "OFDM4": psk(r, 12000.0, 4),
+        "OFDM8": psk(r, 12000.0, 4),
+        "APSK16": psk(r, 12000.0, 4),
+        "SSTV": psk(r, 3000.0, 4),
+        "DSSS": psk(r, 3000.0, 2),
+        "MSK": fsk(r, 6000.0, 6000.0 + r),
+        "FT8": fsk(50, 3000.0, 3050.0),
+        "PSK31": psk(31.25, 3000.0, 2),
+    }
+    if mode not in table:
+        if mode in MODES:
+            raise ValueError(f"mode {mode} has no batched byte-stream demodulator")
+        return table["QPSK"]  # unknown-mode fallback, like the reference decoder
+    return table[mode]
+
+
+# --- device-side batched demod -------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mode", "symbol_rate"))
+def demod_pack_batch(
+    samples: jnp.ndarray, mode: str, symbol_rate: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(B, N) samples -> (packed_bytes (B, max_bytes), n_valid (B,), found (B,)).
+
+    One fused jitted program: demod + magic sync + byte packing, vmapped over
+    the batch. Shard the input's leading axis to run data-parallel.
+    """
+    demod = resolve_bit_demod(mode, symbol_rate)
+
+    def one(x):
+        bits = demod(x)
+        start, found = find_bit_pattern(bits, MAGIC_BIT_PATTERN)
+        packed, n_valid = pack_bits_from(bits, start)
+        return packed, n_valid, found
+
+    return jax.vmap(one)(samples)
+
+
+# --- host orchestration --------------------------------------------------------
+
+def _bucket_length(lengths: Sequence[int]) -> int:
+    from ..decoder import pad_to_bucket  # reuse the bucket table
+
+    probe = np.zeros(max(lengths), dtype=np.float32)
+    return len(pad_to_bucket(probe))
+
+
+def decode_sample_batch(
+    batch: np.ndarray,
+    mode: str,
+    symbol_rate: int,
+    mesh=None,
+) -> List[bytes]:
+    """Demodulate a (B, N) batch to per-capture raw byte streams.
+
+    When a mesh (or more than one device) is available the batch axis is
+    sharded across it.
+    """
+    batch = np.asarray(batch, dtype=np.float32)
+    b = batch.shape[0]
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = get_mesh()
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        padded = pad_batch(batch, n_dev)
+        x = jax.device_put(jnp.asarray(padded), batch_sharding(mesh))
+    else:
+        x = jnp.asarray(batch)
+
+    packed, n_valid, _found = demod_pack_batch(x, mode, int(symbol_rate))
+    packed = np.asarray(packed)[:b]
+    n_valid = np.asarray(n_valid)[:b]
+    return [packed[i, : int(n_valid[i])].tobytes() for i in range(b)]
+
+
+def decode_wav_batch(
+    paths: Sequence[str],
+    mode: str,
+    symbol_rate: int,
+    recv_dir: str = "recv",
+    registry: Optional[AssemblyRegistry] = None,
+    mesh=None,
+) -> List[List[str]]:
+    """Decode many WAV files in one sharded device batch.
+
+    Returns, per input WAV, the list of file paths recovered from it.
+    Frames from all captures feed one assembly registry, so a multi-part
+    transfer spread across several captures reassembles here.
+    """
+    from ..decoder import save_decoded_files
+
+    arrays = []
+    for p in paths:
+        data, sr = read_wav(p)
+        if sr != SAMPLE_RATE:
+            data = resample(data, sr, SAMPLE_RATE)
+        arrays.append(data.astype(np.float32))
+
+    n = _bucket_length([len(a) for a in arrays])
+    batch = np.zeros((len(arrays), n), dtype=np.float32)
+    for i, a in enumerate(arrays):
+        batch[i, : min(len(a), n)] = a[:n]
+
+    raws = decode_sample_batch(batch, mode, symbol_rate, mesh=mesh)
+    out: List[List[str]] = []
+    for raw in raws:
+        frames: List[Frame] = parse_frames(raw)
+        out.append(save_decoded_files(frames, recv_dir, registry))
+    return out

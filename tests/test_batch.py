@@ -1,0 +1,102 @@
+"""Batched/sharded decode tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from audio_modem_radio_tpu.assembly import AssemblyRegistry
+from audio_modem_radio_tpu.encoder import encode_file, encode_file_parts, split_file_for_transmission
+from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+from audio_modem_radio_tpu.modem import modulate
+from audio_modem_radio_tpu.parallel.batch import decode_sample_batch, decode_wav_batch
+from audio_modem_radio_tpu.parallel.mesh import get_mesh, get_2d_mesh, pad_batch
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _make_batch(n_files, mode, rate):
+    """n_files distinct payloads -> stacked equal-length sample batch."""
+    payloads, waves = [], []
+    for i in range(n_files):
+        data = bytes(f"capture {i} ".encode() * 30)
+        framed = pack_frame(f"f{i}.bin", data, 0, 1, len(data), crc32(data))
+        payloads.append(data)
+        waves.append(modulate(mode, framed, rate))
+    n = max(len(w) for w in waves)
+    batch = np.zeros((n_files, n), dtype=np.float32)
+    for i, w in enumerate(waves):
+        batch[i, : len(w)] = w
+    return payloads, batch
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("mode,rate", [("QPSK", 4800), ("FSK1200", 1200)])
+def test_decode_sample_batch_sharded(mode, rate):
+    payloads, batch = _make_batch(8, mode, rate)
+    mesh = get_mesh()
+    raws = decode_sample_batch(batch, mode, rate, mesh=mesh)
+    assert len(raws) == 8
+    for raw, expected in zip(raws, payloads):
+        frames = parse_frames(raw)
+        assert len(frames) == 1 and frames[0].data == expected
+
+
+def test_decode_batch_not_multiple_of_devices():
+    # 5 captures over 8 devices: pad_batch fills, results slice back to 5.
+    payloads, batch = _make_batch(5, "QPSK", 4800)
+    raws = decode_sample_batch(batch, "QPSK", 4800, mesh=get_mesh())
+    assert len(raws) == 5
+    for raw, expected in zip(raws, payloads):
+        assert parse_frames(raw)[0].data == expected
+
+
+def test_decode_wav_batch_end_to_end(workdir):
+    contents = []
+    wavs = []
+    for i in range(4):
+        data = bytes(f"batch file {i} ".encode() * 40)
+        p = workdir / f"src{i}.bin"
+        p.write_bytes(data)
+        wavs.append(encode_file(str(p), mode="QPSK", symbol_rate=4800))
+        contents.append(data)
+    reg = AssemblyRegistry()
+    results = decode_wav_batch(wavs, "QPSK", 4800, registry=reg, mesh=get_mesh())
+    assert [len(r) for r in results] == [1, 1, 1, 1]
+    for saved, expected in zip(results, contents):
+        assert open(saved[0], "rb").read() == expected
+
+
+def test_multipart_across_batch(workdir):
+    # Parts of one file spread across separate captures in one batch.
+    data = np.random.default_rng(3).integers(0, 256, 15000, dtype=np.uint8).tobytes()
+    src = workdir / "big.bin"
+    src.write_bytes(data)
+    parts = split_file_for_transmission(str(src), "FSK1200", 1200, 60)
+    wavs = encode_file_parts(parts, "FSK1200", True, 1200)
+    reg = AssemblyRegistry()
+    results = decode_wav_batch(wavs, "FSK1200", 1200, registry=reg, mesh=get_mesh())
+    saved = [p for r in results for p in r]
+    assert len(saved) == 1
+    assert open(saved[0], "rb").read() == data
+
+
+def test_pad_batch():
+    a = np.ones((5, 3))
+    p = pad_batch(a, 4)
+    assert p.shape == (8, 3) and p[5:].sum() == 0
+    assert pad_batch(a, 5) is a
+
+
+def test_2d_mesh_shapes():
+    mesh = get_2d_mesh(4, 2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        get_2d_mesh(8, 2)
