@@ -42,6 +42,8 @@ def _cmd_encode(args: argparse.Namespace) -> int:
         split_large_files=args.split,
         target_duration_min=args.duration_min,
         cache_dir=args.cache_dir,
+        use_fec=args.fec,
+        fec_type=args.fec_type,
     )
     for p in paths:
         print(p)
@@ -128,6 +130,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--no-compress", action="store_true")
     e.add_argument("--split", action="store_true", help="split large files into parts")
     e.add_argument("--duration-min", type=int, default=1, help="target minutes per part")
+    e.add_argument("--fec", action="store_true", help="wrap payloads in forward error correction")
+    e.add_argument("--fec-type", default=None, choices=["reed_solomon", "convolutional"])
     e.add_argument("--cache-dir", default="cache")
     e.set_defaults(fn=_cmd_encode)
 

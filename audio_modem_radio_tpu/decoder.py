@@ -31,7 +31,8 @@ import numpy as np
 
 from .assembly import AssemblyRegistry, registry as default_registry
 from .config import CONFIG
-from .framing import Frame, parse_frames
+from .fec import unwrap_fec
+from .framing import Frame, parse_frames, parse_frames_detailed
 from .modem import SAMPLE_RATE, demodulate
 from .utils.compression import intelligent_decompress
 from .utils.wavio import read_wav, resample
@@ -68,19 +69,38 @@ def _safe_name(name: str) -> str:
     return "".join(c for c in name if c.isalnum() or c in (" ", "-", "_", "."))
 
 
+def _defec(payload: bytes) -> bytes:
+    """Transparently unwrap a tagged FEC container, if present."""
+    decoded = unwrap_fec(payload)
+    return payload if decoded is None else decoded
+
+
 def save_decoded_files(
     frames: List[Frame],
     recv_dir: str = RECV_DIR,
     registry: Optional[AssemblyRegistry] = None,
+    damaged: Optional[List[Frame]] = None,
 ) -> List[str]:
     """Persist parsed frames: single-part directly, multi-part via assembly.
 
     Completed multi-part files decompress-then-save just like single parts;
     expired assemblies are purged on every call (reference decoder.py:295-304).
+
+    ``damaged`` frames (header intact, payload CRC failed) are attempted via
+    FEC recovery when their payload carries an FEC container tag — the whole
+    point of enabling FEC at encode time.
     """
     reg = registry or default_registry
     out_dir = _ensure_recv_dir(recv_dir)
     saved: List[str] = []
+
+    frames = list(frames)
+    for frame in damaged or []:
+        if frame.data[:4] in (b"FECP", b"FECV"):
+            logger.info("attempting FEC recovery of damaged frame %s", frame.name)
+            frames.append(frame)
+            reg.stats.setdefault("fec_recovery_attempts", 0)
+            reg.stats["fec_recovery_attempts"] += 1
 
     for frame in frames:
         try:
@@ -91,7 +111,7 @@ def save_decoded_files(
                 # reference concatenates raw part payloads and never
                 # decompresses them, decoder.py:255-268 — reassembled files
                 # there could never match their own header CRC.)
-                part_data = intelligent_decompress(frame.data)
+                part_data = intelligent_decompress(_defec(frame.data))
                 complete = reg.offer(
                     Frame(
                         frame.name,
@@ -107,7 +127,7 @@ def save_decoded_files(
                 final = complete
                 base = frame.name.rsplit(".part", 1)[0]
             else:
-                final = intelligent_decompress(frame.data)
+                final = intelligent_decompress(_defec(frame.data))
                 base = frame.name
                 reg.stats["total_files"] += 1
                 reg.stats["total_bytes"] += len(final)
@@ -151,9 +171,12 @@ def decode_from_buffer(
 
     try:
         raw = demodulate(mode, pad_to_bucket(samples), symbol_rate)
-        frames = parse_frames(raw)
-        logger.info("demodulated %d bytes -> %d valid frames", len(raw), len(frames))
-        return save_decoded_files(frames, recv_dir, registry)
+        frames, damaged = parse_frames_detailed(raw)
+        logger.info(
+            "demodulated %d bytes -> %d valid / %d damaged frames",
+            len(raw), len(frames), len(damaged),
+        )
+        return save_decoded_files(frames, recv_dir, registry, damaged=damaged)
     except Exception:
         logger.exception("demodulation failed")
         return []

@@ -31,6 +31,8 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
+from .config import CONFIG
+from .fec import wrap_fec
 from .framing import crc32, pack_frame
 from .modem import MODES, SAMPLE_RATE, modulate, wav_from_array
 from .ops.psk import bpsk_modulate
@@ -207,8 +209,17 @@ def encode_file_parts(
     progress_callback: Optional[Callable[[int, int], None]] = None,
     is_cancelled: Optional[Callable[[], bool]] = None,
     cache_dir: str = CACHE_DIR,
+    use_fec: bool = False,
+    fec_type: Optional[str] = None,
 ) -> List[str]:
-    """Encode each part to ``cache/<name>.<MODE>.sr<rate>.wav``."""
+    """Encode each part to ``cache/<name>.<MODE>.sr<rate>.wav``.
+
+    ``use_fec`` wraps each compressed payload in a tagged FEC container
+    (type from CONFIG ``modem.fec_type`` unless given) so bit errors on the
+    air can be corrected on receive. Off by default: the reference declares
+    ``fec_enabled: True`` but never implemented it, so enabling by default
+    would break byte-stream interop with reference decoders.
+    """
     out_dir = _ensure_cache_dir(cache_dir)
     encoded: List[str] = []
     n = len(file_parts)
@@ -218,6 +229,8 @@ def encode_file_parts(
             raise RuntimeError("encoding cancelled")
 
         payload = adaptive_compress(data, mode) if compress else data
+        if use_fec:
+            payload = wrap_fec(payload, fec_type or CONFIG.get("modem.fec_type", "reed_solomon"))
         framed = pack_frame(fname, payload, part_number, total_parts, file_size, file_crc)
         arr = _modulate_with_fallback(mode, framed, symbol_rate, min_duration=0.1)
 
@@ -245,6 +258,8 @@ def encode_file(
     progress_callback: Optional[Callable[[int, int], None]] = None,
     is_cancelled: Optional[Callable[[], bool]] = None,
     cache_dir: str = CACHE_DIR,
+    use_fec: bool = False,
+    fec_type: Optional[str] = None,
 ) -> str:
     """Encode one file to a WAV; multi-parts automatically when it would
     exceed the target on-air duration. Returns the first WAV path (single
@@ -259,6 +274,8 @@ def encode_file(
         progress_callback,
         is_cancelled,
         cache_dir,
+        use_fec,
+        fec_type,
     )
     return paths[0] if paths else ""
 
@@ -273,6 +290,8 @@ def encode_file_paths(
     progress_callback: Optional[Callable[[int, int], None]] = None,
     is_cancelled: Optional[Callable[[], bool]] = None,
     cache_dir: str = CACHE_DIR,
+    use_fec: bool = False,
+    fec_type: Optional[str] = None,
 ) -> List[str]:
     """Encode one file to one or more WAVs (the multi-part-aware API)."""
     reset_encoding_cancel()
@@ -283,13 +302,16 @@ def encode_file_paths(
         parts = split_file_for_transmission(path, mode, symbol_rate, target_duration_min * 60)
         if len(parts) > 1:
             return encode_file_parts(
-                parts, mode, compress, symbol_rate, progress_callback, is_cancelled, cache_dir
+                parts, mode, compress, symbol_rate, progress_callback, is_cancelled,
+                cache_dir, use_fec, fec_type,
             )
 
     with open(path, "rb") as f:
         raw = f.read()
     file_crc = crc32(raw)
     data = intelligent_compress(raw) if compress else raw
+    if use_fec:
+        data = wrap_fec(data, fec_type or CONFIG.get("modem.fec_type", "reed_solomon"))
     framed = pack_frame(fname, data, 0, 1, len(raw), file_crc)
     arr = _modulate_with_fallback(mode, framed, symbol_rate)
     wav_bytes = wav_from_array(arr, SAMPLE_RATE)

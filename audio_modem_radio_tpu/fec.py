@@ -1,0 +1,266 @@
+"""Forward error correction: parity-triplet code and K=7 convolutional + Viterbi.
+
+The reference declares FEC capability but never uses it: ``fec_enabled`` is
+read by nobody, its "Reed-Solomon" is a per-2-byte XOR parity scheme, and its
+Viterbi "decoder" just keeps every second bit (/root/reference/fec.py). This
+module provides:
+
+* :class:`ReedSolomonFEC` — wire-compatible with the reference's parity-triplet
+  format (byte pairs + XOR parity, 0xFF pad for odd length, CRC32 trailer,
+  ``0x3F`` substitution on parity mismatch; fec.py:11-69), vectorized.
+* :class:`ConvolutionalEncoder` — genuine rate-1/2, K=7, polynomials
+  G1=0o171 / G2=0o133 with 6-bit zero flush (fec.py:77-100), bit-for-bit
+  compatible with the reference encoder including its low-bits trailing-byte
+  packing quirk, implemented as array ops.
+* :class:`ViterbiDecoder` — a *real* Viterbi decoder for that code, written as
+  a JAX ``lax.scan`` over the 64-state trellis with vectorized
+  add-compare-select, hard or soft inputs, and a device-side traceback scan.
+
+Pipeline integration (our design; the reference had none): the encoder can wrap
+the compressed payload in a tagged FEC container (``FECP``/``FECV`` + encoded
+bytes) before framing. On receive, intact frames unwrap transparently, and
+frames whose payload CRC *failed* can still be recovered by FEC-decoding the
+damaged payload — see :func:`unwrap_fec` / ``decoder.save_decoded_files``.
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+import zlib
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TAG_PARITY = b"FECP"
+TAG_VITERBI = b"FECV"
+
+G1 = 0o171  # 0b1111001
+G2 = 0o133  # 0b1011011
+K = 7
+N_STATES = 1 << (K - 1)  # 64
+FLUSH_BITS = K - 1  # 6
+
+
+# --- parity-triplet code (reference "ReedSolomonFEC" wire format) -------------
+
+class ReedSolomonFEC:
+    """Parity-triplet code, wire-compatible with the reference (fec.py:7-69).
+
+    Not actual Reed-Solomon — the name is kept for API parity. Each byte pair
+    (a, b) transmits as (a, b, a^b); odd-length input pads with 0xFF; a CRC32
+    of the original data trails the stream. On decode, a corrupted triplet is
+    detected (not correctable: one parity can't locate the error) and the
+    second byte is replaced by ``0x3F`` exactly as the reference does.
+    """
+
+    def __init__(self, nsym: int = 32):
+        self.nsym = nsym
+
+    def encode(self, data: bytes) -> bytes:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if len(arr) % 2:
+            arr = np.concatenate([arr, np.asarray([0xFF], np.uint8)])
+            # Reference packs the odd final byte as (byte, 0xFF) WITHOUT a
+            # parity byte (fec.py:25-26); mirror that exactly.
+            pairs = arr[:-2].reshape(-1, 2)
+            tail = arr[-2:]
+        else:
+            pairs = arr.reshape(-1, 2)
+            tail = np.empty(0, np.uint8)
+        triplets = np.column_stack([pairs, pairs[:, 0] ^ pairs[:, 1]])
+        out = np.concatenate([triplets.reshape(-1), tail])
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        return out.tobytes() + struct.pack("<I", crc)
+
+    def decode(self, data: bytes) -> bytes:
+        if len(data) < 4:
+            return data
+        crc_expected = struct.unpack("<I", data[-4:])[0]
+        body = np.frombuffer(data[:-4], dtype=np.uint8)
+        n_triplets = len(body) // 3
+        trip = body[: n_triplets * 3].reshape(-1, 3)
+        rest = body[n_triplets * 3 :]
+        bad = (trip[:, 0] ^ trip[:, 1]) != trip[:, 2]
+        out_pairs = trip[:, :2].copy()
+        out_pairs[bad, 1] = 0x3F  # '?' substitution, like the reference
+        decoded = np.concatenate([out_pairs.reshape(-1), rest]).tobytes()
+        self.last_crc_ok = (zlib.crc32(decoded) & 0xFFFFFFFF) == crc_expected
+        if not self.last_crc_ok and decoded.endswith(b"\xff"):
+            # Odd-length input carries an 0xFF pad byte the stream format
+            # cannot distinguish from data; the CRC trailer can.
+            stripped = decoded[:-1]
+            if (zlib.crc32(stripped) & 0xFFFFFFFF) == crc_expected:
+                self.last_crc_ok = True
+                return stripped
+        return decoded
+
+
+# --- convolutional encoder ----------------------------------------------------
+
+def _popcount_parity(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint32)
+    count = np.zeros_like(x)
+    for _ in range(K):
+        count ^= x & 1
+        x >>= 1
+    return count.astype(np.uint8)
+
+
+def _pack_bits_ref_style(bits: np.ndarray) -> bytes:
+    """MSB-first byte packing; a trailing partial byte keeps its bits in the
+    LOW positions (quirk of the reference's bit loop, fec.py:103-109)."""
+    n_full = (len(bits) // 8) * 8
+    out = np.packbits(bits[:n_full]).tobytes()
+    rem = bits[n_full:]
+    if len(rem):
+        val = 0
+        for b in rem:
+            val = (val << 1) | int(b)
+        out += bytes([val])
+    return out
+
+
+def _unpack_bits_ref_style(data: bytes, n_bits: int) -> np.ndarray:
+    """Inverse of :func:`_pack_bits_ref_style` for a known bit count."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n_full_bytes = n_bits // 8
+    bits = np.unpackbits(arr[:n_full_bytes])
+    rem = n_bits - n_full_bytes * 8
+    if rem:
+        last = int(arr[n_full_bytes])
+        tail = [(last >> (rem - 1 - i)) & 1 for i in range(rem)]
+        bits = np.concatenate([bits, np.asarray(tail, np.uint8)])
+    return bits
+
+
+class ConvolutionalEncoder:
+    """Rate-1/2, K=7 convolutional encoder (G1=0o171, G2=0o133, zero flush)."""
+
+    def __init__(self, constraint_length: int = K):
+        self.constraint_length = constraint_length
+        self.g1, self.g2 = G1, G2
+
+    def encode_bits(self, bits: np.ndarray) -> np.ndarray:
+        """(T,) input bits -> (T+6, 2) output bit pairs, including flush."""
+        bits = np.concatenate([bits.astype(np.uint8), np.zeros(FLUSH_BITS, np.uint8)])
+        # Register after consuming bit t holds bits [t-6..t], newest in LSB.
+        padded = np.concatenate([np.zeros(K - 1, np.uint8), bits])
+        windows = np.lib.stride_tricks.sliding_window_view(padded, K)  # (T+6, K)
+        weights = (1 << np.arange(K - 1, -1, -1)).astype(np.uint32)
+        regs = (windows.astype(np.uint32) * weights).sum(axis=1)
+        return np.stack(
+            [_popcount_parity(regs & G1), _popcount_parity(regs & G2)], axis=1
+        )
+
+    def encode(self, data: bytes) -> bytes:
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        pairs = self.encode_bits(bits)
+        return _pack_bits_ref_style(pairs.reshape(-1))
+
+
+# --- Viterbi decoder (JAX trellis scan) ---------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _trellis_tables() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Predecessor indices and expected output pairs for each new state.
+
+    For new state s: input bit b = s & 1; predecessors p0 = s >> 1 and
+    p1 = (s >> 1) | 32; the transition register is (p << 1) | b.
+    """
+    s = np.arange(N_STATES)
+    b = s & 1
+    p0 = s >> 1
+    p1 = p0 | (N_STATES >> 1)
+    reg0 = (p0 << 1) | b
+    reg1 = (p1 << 1) | b
+    exp0 = np.stack([_popcount_parity(reg0 & G1), _popcount_parity(reg0 & G2)], axis=1)
+    exp1 = np.stack([_popcount_parity(reg1 & G1), _popcount_parity(reg1 & G2)], axis=1)
+    return p0.astype(np.int32), p1.astype(np.int32), exp0.astype(np.float32), exp1.astype(np.float32)
+
+
+@jax.jit
+def viterbi_decode_bits(pairs: jnp.ndarray) -> jnp.ndarray:
+    """Maximum-likelihood decode of (T, 2) received bit pairs -> (T,) bits.
+
+    ``pairs`` may be hard bits {0,1} or soft values in [0,1]; the branch
+    metric is the L1 distance to each transition's expected output. The
+    forward pass is a ``lax.scan`` of vectorized add-compare-select over all
+    64 states; the traceback is a reverse scan over the stored decisions.
+    Encoder starts and (after flushing) ends in state 0.
+    """
+    p0, p1, exp0, exp1 = (jnp.asarray(t) for t in _trellis_tables())
+    T = pairs.shape[0]
+    big = jnp.float32(1e9)
+    pm0 = jnp.full((N_STATES,), big).at[0].set(0.0)
+
+    def step(pm, r):
+        bm0 = jnp.abs(r[None, :] - exp0).sum(axis=1)  # (64,)
+        bm1 = jnp.abs(r[None, :] - exp1).sum(axis=1)
+        cand0 = pm[p0] + bm0
+        cand1 = pm[p1] + bm1
+        choose1 = cand1 < cand0
+        pm_new = jnp.where(choose1, cand1, cand0)
+        pm_new = pm_new - pm_new.min()  # normalize to keep metrics bounded
+        return pm_new, choose1
+
+    pm, decisions = jax.lax.scan(step, pm0, pairs.astype(jnp.float32))
+
+    def back(state, choice_t):
+        bit = state & 1
+        pred = jnp.where(choice_t[state], (state >> 1) | (N_STATES >> 1), state >> 1)
+        return pred, bit
+
+    # Flushed trellis terminates in state 0.
+    _, bits_rev = jax.lax.scan(back, jnp.int32(0), decisions, reverse=True)
+    return bits_rev.astype(jnp.uint8)
+
+
+class ViterbiDecoder:
+    """True Viterbi decoder for the K=7 rate-1/2 code above."""
+
+    def __init__(self, constraint_length: int = K):
+        self.constraint_length = constraint_length
+        self.g1, self.g2 = G1, G2
+
+    def decode_pairs(self, pairs: np.ndarray) -> np.ndarray:
+        """(T, 2) bit pairs (hard or soft) -> (T - 6,) data bits."""
+        decoded = np.asarray(viterbi_decode_bits(jnp.asarray(pairs, jnp.float32)))
+        return decoded[: max(0, len(decoded) - FLUSH_BITS)]
+
+    def decode(self, data: bytes, n_data_bytes: Optional[int] = None) -> bytes:
+        """Decode a byte stream produced by :meth:`ConvolutionalEncoder.encode`.
+
+        The encoded stream for n data bytes is exactly 2n+2 bytes
+        (16n+12 bits); ``n_data_bytes`` overrides the inferred length when the
+        stream was truncated or padded in transit.
+        """
+        if n_data_bytes is None:
+            n_data_bytes = max(0, (len(data) - 2) // 2)
+        n_bits = 16 * n_data_bytes + 2 * FLUSH_BITS
+        if len(data) * 8 < n_bits:
+            n_data_bytes = max(0, (len(data) * 8 - 2 * FLUSH_BITS) // 16)
+            n_bits = 16 * n_data_bytes + 2 * FLUSH_BITS
+        pairs = _unpack_bits_ref_style(data, n_bits).reshape(-1, 2)
+        bits = self.decode_pairs(pairs)[: n_data_bytes * 8]
+        return np.packbits(bits).tobytes()
+
+
+# --- pipeline container layer -------------------------------------------------
+
+def wrap_fec(payload: bytes, fec_type: str) -> bytes:
+    """Wrap a payload in a tagged FEC container ('reed_solomon'|'convolutional')."""
+    if fec_type == "convolutional":
+        return TAG_VITERBI + ConvolutionalEncoder().encode(payload)
+    return TAG_PARITY + ReedSolomonFEC().encode(payload)
+
+
+def unwrap_fec(blob: bytes) -> Optional[bytes]:
+    """Decode a tagged FEC container; None if the tag is absent."""
+    if blob.startswith(TAG_VITERBI):
+        return ViterbiDecoder().decode(blob[4:])
+    if blob.startswith(TAG_PARITY):
+        return ReedSolomonFEC().decode(blob[4:])
+    return None

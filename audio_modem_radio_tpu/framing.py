@@ -88,7 +88,15 @@ def parse_frames(raw: bytes) -> List[Frame]:
     the same accept/reject policy as the reference parser, but returning the
     full header needed for multi-part reassembly.
     """
+    return parse_frames_detailed(raw)[0]
+
+
+def parse_frames_detailed(raw: bytes) -> tuple:
+    """Like :func:`parse_frames` but also returns header-sane frames whose
+    payload CRC failed — candidates for FEC recovery. Returns
+    ``(valid_frames, damaged_frames)``."""
     frames: List[Frame] = []
+    damaged: List[Frame] = []
     n = len(raw)
     offset = 0
     while True:
@@ -117,11 +125,13 @@ def parse_frames(raw: bytes) -> List[Frame]:
         if payload_start + dlen > n:
             continue
         payload = raw[payload_start : payload_start + dlen]
-        if crc32(payload) != pcrc:
-            continue
         if total == 0 or part >= total:
-            # Header passed payload CRC but carries inconsistent part indices;
-            # reject rather than corrupt an assembly slot.
+            # Inconsistent part indices; reject rather than corrupt an
+            # assembly slot.
             continue
-        frames.append(Frame(name, payload, part, total, fsize, fcrc))
-    return frames
+        frame = Frame(name, payload, part, total, fsize, fcrc)
+        if crc32(payload) == pcrc:
+            frames.append(frame)
+        else:
+            damaged.append(frame)
+    return frames, damaged

@@ -55,35 +55,105 @@ def find_bit_pattern(bits: jnp.ndarray, pattern: str) -> Tuple[jnp.ndarray, jnp.
 
     Returns ``(index, found)``; ``index`` is 0 when not found (the caller's
     fallback is to pack from offset 0, mirroring the reference's behavior).
+
+    Implementation: AND of ``len(pattern)`` shifted equality slices — pure
+    VPU elementwise work, far cheaper on TPU than a convolution with a tiny
+    kernel (~10x in practice).
     """
-    pat = jnp.asarray([1 if c == "1" else -1 for c in pattern], dtype=jnp.float32)
-    x = bits.astype(jnp.float32) * 2.0 - 1.0
-    # corr[i] = sum_t x[i+t] * pat[t]; == len(pattern) iff exact match.
-    corr = jnp.convolve(x, pat[::-1], mode="valid")
-    match = corr >= (len(pattern) - 0.5)
-    idx = jnp.arange(match.shape[0], dtype=jnp.int32)
-    big = jnp.int32(jnp.iinfo(jnp.int32).max)
-    first = jnp.min(jnp.where(match, idx, big))
-    found = jnp.any(match)
-    return jnp.where(found, first, 0).astype(jnp.int32), found
+    L = bits.shape[0] - len(pattern) + 1
+    match = jnp.ones((L,), dtype=bool)
+    for t, c in enumerate(pattern):
+        match &= bits[t : t + L] == (1 if c == "1" else 0)
+    first = jnp.argmax(match).astype(jnp.int32)  # first True (ties -> lowest)
+    found = match[first]
+    return jnp.where(found, first, 0), found
+
+
+@functools.lru_cache(maxsize=8)
+def _pack_matrix(bits_per_byte: int, weights: Tuple[int, ...]) -> np.ndarray:
+    """Block-diagonal (128*bits_per_byte, 128) matrix: groups of
+    ``bits_per_byte`` consecutive lanes weighted into one byte column."""
+    W = np.zeros((128 * bits_per_byte, 128), dtype=np.float32)
+    for b in range(128):
+        for t, w in enumerate(weights):
+            W[b * bits_per_byte + t, b] = w
+    return W
+
+
+def _pack_stream(bits_f32: jnp.ndarray, bits_per_byte: int, weights: Tuple[int, ...]) -> jnp.ndarray:
+    """Weighted group-sum of lanes via one block-diagonal matmul.
+
+    A (n, 8) reshape pads its minor dim to 128 lanes on TPU (16x memory
+    amplification) and a gather is worse; a (rows, 128*bpb) @ (128*bpb, 128)
+    matmul keeps everything lane-aligned. Sums are < 256 so f32 is exact.
+    """
+    group = 128 * bits_per_byte
+    n = bits_f32.shape[0]
+    r = -(-n // group)
+    padded = jnp.pad(bits_f32, (0, r * group - n))
+    out = padded.reshape(r, group) @ jnp.asarray(_pack_matrix(bits_per_byte, weights))
+    return out.reshape(-1).astype(jnp.uint8)  # (r*128,)
 
 
 @jax.jit
 def pack_bits_from(bits: jnp.ndarray, start: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack ``bits[start:]`` MSB-first into bytes (static output shape).
 
-    Returns ``(packed, n_valid)`` where ``packed`` has ``len(bits)//8`` entries
-    and only the first ``n_valid`` are meaningful. Out-of-range positions are
-    zero-filled.
+    Returns ``(packed, n_valid)``; ``packed`` has ``ceil(len(bits)/8)``+pad
+    entries and only the first ``n_valid`` are meaningful (the tail holds
+    wrapped-around garbage the caller must slice off).
     """
     n_bits = bits.shape[0]
-    max_bytes = n_bits // 8
-    pos = start + jnp.arange(max_bytes * 8, dtype=jnp.int32)
-    valid = pos < n_bits
-    gathered = jnp.where(valid, bits[jnp.clip(pos, 0, n_bits - 1)], 0)
-    packed = gathered.reshape(max_bytes, 8).astype(jnp.int32) @ jnp.asarray(_BYTE_WEIGHTS)
+    rolled = jnp.roll(bits, -start).astype(jnp.float32)
+    packed = _pack_stream(rolled, 8, (128, 64, 32, 16, 8, 4, 2, 1))
     n_valid = (n_bits - start) // 8
-    return packed.astype(jnp.uint8), n_valid
+    return packed, n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("pattern",))
+def dibit_sync_and_pack(
+    hi: jnp.ndarray, lo: jnp.ndarray, pattern: str
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sync + byte-pack a dibit stream given as separate (hi, lo) lanes.
+
+    The interleaved bit stream is ``b[2k] = hi[k], b[2k+1] = lo[k]``; this
+    never materializes it (a (n, 2) interleave forces a 64x-padded layout on
+    TPU). The magic search runs as two parity hypotheses over the component
+    streams, and bytes are assembled by two weighted group-sum matmuls.
+    Returns ``(packed, n_valid, found)``.
+    """
+    m = hi.shape[0]
+    pat = [1 if c == "1" else 0 for c in pattern]
+    L = m - (len(pat) // 2 + 1)
+
+    # Even alignment (bit index 2k): hi carries pattern[0::2], lo pattern[1::2].
+    match_e = jnp.ones((L,), dtype=bool)
+    # Odd alignment (bit index 2k+1): lo carries pattern[0::2] at k,
+    # hi carries pattern[1::2] at k+1.
+    match_o = jnp.ones((L,), dtype=bool)
+    for t in range(len(pat) // 2):
+        match_e &= (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
+        match_o &= (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
+    ie = jnp.argmax(match_e).astype(jnp.int32)
+    io = jnp.argmax(match_o).astype(jnp.int32)
+    fe, fo = match_e[ie], match_o[io]
+    se = 2 * ie
+    so = 2 * io + 1
+    s = jnp.where(
+        fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0)
+    )  # first matching bit index; 0 fallback
+    found = fe | fo
+
+    k0 = s >> 1
+    parity = (s & 1).astype(bool)
+    rh = jnp.roll(hi, -k0).astype(jnp.float32)
+    rl = jnp.roll(lo, -k0).astype(jnp.float32)
+    rh_next = jnp.concatenate([rh[1:], jnp.zeros((1,), jnp.float32)])
+    a = jnp.where(parity, rl, rh)  # bits 0,2,4,6 of each byte
+    b = jnp.where(parity, rh_next, rl)  # bits 1,3,5,7
+    packed = _pack_stream(a, 4, (128, 32, 8, 2)) + _pack_stream(b, 4, (64, 16, 4, 1))
+    n_valid = (2 * m - s) // 8
+    return packed, n_valid, found
 
 
 def bit_sync_and_pack(bits: jnp.ndarray, pattern: str) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -28,43 +28,36 @@ import numpy as np
 from ..assembly import AssemblyRegistry
 from ..framing import MAGIC_BIT_PATTERN, Frame, parse_frames
 from ..modem import MODES, SAMPLE_RATE
-from ..ops.common import find_bit_pattern, pack_bits_from
+from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
 from ..ops.fsk import fsk_demod_bits
-from ..ops.psk import psk_demod_bits
+from ..ops.psk import psk_demod_streams, qpsk_gray_streams
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
 
-# --- per-mode bit-demodulator resolution --------------------------------------
+# --- per-mode demodulator plan -------------------------------------------------
 
-def resolve_bit_demod(mode: str, symbol_rate: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Return ``samples (N,) -> bits`` for a byte-stream mode.
+def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
+    """Mode name -> ('psk2'|'psk4'|'fsk', params) for the batched hot path.
 
     Mirrors the dispatch/aliasing of the mode registry (modem.py); raises for
     the text modes (HELLSCHREIBER/FELD_HELL), which don't batch byte-wise.
     """
     r = symbol_rate
-
-    def psk(baud, carrier, n):
-        return lambda x: psk_demod_bits(x, float(baud), float(carrier), SAMPLE_RATE, n)[0]
-
-    def fsk(baud, mark, space):
-        return lambda x: fsk_demod_bits(x, float(baud), float(mark), float(space), SAMPLE_RATE)[0]
-
     table = {
-        "FSK1200": fsk(1200, 1200.0, 2200.0),
-        "FSK9600": fsk(9600, 1200.0, 2200.0),
-        "FSK19200": fsk(19200, 8000.0, 16000.0),
-        "BPSK": psk(r, 3000.0, 2),
-        "QPSK": psk(r, 3000.0, 4),
-        "8PSK": psk(r, 12000.0, 4),
-        "OFDM4": psk(r, 12000.0, 4),
-        "OFDM8": psk(r, 12000.0, 4),
-        "APSK16": psk(r, 12000.0, 4),
-        "SSTV": psk(r, 3000.0, 4),
-        "DSSS": psk(r, 3000.0, 2),
-        "MSK": fsk(r, 6000.0, 6000.0 + r),
-        "FT8": fsk(50, 3000.0, 3050.0),
-        "PSK31": psk(31.25, 3000.0, 2),
+        "FSK1200": ("fsk", (1200.0, 1200.0, 2200.0)),
+        "FSK9600": ("fsk", (9600.0, 1200.0, 2200.0)),
+        "FSK19200": ("fsk", (19200.0, 8000.0, 16000.0)),
+        "BPSK": ("psk2", (float(r), 3000.0)),
+        "QPSK": ("psk4", (float(r), 3000.0)),
+        "8PSK": ("psk4", (float(r), 12000.0)),
+        "OFDM4": ("psk4", (float(r), 12000.0)),
+        "OFDM8": ("psk4", (float(r), 12000.0)),
+        "APSK16": ("psk4", (float(r), 12000.0)),
+        "SSTV": ("psk4", (float(r), 3000.0)),
+        "DSSS": ("psk2", (float(r), 3000.0)),
+        "MSK": ("fsk", (float(r), 6000.0, 6000.0 + r)),
+        "FT8": ("fsk", (50.0, 3000.0, 3050.0)),
+        "PSK31": ("psk2", (31.25, 3000.0)),
     }
     if mode not in table:
         if mode in MODES:
@@ -82,12 +75,25 @@ def demod_pack_batch(
     """(B, N) samples -> (packed_bytes (B, max_bytes), n_valid (B,), found (B,)).
 
     One fused jitted program: demod + magic sync + byte packing, vmapped over
-    the batch. Shard the input's leading axis to run data-parallel.
+    the batch. Shard the input's leading axis to run data-parallel. QPSK-family
+    modes stay in dual (hi, lo) dibit streams end to end — the interleaved bit
+    array is never materialized (its (n, 2) layout would 64x-pad on TPU).
     """
-    demod = resolve_bit_demod(mode, symbol_rate)
+    kind, params = resolve_demod_plan(mode, symbol_rate)
 
     def one(x):
-        bits = demod(x)
+        if kind == "psk4":
+            baud, carrier = params
+            d_re, d_im, _ = psk_demod_streams(x, baud, carrier, SAMPLE_RATE)
+            hi, lo = qpsk_gray_streams(d_re, d_im)
+            return dibit_sync_and_pack(hi, lo, MAGIC_BIT_PATTERN)
+        if kind == "psk2":
+            baud, carrier = params
+            d_re, _d_im, _ = psk_demod_streams(x, baud, carrier, SAMPLE_RATE)
+            bits = (d_re < 0).astype(jnp.uint8)
+        else:
+            baud, mark, space = params
+            bits = fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE)[0]
         start, found = find_bit_pattern(bits, MAGIC_BIT_PATTERN)
         packed, n_valid = pack_bits_from(bits, start)
         return packed, n_valid, found

@@ -1,0 +1,105 @@
+"""Benchmark: batched demodulation throughput (Msamples/s/chip) vs reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Workload: the BASELINE.json headline config — batched DQPSK @ 9600 Bd, 96 kHz
+capture — through the fused demod+sync+pack program (the same code path the
+decode pipeline uses), on whatever accelerator JAX finds (one TPU chip under
+the driver). The baseline divisor is the *reference's own receive algorithm*
+(Butterworth filtfilt band-pass -> complex mix -> filtfilt low-pass -> stride
+sampling -> differential angle quantization, /root/reference/modem.py:189-241)
+implemented with scipy and timed on this host's CPU over the same signal.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _make_signal(n_samples: int, baud: int = 9600) -> np.ndarray:
+    """A real QPSK transmission (framed random payload), tiled to n_samples."""
+    from audio_modem_radio_tpu.framing import crc32, pack_frame
+    from audio_modem_radio_tpu.modem import modulate
+
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 256, 16384, dtype=np.uint8).tobytes()
+    framed = pack_frame("bench.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate("QPSK", framed, baud), np.float32)
+    reps = int(np.ceil(n_samples / len(wave)))
+    return np.tile(wave, reps)[:n_samples]
+
+
+def _bench_tpu(batch: int, n_samples: int, baud: int, reps: int = 3) -> float:
+    """Msamples/s through the fused batched demod on the default device."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.parallel.batch import demod_pack_batch
+
+    sig = _make_signal(n_samples, baud)
+    x = jnp.asarray(np.broadcast_to(sig, (batch, n_samples)).copy())
+
+    out = demod_pack_batch(x, "QPSK", baud)  # compile + warm
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = demod_pack_batch(x, "QPSK", baud)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return batch * n_samples / dt / 1e6
+
+
+def _bench_reference_cpu(n_samples: int, baud: int) -> float:
+    """Msamples/s of the reference's QPSK receive chain (scipy, this host)."""
+    from scipy import signal as sig
+
+    sr = 96000
+    carrier = 3000.0
+    x = _make_signal(n_samples, baud).astype(np.float64)
+    spsym = int(sr / baud)
+
+    t0 = time.perf_counter()
+    nyq = sr / 2
+    b, a = sig.butter(4, [max(0.01, (carrier - baud * 1.5) / nyq), min(0.99, (carrier + baud * 1.5) / nyq)], btype="band")
+    filtered = sig.filtfilt(b, a, x)
+    t = np.arange(len(filtered)) / sr
+    baseband = filtered * np.exp(-2j * np.pi * carrier * t)
+    b_lp, a_lp = sig.butter(4, baud / nyq, btype="low")
+    baseband = sig.filtfilt(b_lp, a_lp, baseband)
+    symbols = baseband[spsym // 2 :: spsym]
+    diff = symbols[1:] * np.conj(symbols[:-1])
+    ang = np.mod(np.angle(diff) + 2 * np.pi, 2 * np.pi)
+    _bits = np.floor((ang + np.pi / 4) / (np.pi / 2)).astype(np.int32) % 4
+    dt = time.perf_counter() - t0
+    return n_samples / dt / 1e6
+
+
+def main() -> None:
+    baud = 9600
+    # Large per-dispatch workload: the TPU tunnel has ~30 ms per-call
+    # latency, so throughput must be measured against >>100 ms of real work.
+    batch, n_samples = 16, 1 << 24  # 268 Msamples (1 GB) per step
+
+    value = _bench_tpu(batch, n_samples, baud)
+    baseline = _bench_reference_cpu(1 << 21, baud)
+
+    import jax
+
+    result = {
+        "metric": "demod_msamples_per_sec_chip",
+        "value": round(value, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(value / baseline, 2),
+        "baseline_cpu_msamples_per_sec": round(baseline, 2),
+        "config": f"QPSK@{baud}Bd 96kHz, batch={batch}x{n_samples}",
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,3 +123,32 @@ def test_unknown_mode_demod_falls_back_to_qpsk():
 def test_unknown_mode_modulate_raises():
     with pytest.raises(ValueError):
         modulate("NO_SUCH_MODE", b"x", 1200)
+
+
+@pytest.mark.parametrize("baud", [2400, 9600])
+def test_qpsk_random_payload_roundtrip(baud, rng):
+    # Regression: raw-energy timing scores elected a half-symbol-misaligned
+    # hypothesis on some payloads (the Gram-inverse dual basis amplifies
+    # misaligned projections); phase-coherence scoring must hold for
+    # arbitrary payload content.
+    data = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    framed = _frame(data)
+    wave = qpsk_modulate(framed, baud=baud)
+    _assert_decodes(qpsk_demodulate(wave, baud=baud), data)
+
+
+def test_batched_path_matches_generic_path(rng):
+    # The fused dual-stream batch pipeline and the generic bit-stream path
+    # must produce identical bytes.
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.parallel.batch import demod_pack_batch
+
+    data = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    framed = _frame(data)
+    wave = qpsk_modulate(framed, baud=9600)
+    generic = qpsk_demodulate(wave, baud=9600)
+    packed, n_valid, found = demod_pack_batch(jnp.asarray(wave)[None, :], "QPSK", 9600)
+    fused = bytes(np.asarray(packed[0])[: int(n_valid[0])])
+    assert bool(found[0])
+    assert fused == generic
