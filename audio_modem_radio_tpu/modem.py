@@ -20,6 +20,7 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
+from .config import CONFIG
 from .ops.fsk import (
     fsk_demodulate,
     fsk_high_speed_demodulate,
@@ -27,6 +28,7 @@ from .ops.fsk import (
     fsk_modulate,
 )
 from .ops.hell import hellschreiber_demodulate, hellschreiber_modulate
+from .ops.ofdm import estimate_subcarrier_gains, ofdm_demodulate, ofdm_modulate
 from .ops.psk import bpsk_demodulate, bpsk_modulate, qpsk_demodulate, qpsk_modulate
 from .utils.wavio import SAMPLE_RATE, wav_from_array  # re-export
 
@@ -79,7 +81,9 @@ def psk8_demodulate(x, b=1200, c=3000.0, s_r=96000):
 
 def ofdm_modulate_simple(d, baud, carrier, num_subcarriers, samp_rate=96000):
     """OFDM alias -> DQPSK; subcarrier count is accepted and ignored
-    (reference modem.py:371-376)."""
+    (reference modem.py:371-376). The MODES registry uses *real* OFDM
+    (ops/ofdm.py) unless ``modem.ofdm_compat_alias`` is set; this function is
+    the reference-parity alias surface."""
     del num_subcarriers
     return qpsk_modulate(d, baud, carrier, samp_rate)
 
@@ -87,6 +91,29 @@ def ofdm_modulate_simple(d, baud, carrier, num_subcarriers, samp_rate=96000):
 def ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate=96000):
     del num_subcarriers
     return qpsk_demodulate(x, baud, carrier, samp_rate)
+
+
+def _ofdm_mode_modulate(d, baud, carrier, num_subcarriers, samp_rate=96000):
+    if CONFIG.get("modem.ofdm_compat_alias", False):
+        return ofdm_modulate_simple(d, baud, carrier, num_subcarriers, samp_rate)
+    return ofdm_modulate(d, baud, carrier, num_subcarriers, samp_rate)
+
+
+def _ofdm_mode_demodulate(x, baud, carrier, num_subcarriers, samp_rate=96000):
+    """Real-OFDM receive with alias fallback.
+
+    Reference-produced "OFDM" WAVs are actually single-carrier DQPSK; when the
+    multicarrier demodulator finds no frame magic, fall back to the alias
+    demodulator so both signal generations decode.
+    """
+    if CONFIG.get("modem.ofdm_compat_alias", False):
+        return ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate)
+    raw = ofdm_demodulate(x, baud, carrier, num_subcarriers, samp_rate)
+    from .framing import MAGIC
+
+    if MAGIC in raw:
+        return raw
+    return ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate)
 
 
 def apsk16_modulate(d, b, c, s=96000):
@@ -210,14 +237,14 @@ MODES: Dict[str, ModeSpec] = {
     ),
     "OFDM4": _spec(
         "OFDM4",
-        lambda d, r: ofdm_modulate_simple(d, r, 12000.0, 4),
-        lambda x, r: ofdm_demodulate_simple(x, r, 12000.0, 4),
+        lambda d, r: _ofdm_mode_modulate(d, r, 12000.0, 4),
+        lambda x, r: _ofdm_mode_demodulate(x, r, 12000.0, 4),
         lambda r: r // 2,
     ),
     "OFDM8": _spec(
         "OFDM8",
-        lambda d, r: ofdm_modulate_simple(d, r, 12000.0, 8),
-        lambda x, r: ofdm_demodulate_simple(x, r, 12000.0, 8),
+        lambda d, r: _ofdm_mode_modulate(d, r, 12000.0, 8),
+        lambda x, r: _ofdm_mode_demodulate(x, r, 12000.0, 8),
         lambda r: r,
     ),
     "APSK16": _spec(

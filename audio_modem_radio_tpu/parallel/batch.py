@@ -28,8 +28,10 @@ import numpy as np
 from ..assembly import AssemblyRegistry
 from ..framing import MAGIC_BIT_PATTERN, Frame, parse_frames
 from ..modem import MODES, SAMPLE_RATE
+from ..config import CONFIG
 from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
 from ..ops.fsk import fsk_demod_bits
+from ..ops.ofdm import ofdm_demod_bits
 from ..ops.psk import psk_demod_streams, qpsk_gray_streams
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
@@ -50,8 +52,8 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
         "BPSK": ("psk2", (float(r), 3000.0)),
         "QPSK": ("psk4", (float(r), 3000.0)),
         "8PSK": ("psk4", (float(r), 12000.0)),
-        "OFDM4": ("psk4", (float(r), 12000.0)),
-        "OFDM8": ("psk4", (float(r), 12000.0)),
+        "OFDM4": ("ofdm", (float(r), 12000.0, 4)),
+        "OFDM8": ("ofdm", (float(r), 12000.0, 8)),
         "APSK16": ("psk4", (float(r), 12000.0)),
         "SSTV": ("psk4", (float(r), 3000.0)),
         "DSSS": ("psk2", (float(r), 3000.0)),
@@ -91,6 +93,13 @@ def demod_pack_batch(
             baud, carrier = params
             d_re, _d_im, _ = psk_demod_streams(x, baud, carrier, SAMPLE_RATE)
             bits = (d_re < 0).astype(jnp.uint8)
+        elif kind == "ofdm":
+            baud, carrier, n_sub = params
+            if CONFIG.get("modem.ofdm_compat_alias", False):
+                d_re, d_im, _ = psk_demod_streams(x, baud, carrier, SAMPLE_RATE)
+                hi, lo = qpsk_gray_streams(d_re, d_im)
+                return dibit_sync_and_pack(hi, lo, MAGIC_BIT_PATTERN)
+            bits = ofdm_demod_bits(x, baud, carrier, int(n_sub), SAMPLE_RATE)[0]
         else:
             baud, mark, space = params
             bits = fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE)[0]

@@ -1,0 +1,130 @@
+"""Real OFDM tests: orthogonality, round trips, equalization, compat alias."""
+
+import numpy as np
+import pytest
+
+from audio_modem_radio_tpu.config import CONFIG
+from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+from audio_modem_radio_tpu.modem import demodulate, modulate
+from audio_modem_radio_tpu.ops.ofdm import (
+    _ofdm_basis,
+    _symbol_samples,
+    estimate_subcarrier_gains,
+    ofdm_demodulate,
+    ofdm_modulate,
+)
+
+PAYLOAD = b"Orthogonal frequency division multiplexing payload. " * 6
+
+
+def _frame(data=PAYLOAD):
+    return pack_frame("o.bin", data, 0, 1, len(data), crc32(data))
+
+
+def test_subcarriers_orthogonal():
+    S = _symbol_samples(96000, 9600, 4)
+    B = _ofdm_basis(S, 12000.0, 4, 96000).astype(np.float64)
+    G = B @ B.T
+    off = G - np.diag(np.diag(G))
+    # Ramp windowing breaks exact orthogonality slightly; cross-terms must be
+    # small relative to the diagonal.
+    assert np.abs(off).max() < 0.2 * np.diag(G).min()
+
+
+@pytest.mark.parametrize("n_sub,baud", [(4, 9600), (8, 9600), (4, 4800), (8, 2400)])
+def test_ofdm_roundtrip(n_sub, baud):
+    framed = _frame()
+    wave = ofdm_modulate(framed, baud=baud, num_subcarriers=n_sub)
+    raw = ofdm_demodulate(wave, baud=baud, num_subcarriers=n_sub)
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
+
+
+def test_ofdm_roundtrip_random_payload(rng):
+    data = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    framed = _frame(data)
+    wave = ofdm_modulate(framed, baud=9600, num_subcarriers=4)
+    frames = parse_frames(ofdm_demodulate(wave, baud=9600, num_subcarriers=4))
+    assert frames and frames[0].data == data
+
+
+def test_ofdm_survives_awgn_and_offset(rng):
+    framed = _frame()
+    wave = ofdm_modulate(framed, baud=4800, num_subcarriers=4)
+    noisy = np.concatenate(
+        [np.zeros(777, np.float32), wave + rng.normal(0, 0.02, len(wave)).astype(np.float32)]
+    )
+    frames = parse_frames(ofdm_demodulate(noisy, baud=4800, num_subcarriers=4))
+    assert frames and frames[0].data == PAYLOAD
+
+
+def test_per_subcarrier_equalization_under_selective_channel(rng):
+    """A frequency-selective channel (strong band tilt) must still decode,
+    and the estimated gains must reflect the tilt."""
+    from scipy.signal import lfilter
+
+    framed = _frame()
+    wave = ofdm_modulate(framed, baud=4800, num_subcarriers=4)
+    # One-pole low-pass tilts the 12 kHz band noticeably across subcarriers.
+    channel = lfilter([1.0], [1.0, -0.55], wave).astype(np.float32)
+    channel /= np.abs(channel).max()
+
+    frames = parse_frames(ofdm_demodulate(channel, baud=4800, num_subcarriers=4))
+    assert frames and frames[0].data == PAYLOAD
+
+    gains = estimate_subcarrier_gains(channel, baud=4800, num_subcarriers=4)
+    assert gains.shape == (4,)
+    # Low-pass channel: lower subcarriers come through stronger.
+    assert gains[0] > gains[-1]
+
+
+def test_mode_registry_uses_real_ofdm():
+    framed = _frame(PAYLOAD[:100])
+    wave = modulate("OFDM4", framed, 4800)
+    # Real OFDM at 4 subcarriers is NOT the QPSK alias: the alias waveform
+    # for the same input differs in length/content.
+    from audio_modem_radio_tpu.ops.psk import qpsk_modulate
+
+    alias = qpsk_modulate(framed, 4800, 12000.0)
+    assert len(wave) != len(alias) or not np.allclose(wave[: len(alias)], alias)
+    frames = parse_frames(demodulate("OFDM4", wave, 4800))
+    assert frames and frames[0].data == PAYLOAD[:100]
+
+
+def test_ofdm_demod_falls_back_to_alias_for_reference_signals():
+    # A reference-generation "OFDM4" WAV is really single-carrier DQPSK; our
+    # OFDM4 demodulator must still decode it.
+    from audio_modem_radio_tpu.ops.psk import qpsk_modulate
+
+    framed = _frame(PAYLOAD[:100])
+    alias_wave = qpsk_modulate(framed, 4800, 12000.0)
+    frames = parse_frames(demodulate("OFDM4", np.asarray(alias_wave), 4800))
+    assert frames and frames[0].data == PAYLOAD[:100]
+
+
+def test_compat_alias_config_switch():
+    from audio_modem_radio_tpu.ops.psk import qpsk_demodulate
+
+    framed = _frame(PAYLOAD[:80])
+    CONFIG.set("modem.ofdm_compat_alias", True)
+    try:
+        wave = modulate("OFDM8", framed, 4800)
+        raw = qpsk_demodulate(np.asarray(wave), 4800, 12000.0)
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == PAYLOAD[:80]
+    finally:
+        CONFIG.set("modem.ofdm_compat_alias", False)
+
+
+def test_ofdm_batch_decode(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.parallel.batch import demod_pack_batch
+
+    framed = _frame(PAYLOAD[:200])
+    wave = np.asarray(ofdm_modulate(framed, baud=4800, num_subcarriers=4))
+    packed, n_valid, found = demod_pack_batch(jnp.asarray(wave)[None, :], "OFDM4", 4800)
+    raw = bytes(np.asarray(packed[0])[: int(n_valid[0])])
+    frames = parse_frames(raw)
+    assert bool(found[0]) and frames and frames[0].data == PAYLOAD[:200]
