@@ -254,7 +254,21 @@ def psk_demod_streams(
         W = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
         row = _BLOCK_SYM * spsym
         ov = W.shape[1] - row
+        blk = 64  # pallas kernel tile rows
         r = -(-n_frames // _BLOCK_SYM)  # ceil: rows of 128 symbols
+        if jax.default_backend() == "tpu":
+            # Fused overlap+projection+differential kernel: runs at HBM
+            # bandwidth; the same math as XLA ops pays heavy relayouts (the
+            # lane-axis overlap concat alone costs more than the kernel).
+            from .pallas_kernels import psk_project_diff
+
+            r = -(-r // blk) * blk  # kernel needs a whole number of tiles
+            x_pad = jnp.pad(x_flat[: n_frames * spsym], (0, r * row - n_frames * spsym))
+            dr2, di2 = psk_project_diff(x_pad.reshape(r, row), W[best], block_rows=blk)
+            # Trailing entries (pad symbols + the final no-successor slot)
+            # carry garbage; downstream sync/parse ignores them, matching the
+            # XLA path's behavior for zero-padded signals.
+            return dr2.reshape(-1), di2.reshape(-1), score[best]
         x_pad = jnp.pad(x_flat[: n_frames * spsym], (0, r * row + ov - n_frames * spsym))
         xr = x_pad[: r * row].reshape(r, row)
         xn = jnp.concatenate(

@@ -160,15 +160,41 @@ def decode_wav_batch(
     Returns, per input WAV, the list of file paths recovered from it.
     Frames from all captures feed one assembly registry, so a multi-part
     transfer spread across several captures reassembles here.
+
+    WAV loading goes through the native multi-threaded loader when the C++
+    library is available (one Python ``wave`` parse per file is the host
+    bottleneck at 1000-file batches); frame scanning likewise.
     """
     from ..decoder import save_decoded_files
+    from ..native import NATIVE_AVAILABLE, load_wav_batch, scan_frames
 
-    arrays = []
-    for p in paths:
-        data, sr = read_wav(p)
-        if sr != SAMPLE_RATE:
-            data = resample(data, sr, SAMPLE_RATE)
-        arrays.append(data.astype(np.float32))
+    if NATIVE_AVAILABLE:
+        # Native loader reads headers + samples in parallel; a probe pass
+        # over sizes picks the bucket. Files at non-96k rates fall back to
+        # the Python path for resampling.
+        import os
+
+        est_len = max(
+            (os.path.getsize(p) // 2 for p in paths if os.path.exists(p)), default=1
+        )
+        row_len = _bucket_length([est_len])
+        samples, rates, counts = load_wav_batch(list(paths), row_len)
+        arrays = []
+        for i, p in enumerate(paths):
+            if rates[i] == SAMPLE_RATE:
+                arrays.append(samples[i, : counts[i]])
+            else:  # failed or needs resampling: Python path
+                data, sr = read_wav(p)
+                if sr != SAMPLE_RATE:
+                    data = resample(data, sr, SAMPLE_RATE)
+                arrays.append(data.astype(np.float32))
+    else:
+        arrays = []
+        for p in paths:
+            data, sr = read_wav(p)
+            if sr != SAMPLE_RATE:
+                data = resample(data, sr, SAMPLE_RATE)
+            arrays.append(data.astype(np.float32))
 
     n = _bucket_length([len(a) for a in arrays])
     batch = np.zeros((len(arrays), n), dtype=np.float32)
@@ -178,6 +204,10 @@ def decode_wav_batch(
     raws = decode_sample_batch(batch, mode, symbol_rate, mesh=mesh)
     out: List[List[str]] = []
     for raw in raws:
-        frames: List[Frame] = parse_frames(raw)
-        out.append(save_decoded_files(frames, recv_dir, registry))
+        if NATIVE_AVAILABLE:
+            frames, damaged = scan_frames(raw)
+        else:
+            frames, damaged = [], []
+            frames = parse_frames(raw)
+        out.append(save_decoded_files(frames, recv_dir, registry, damaged=damaged or None))
     return out

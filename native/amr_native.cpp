@@ -1,0 +1,197 @@
+// amr_native: native runtime components for audio_modem_radio_tpu.
+//
+// The reference implementation is pure Python (SURVEY.md §2: no native code
+// of its own); this library is the rebuild's host-runtime muscle for the
+// batch-decode path, where Python-level byte scanning and WAV parsing become
+// the bottleneck once the TPU demodulates gigabytes per second:
+//
+//  * amr_scan_frames  — scan a demodulated byte stream for FBPC frames
+//    (magic search + header sanity + CRC32 payload verification), returning
+//    packed frame descriptors. Mirrors the accept/reject policy of
+//    framing.parse_frames (and the reference parser, decoder.py:142-208).
+//  * amr_load_wav_batch — load many 16-bit PCM mono/stereo WAV files into one
+//    float32 sample matrix in parallel (one thread per file, capped), the
+//    host-side feeder for decode_wav_batch.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread amr_native.cpp -o libamr_native.so -lz
+// Exposed via ctypes (audio_modem_radio_tpu/native.py); plain C ABI.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+// One parsed frame: offsets into the scanned buffer plus header fields.
+struct FrameDesc {
+  uint64_t name_off;
+  uint32_t name_len;
+  uint64_t payload_off;
+  uint32_t payload_len;
+  uint32_t part_number;
+  uint32_t total_parts;
+  uint32_t file_size;
+  uint32_t file_crc;
+  uint32_t crc_ok;  // 1 = payload CRC verified, 0 = damaged (header sane)
+};
+
+static inline uint32_t rd_u32le(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
+// Scan `buf[0..len)` for FBPC frames; write up to `max_out` descriptors.
+// Returns the number of descriptors written (valid and damaged frames both;
+// check crc_ok). Overlapping magic candidates are all tried, like the Python
+// parser.
+int64_t amr_scan_frames(const uint8_t* buf, uint64_t len, FrameDesc* out,
+                        int64_t max_out) {
+  static const uint8_t MAGIC[4] = {'F', 'B', 'P', 'C'};
+  const uint64_t MAX_PAYLOAD = 50000000ull;
+  int64_t n_out = 0;
+  if (len < 34) return 0;
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + len;
+  while (n_out < max_out) {
+    const uint8_t* hit =
+        (const uint8_t*)memmem(p, (size_t)(end - p), MAGIC, 4);
+    if (!hit) break;
+    uint64_t start = (uint64_t)(hit - buf);
+    p = hit + 1;  // next search continues one past this magic
+    if (start + 30 > len) continue;
+    uint32_t name_len = buf[start + 4];
+    if (name_len == 0) continue;
+    uint64_t meta = start + 5 + name_len;
+    if (meta + 24 > len) continue;
+    uint32_t part = rd_u32le(buf + meta);
+    uint32_t total = rd_u32le(buf + meta + 4);
+    uint32_t fsize = rd_u32le(buf + meta + 8);
+    uint32_t fcrc = rd_u32le(buf + meta + 12);
+    uint32_t dlen = rd_u32le(buf + meta + 16);
+    uint32_t pcrc = rd_u32le(buf + meta + 20);
+    if (dlen == 0 || dlen > MAX_PAYLOAD) continue;
+    uint64_t payload = meta + 24;
+    if (payload + dlen > len) continue;
+    if (total == 0 || part >= total) continue;
+    uint32_t crc = (uint32_t)crc32(0L, buf + payload, dlen);
+    FrameDesc& d = out[n_out++];
+    d.name_off = start + 5;
+    d.name_len = name_len;
+    d.payload_off = payload;
+    d.payload_len = dlen;
+    d.part_number = part;
+    d.total_parts = total;
+    d.file_size = fsize;
+    d.file_crc = fcrc;
+    d.crc_ok = (crc == pcrc) ? 1u : 0u;
+  }
+  return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// WAV batch loader: 8/16/32-bit PCM or 32-bit float, mono-ized (channel 0),
+// written into row i of `out` (row_len floats, zero-padded / truncated).
+// Returns per-file sample rate in `rates[i]` (0 on failure).
+
+struct WavJob {
+  const char* path;
+  float* row;
+  uint64_t row_len;
+  int32_t* rate;
+  int64_t* n_samples;
+};
+
+static void load_one_wav(const WavJob& job) {
+  *job.rate = 0;
+  *job.n_samples = 0;
+  FILE* f = fopen(job.path, "rb");
+  if (!f) return;
+  uint8_t hdr[12];
+  if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) ||
+      memcmp(hdr + 8, "WAVE", 4)) {
+    fclose(f);
+    return;
+  }
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  bool have_fmt = false;
+  // Chunk walk.
+  for (;;) {
+    uint8_t ch[8];
+    if (fread(ch, 1, 8, f) != 8) break;
+    uint32_t csz = rd_u32le(ch + 4);
+    if (!memcmp(ch, "fmt ", 4)) {
+      uint8_t fbuf[16];
+      if (csz < 16 || fread(fbuf, 1, 16, f) != 16) break;
+      fmt = (uint16_t)(fbuf[0] | (fbuf[1] << 8));
+      channels = (uint16_t)(fbuf[2] | (fbuf[3] << 8));
+      rate = rd_u32le(fbuf + 4);
+      bits = (uint16_t)(fbuf[14] | (fbuf[15] << 8));
+      have_fmt = true;
+      if (csz > 16) fseek(f, (long)(csz - 16), SEEK_CUR);
+    } else if (!memcmp(ch, "data", 4)) {
+      if (!have_fmt || channels == 0) break;
+      uint32_t bytes_per = (uint32_t)(bits / 8) * channels;
+      if (bytes_per == 0) break;
+      uint64_t frames = csz / bytes_per;
+      uint64_t n = frames < job.row_len ? frames : job.row_len;
+      std::vector<uint8_t> raw((size_t)n * bytes_per);
+      if (fread(raw.data(), 1, raw.size(), f) != raw.size()) break;
+      const uint8_t* src = raw.data();
+      for (uint64_t i = 0; i < n; i++, src += bytes_per) {
+        float v = 0.f;
+        if (bits == 16) {
+          int16_t s;
+          memcpy(&s, src, 2);
+          v = (float)s / 32768.f;
+        } else if (bits == 32 && fmt == 3) {
+          memcpy(&v, src, 4);
+        } else if (bits == 32) {
+          int32_t s;
+          memcpy(&s, src, 4);
+          v = (float)s / 2147483648.f;
+        } else if (bits == 8) {
+          v = ((float)src[0] - 128.f) / 128.f;
+        }
+        job.row[i] = v;
+      }
+      *job.rate = (int32_t)rate;
+      *job.n_samples = (int64_t)n;
+      break;
+    } else {
+      fseek(f, (long)csz + (csz & 1), SEEK_CUR);
+    }
+  }
+  fclose(f);
+}
+
+// Load `n_files` WAVs in parallel into `out` (n_files x row_len floats,
+// caller-zeroed). paths: array of NUL-terminated strings.
+void amr_load_wav_batch(const char** paths, int64_t n_files, float* out,
+                        uint64_t row_len, int32_t* rates, int64_t* n_samples,
+                        int32_t max_threads) {
+  std::atomic<int64_t> next(0);
+  int nthreads = (int)std::min<int64_t>(
+      n_files, max_threads > 0 ? max_threads
+                               : (int32_t)std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      WavJob job{paths[i], out + (uint64_t)i * row_len, row_len, rates + i,
+                 n_samples + i};
+      load_one_wav(job);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
