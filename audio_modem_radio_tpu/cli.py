@@ -84,6 +84,56 @@ def _cmd_decode(args: argparse.Namespace) -> int:
     return 0 if saved_all else 1
 
 
+def _cmd_decode_stream(args: argparse.Namespace) -> int:
+    """Incremental decode: windows over a growing capture (or a WAV replay)."""
+    from .streaming import StreamingDecoder
+
+    if args.wav:
+        from .utils.wavio import read_wav
+
+        data, sr = read_wav(args.wav)
+        dec = StreamingDecoder(
+            args.mode, args.symbol_rate, window=args.window, sample_rate=sr,
+            recv_dir=args.recv_dir,
+        )
+        saved = []
+        chunk = max(1, args.window // 4)
+        for start in range(0, len(data), chunk):
+            for p in dec.feed(data[start : start + chunk]):
+                print(f"recovered mid-stream: {p}")
+                saved.append(p)
+        for p in dec.flush():
+            print(f"recovered at flush: {p}")
+            saved.append(p)
+        return 0 if saved else 1
+
+    from .audio_io import SOUNDDEVICE_AVAILABLE, Recorder
+
+    if not SOUNDDEVICE_AVAILABLE:
+        print("no --wav given and sounddevice unavailable for live capture")
+        return 2
+    rec = Recorder()
+    dec = StreamingDecoder(
+        args.mode, args.symbol_rate, window=args.window,
+        sample_rate=rec.sample_rate, recv_dir=args.recv_dir,
+    )
+    import time as _time
+
+    rec.start()
+    try:
+        deadline = _time.time() + args.seconds
+        while _time.time() < deadline:
+            _time.sleep(1.0)
+            for p in dec.feed(rec.stop()):
+                print(f"recovered: {p}")
+            rec.start()
+    finally:
+        dec.feed(rec.stop())
+        for p in dec.flush():
+            print(f"recovered: {p}")
+    return 0
+
+
 def _cmd_modes(_args: argparse.Namespace) -> int:
     from .modem import MODES
 
@@ -143,6 +193,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--batch", action="store_true", help="batched device decode")
     d.add_argument("--recv-dir", default="recv")
     d.set_defaults(fn=_cmd_decode)
+
+    ds = sub.add_parser("decode-stream", help="incremental streaming decode")
+    ds.add_argument("--wav", default=None, help="replay this WAV as a stream")
+    ds.add_argument("--mode", default="QPSK")
+    ds.add_argument("--symbol-rate", type=int, default=9600)
+    ds.add_argument("--window", type=int, default=1 << 20)
+    ds.add_argument("--seconds", type=float, default=30.0, help="live capture duration")
+    ds.add_argument("--recv-dir", default="recv")
+    ds.set_defaults(fn=_cmd_decode_stream)
 
     m = sub.add_parser("modes", help="list transmission modes")
     m.set_defaults(fn=_cmd_modes)

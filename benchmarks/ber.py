@@ -1,0 +1,122 @@
+"""BER-vs-SNR measurement harness.
+
+The regression metric for demodulator quality (SURVEY.md §4): for each mode
+configuration, modulate a known pseudo-random frame, add calibrated AWGN,
+demodulate, and measure the bit error rate against the transmitted bits plus
+the frame recovery rate. Usage::
+
+    python benchmarks/ber.py [--modes QPSK,FSK1200] [--snrs 0,5,10,15,20]
+        [--payload 2048] [--trials 3] [--out ber_results.json]
+
+SNR here is in-band signal power over total noise power in the signal's
+occupied bandwidth... kept simple and reproducible: SNR_dB = 10*log10(
+signal_power / noise_power) over the full 48 kHz Nyquist band, which
+understates effective SNR for narrowband modes — comparisons are meaningful
+across runs of this harness, not across textbooks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+
+def _bit_errors(sent: bytes, received: bytes) -> float:
+    """Fraction of differing bits over the aligned common prefix."""
+    n = min(len(sent), len(received))
+    if n == 0:
+        return 1.0
+    a = np.unpackbits(np.frombuffer(sent[:n], np.uint8))
+    b = np.unpackbits(np.frombuffer(received[:n], np.uint8))
+    return float(np.mean(a != b))
+
+
+def measure_mode(
+    mode: str,
+    snr_db: float,
+    payload_len: int = 2048,
+    symbol_rate: int = 4800,
+    trials: int = 3,
+    seed: int = 0,
+) -> Dict:
+    """One (mode, SNR) cell: returns BER and frame-recovery statistics."""
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+    from audio_modem_radio_tpu.modem import demodulate, modulate
+
+    rng = np.random.default_rng(seed)
+    bers: List[float] = []
+    recovered = 0
+    for t in range(trials):
+        payload = rng.integers(0, 256, payload_len, dtype=np.uint8).tobytes()
+        framed = pack_frame("ber.bin", payload, 0, 1, payload_len, crc32(payload))
+        wave = np.asarray(modulate(mode, framed, symbol_rate), np.float64)
+        p_sig = float(np.mean(wave**2))
+        p_noise = p_sig / (10 ** (snr_db / 10))
+        noisy = (wave + rng.normal(0, np.sqrt(p_noise), len(wave))).astype(np.float32)
+
+        raw = demodulate(mode, noisy, symbol_rate)
+        frames = parse_frames(raw)
+        if frames and frames[0].data == payload:
+            recovered += 1
+            bers.append(0.0)
+        else:
+            # Locate the payload region in the raw byte stream for a BER
+            # estimate even when the frame CRC failed.
+            idx = raw.find(b"FBPC")
+            if idx >= 0:
+                hdr = 4 + 1 + len("ber.bin") + 24
+                bers.append(_bit_errors(payload, raw[idx + hdr :]))
+            else:
+                bers.append(0.5)  # no sync at all
+    return {
+        "mode": mode,
+        "snr_db": snr_db,
+        "ber": float(np.mean(bers)),
+        "frame_recovery_rate": recovered / trials,
+        "trials": trials,
+        "payload_len": payload_len,
+        "symbol_rate": symbol_rate,
+    }
+
+
+def run(modes: List[str], snrs: List[float], payload_len: int, trials: int) -> List[Dict]:
+    results = []
+    for mode in modes:
+        for snr in snrs:
+            cell = measure_mode(mode, snr, payload_len, trials=trials)
+            results.append(cell)
+            print(
+                f"{mode:10s} SNR {snr:5.1f} dB  BER {cell['ber']:.4f}  "
+                f"frames {cell['frame_recovery_rate']:.0%}",
+                flush=True,
+            )
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--modes", default="QPSK,BPSK,FSK1200,OFDM4")
+    ap.add_argument("--snrs", default="0,5,10,15,20,30")
+    ap.add_argument("--payload", type=int, default=2048)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--out", default="ber_results.json")
+    args = ap.parse_args()
+
+    results = run(
+        args.modes.split(","),
+        [float(s) for s in args.snrs.split(",")],
+        args.payload,
+        args.trials,
+    )
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
