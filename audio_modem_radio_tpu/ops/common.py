@@ -95,17 +95,29 @@ def _pack_stream(bits_f32: jnp.ndarray, bits_per_byte: int, weights: Tuple[int, 
     return out.reshape(-1).astype(jnp.uint8)  # (r*128,)
 
 
+def _shift_left(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """``x`` shifted left by dynamic ``k``, zero-filled at the tail.
+
+    ``jnp.roll`` with a traced shift lowers to a while loop plus
+    pad/dynamic-update-slice passes (~5x the cost of this concat +
+    dynamic-slice form, profiled on v5e).
+    """
+    n = x.shape[0]
+    doubled = jnp.concatenate([x, jnp.zeros_like(x)])
+    return jax.lax.dynamic_slice(doubled, (k,), (n,))
+
+
 @jax.jit
 def pack_bits_from(bits: jnp.ndarray, start: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack ``bits[start:]`` MSB-first into bytes (static output shape).
 
     Returns ``(packed, n_valid)``; ``packed`` has ``ceil(len(bits)/8)``+pad
-    entries and only the first ``n_valid`` are meaningful (the tail holds
-    wrapped-around garbage the caller must slice off).
+    entries and only the first ``n_valid`` are meaningful (the tail is
+    zero-filled).
     """
     n_bits = bits.shape[0]
-    rolled = jnp.roll(bits, -start).astype(jnp.float32)
-    packed = _pack_stream(rolled, 8, (128, 64, 32, 16, 8, 4, 2, 1))
+    shifted = _shift_left(bits, start).astype(jnp.float32)
+    packed = _pack_stream(shifted, 8, (128, 64, 32, 16, 8, 4, 2, 1))
     n_valid = (n_bits - start) // 8
     return packed, n_valid
 
@@ -146,8 +158,8 @@ def dibit_sync_and_pack(
 
     k0 = s >> 1
     parity = (s & 1).astype(bool)
-    rh = jnp.roll(hi, -k0).astype(jnp.float32)
-    rl = jnp.roll(lo, -k0).astype(jnp.float32)
+    rh = _shift_left(hi, k0).astype(jnp.float32)
+    rl = _shift_left(lo, k0).astype(jnp.float32)
     rh_next = jnp.concatenate([rh[1:], jnp.zeros((1,), jnp.float32)])
     a = jnp.where(parity, rl, rh)  # bits 0,2,4,6 of each byte
     b = jnp.where(parity, rh_next, rl)  # bits 1,3,5,7

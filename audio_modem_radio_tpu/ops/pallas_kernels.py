@@ -71,6 +71,85 @@ def _kernel(x_ref, xn_ref, w_ref, dre_ref, dim_ref):
     dim_ref[:] = i1 * r0 - r1 * i0
 
 
+def _kernel_batched(best_ref, x_ref, xn_ref, w_ref, dre_ref, dim_ref):
+    """Batched variant: identical math; W arrives pre-selected per capture
+    via the scalar-prefetch index_map (best_ref is consumed there)."""
+    del best_ref
+    _kernel(x_ref, xn_ref, w_ref.at[0], dre_ref, dim_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per_capture", "block_rows", "interpret"))
+def psk_project_diff_batch(
+    x3d: jnp.ndarray,
+    w_all: jnp.ndarray,
+    best: jnp.ndarray,
+    rows_per_capture: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-batch fused projection+differential in ONE kernel launch.
+
+    vmapping the single-capture kernel costs thousands of tiny grid steps
+    (grid-iteration overhead dominated the runtime); here the batch is
+    flattened to (B*R, ROW) rows and a single grid covers it, with each
+    program's template selected by its capture's winning timing offset via
+    scalar prefetch.
+
+    Args:
+      x3d: (B, R, ROW) sample rows per capture (R = rows_per_capture,
+        multiple of block_rows; zero-pad rows at each capture's tail).
+      w_all: (n_offsets, ROW+OV, 256) stacked templates.
+      best: (B,) int32 winning offset per capture.
+    Returns (d_re, d_im) of shape (B, R, 128). Entries at capture tails
+    (pad rows / the final no-successor slot) are garbage, as in the XLA path.
+    """
+    b, r, row = x3d.shape
+    if r != rows_per_capture or r % block_rows:
+        raise ValueError("rows_per_capture mismatch or not a multiple of block_rows")
+    c = w_all.shape[1]
+    steps_per_capture = r // block_rows
+    grid = (b * steps_per_capture,)
+    x2d = x3d.reshape(b * r, row)
+    # The final program's "next rows" block is clamped to the last in-bounds
+    # window instead of padding the (huge) input: its diffs land in the
+    # capture's zero-pad tail, which is garbage either way. Saves a full-array
+    # pad copy that profiled at ~17% of the whole pipeline.
+    last_block8 = b * r // 8 - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, row), lambda i, best_ref: (i, 0)),
+            pl.BlockSpec(
+                (8, row),
+                lambda i, best_ref: (
+                    jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8),
+                    0,
+                ),
+            ),
+            pl.BlockSpec(
+                (1, c, 2 * _BLOCK_SYM),
+                lambda i, best_ref, spc=steps_per_capture: (best_ref[i // spc], 0, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, best_ref: (i, 0)),
+            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, best_ref: (i, 0)),
+        ],
+    )
+    dre, dim = pl.pallas_call(
+        _kernel_batched,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * r, _BLOCK_SYM), jnp.float32),
+            jax.ShapeDtypeStruct((b * r, _BLOCK_SYM), jnp.float32),
+        ],
+        interpret=interpret,
+    )(best.astype(jnp.int32), x2d, x2d, w_all)
+    return dre.reshape(b, r, _BLOCK_SYM), dim.reshape(b, r, _BLOCK_SYM)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def psk_project_diff(
     x2d: jnp.ndarray, w: jnp.ndarray, block_rows: int = 64, interpret: bool = False

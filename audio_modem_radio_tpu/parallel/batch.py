@@ -32,7 +32,7 @@ from ..config import CONFIG
 from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
 from ..ops.fsk import fsk_demod_bits
 from ..ops.ofdm import ofdm_demod_bits
-from ..ops.psk import psk_demod_streams, qpsk_gray_streams
+from ..ops.psk import psk_demod_streams_batch, qpsk_gray_streams
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
 
@@ -80,34 +80,41 @@ def demod_pack_batch(
     the batch. Shard the input's leading axis to run data-parallel. QPSK-family
     modes stay in dual (hi, lo) dibit streams end to end — the interleaved bit
     array is never materialized (its (n, 2) layout would 64x-pad on TPU).
+
+    PSK-family modes also accept pre-shaped (B, rows, 128*spsym) input (see
+    ``ops.psk.blocked_row_shape``): shaping rows on the host skips a
+    device-side pad+reshape whose tiled-layout shuffle costs ~half the whole
+    pipeline (profiled on v5e). ``decode_sample_batch`` does this
+    automatically.
     """
     kind, params = resolve_demod_plan(mode, symbol_rate)
+    if kind == "ofdm" and CONFIG.get("modem.ofdm_compat_alias", False):
+        kind, params = "psk4", (params[0], params[1])
 
-    def one(x):
+    if kind in ("psk4", "psk2"):
+        baud, carrier = params
+        d_re, d_im = psk_demod_streams_batch(samples, baud, carrier, SAMPLE_RATE)
         if kind == "psk4":
-            baud, carrier = params
-            d_re, d_im, _ = psk_demod_streams(x, baud, carrier, SAMPLE_RATE)
-            hi, lo = qpsk_gray_streams(d_re, d_im)
-            return dibit_sync_and_pack(hi, lo, MAGIC_BIT_PATTERN)
-        if kind == "psk2":
-            baud, carrier = params
-            d_re, _d_im, _ = psk_demod_streams(x, baud, carrier, SAMPLE_RATE)
-            bits = (d_re < 0).astype(jnp.uint8)
-        elif kind == "ofdm":
-            baud, carrier, n_sub = params
-            if CONFIG.get("modem.ofdm_compat_alias", False):
-                d_re, d_im, _ = psk_demod_streams(x, baud, carrier, SAMPLE_RATE)
-                hi, lo = qpsk_gray_streams(d_re, d_im)
-                return dibit_sync_and_pack(hi, lo, MAGIC_BIT_PATTERN)
-            bits = ofdm_demod_bits(x, baud, carrier, int(n_sub), SAMPLE_RATE)[0]
-        else:
+            hi, lo = jax.vmap(qpsk_gray_streams)(d_re, d_im)
+            return jax.vmap(lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN))(hi, lo)
+        bits = (d_re < 0).astype(jnp.uint8)
+    else:
+
+        def to_bits(x):
+            if kind == "ofdm":
+                baud, carrier, n_sub = params
+                return ofdm_demod_bits(x, baud, carrier, int(n_sub), SAMPLE_RATE)[0]
             baud, mark, space = params
-            bits = fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE)[0]
-        start, found = find_bit_pattern(bits, MAGIC_BIT_PATTERN)
-        packed, n_valid = pack_bits_from(bits, start)
+            return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE)[0]
+
+        bits = jax.vmap(to_bits)(samples)
+
+    def sync_pack(bb):
+        start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)
+        packed, n_valid = pack_bits_from(bb, start)
         return packed, n_valid, found
 
-    return jax.vmap(one)(samples)
+    return jax.vmap(sync_pack)(bits)
 
 
 # --- host orchestration --------------------------------------------------------
@@ -128,10 +135,25 @@ def decode_sample_batch(
     """Demodulate a (B, N) batch to per-capture raw byte streams.
 
     When a mesh (or more than one device) is available the batch axis is
-    sharded across it.
+    sharded across it. PSK-family captures are pre-shaped into blocked rows
+    on the host (cheap numpy) so the device never pays the pad+reshape
+    relayout.
     """
     batch = np.asarray(batch, dtype=np.float32)
     b = batch.shape[0]
+
+    kind, params = resolve_demod_plan(mode, symbol_rate)
+    if kind in ("psk2", "psk4"):
+        from ..ops.psk import blocked_row_shape
+
+        shape = blocked_row_shape(batch.shape[1], params[0], SAMPLE_RATE)
+        if shape is not None:
+            r, row = shape
+            shaped = np.zeros((b, r * row), dtype=np.float32)
+            keep = min(batch.shape[1], r * row)
+            shaped[:, :keep] = batch[:, :keep]
+            batch = shaped.reshape(b, r, row)
+
     if mesh is None and len(jax.devices()) > 1:
         mesh = get_mesh()
     if mesh is not None:

@@ -33,14 +33,24 @@ def _make_signal(n_samples: int, baud: int = 9600) -> np.ndarray:
 
 
 def _bench_tpu(batch: int, n_samples: int, baud: int, reps: int = 3) -> float:
-    """Msamples/s through the fused batched demod on the default device."""
+    """Msamples/s through the fused batched demod on the default device.
+
+    Uses the production decode layout: captures pre-shaped into blocked rows
+    on the host (what decode_sample_batch does), one fused jitted program for
+    demod + frame sync + byte packing on device.
+    """
     import jax
     import jax.numpy as jnp
 
+    from audio_modem_radio_tpu.ops.psk import blocked_row_shape
     from audio_modem_radio_tpu.parallel.batch import demod_pack_batch
 
     sig = _make_signal(n_samples, baud)
-    x = jnp.asarray(np.broadcast_to(sig, (batch, n_samples)).copy())
+    r, row = blocked_row_shape(n_samples, baud, 96000)
+    shaped = np.zeros((batch, r * row), np.float32)
+    keep = min(n_samples, r * row)
+    shaped[:, :keep] = np.broadcast_to(sig, (batch, n_samples))[:, :keep]
+    x = jnp.asarray(shaped.reshape(batch, r, row))
 
     out = demod_pack_batch(x, "QPSK", baud)  # compile + warm
     jax.block_until_ready(out)
@@ -81,8 +91,8 @@ def _bench_reference_cpu(n_samples: int, baud: int) -> float:
 def main() -> None:
     baud = 9600
     # Large per-dispatch workload: the TPU tunnel has ~30 ms per-call
-    # latency, so throughput must be measured against >>100 ms of real work.
-    batch, n_samples = 16, 1 << 24  # 268 Msamples (1 GB) per step
+    # latency, so throughput must be measured against >>30 ms of real work.
+    batch, n_samples = 64, 1 << 24  # 1.07 Gsamples (4 GB) per step
 
     value = _bench_tpu(batch, n_samples, baud)
     baseline = _bench_reference_cpu(1 << 21, baud)
