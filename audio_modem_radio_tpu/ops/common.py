@@ -196,13 +196,20 @@ def analytic_bandpass(
     instantaneous phase/envelope within the band.
     """
     n = samples.shape[-1]
-    spectrum = jnp.fft.fft(samples.astype(jnp.float32))
-    freqs = np.fft.fftfreq(n, d=1.0 / sample_rate)  # static, host-computed
+    # Pad to a power of two: XLA lowers non-power-of-2 FFTs on TPU to a dense
+    # DFT matmul (an (n, n) matrix — fatal for long captures).
+    n_fft = 1 << (n - 1).bit_length()
+    x = samples.astype(jnp.float32)
+    if n_fft != n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_fft - n)])
+    spectrum = jnp.fft.fft(x)
+    freqs = np.fft.fftfreq(n_fft, d=1.0 / sample_rate)  # static, host-computed
     band = ((freqs >= max(low_hz, 0.0)) & (freqs <= high_hz)).astype(np.complex64) * 2.0
     # Don't double DC / Nyquist if they fall inside the band.
     if low_hz <= 0.0:
         band[0] = 1.0
-    return jnp.fft.ifft(spectrum * jnp.asarray(band))
+    z = jnp.fft.ifft(spectrum * jnp.asarray(band))
+    return z[..., :n] if n_fft != n else z
 
 
 def frame_signal(x: jnp.ndarray, frame_len: int, hop: int, n_frames: int) -> jnp.ndarray:

@@ -14,32 +14,37 @@ TPU-first architecture:
   drift across millions of bits, unlike a float accumulator). The waveform is
   one ``(n_bits, 4) @ (4, samples_per_bit)`` matmul: each bit contributes
   ``(cosφ, sinφ)`` against precomputed (sin, cos) basis rows of its tone.
-* **Demodulation** — two strategies, chosen statically from the configuration:
+* **Demodulation** — two strategies, chosen statically from the
+  configuration, both in the blocked lanes-major layout (bit index on the
+  128-lane axis, row = spr*spb lanes; see ARCHITECTURE.md):
 
-  - *Dual-tone matched filter* when the tones are separated by >=0.4 cycles
-    per bit window: band-limited analytic signal, then per-bit complex
-    correlation against mark/space tones for every timing offset — a single
-    matmul; the bit decision compares energies. This is the optimal
-    noncoherent FSK detector, strictly better than the reference's
+  - *Dual-tone subspace detector* when the tones are separated by >=0.4
+    cycles per bit window: per-bit least-squares projection of the RAW
+    samples onto the joint 4-D {mark, space} x {sin, cos} subspace via one
+    block-diagonal matmul (no FFT anywhere — the Gram inverse separates the
+    tones and their negative-frequency images exactly); the bit decision
+    compares tone energies. Strictly better than the reference's
     Butterworth-envelope comparison (modem.py:306-315).
   - *Frequency discriminator* when the tones are too close for one-bit-window
-    correlation to separate (e.g. the reference's FSK9600 configuration:
-    1200/2200 Hz tones at 9600 baud — which crashes the reference demodulator
-    outright because its bandpass edge goes negative): instantaneous
-    frequency from the analytic signal's phase increments, averaged per bit
-    window, thresholded at the tone midpoint.
+    separation (e.g. the reference's FSK9600 configuration: 1200/2200 Hz
+    tones at 9600 baud — which crashes the reference demodulator outright
+    because its bandpass edge goes negative): band-limited analytic signal,
+    per-sample phasor products, per-bit *vector* frequency averages via a
+    boxcar matmul (one atan2 per bit), then a statically calibrated linear
+    ISI equalizer.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import analytic_bandpass, bit_sync_and_pack, bytes_to_bits, frame_signal
+from .common import analytic_bandpass, bit_sync_and_pack, bytes_to_bits
 
 FSK_PREAMBLE = b"\xAA\xAA\xAA\xAA"
 
@@ -108,49 +113,131 @@ def _separation_cycles(baud: float, mark: float, space: float, sample_rate: int)
     return abs(mark - space) * _samples_per_bit(sample_rate, baud) / sample_rate
 
 
+# --- blocked receive geometry ---------------------------------------------
+
+def _fsk_geometry(spb: int) -> Tuple[int, int, int]:
+    """(symbols_per_row, row_lanes, overlap_lanes) for the blocked layout.
+
+    row_lanes = spr*spb must be a multiple of 128 (lane alignment) and is
+    sized near 1024+ lanes; the overlap covers a window shifted up to one
+    full bit into the next row.
+    """
+    unit = 128 // math.gcd(spb, 128)
+    spr = unit * max(1, -(-1024 // (unit * spb)))
+    row = spr * spb
+    # The last bit in a row starts at (spr-1)*spb + offset (< spb), so its
+    # window extends at most spb-1 lanes past the row end; ov <= row always.
+    ov = 128 * (-(-spb // 128))
+    return spr, row, ov
+
+
 @functools.lru_cache(maxsize=64)
-def _fsk_templates(spb: int, mark: float, space: float, sample_rate: int, n_offsets: int) -> np.ndarray:
-    """(2*spb, 2*n_offsets) complex: conj mark/space tones at shifted windows."""
-    t = np.arange(2 * spb, dtype=np.float64)
-    tones = [np.exp(-2j * np.pi * f * t / sample_rate) for f in (mark, space)]
-    T = np.zeros((2 * spb, 2 * n_offsets), dtype=np.complex128)
+def _fsk_blocked_templates(
+    spb: int, mark: float, space: float, sample_rate: int, n_offsets: int
+) -> np.ndarray:
+    """(n_offsets, row+ov, 4*spr) block-diagonal tone-quadrature templates.
+
+    Columns per row-chunk: [mark_sin x spr | mark_cos x spr | space_sin x spr
+    | space_cos x spr]; bit s's window occupies rows [s*spb+o, s*spb+o+spb).
+    Noncoherent energies need no phase convention, so tones use global time.
+    """
+    spr, row, ov = _fsk_geometry(spb)
+    t = np.arange(row + ov, dtype=np.float64) / sample_rate
+    W = np.zeros((n_offsets, row + ov, 4 * spr), dtype=np.float32)
     for i in range(n_offsets):
         o = i * spb // n_offsets
-        for j, tone in enumerate(tones):
-            T[o : o + spb, 2 * i + j] = tone[o : o + spb]
-    return T.astype(np.complex64)
+        for s in range(spr):
+            sl = slice(s * spb + o, s * spb + o + spb)
+            # Least-squares dual of the joint 4-D tone subspace: raw (real)
+            # correlation alone suffers negative-frequency image interference
+            # when a bit holds <1 tone cycle; the Gram inverse separates the
+            # tones (and their images) exactly on clean signals.
+            B = np.stack(
+                [
+                    np.sin(2 * np.pi * mark * t[sl]),
+                    np.cos(2 * np.pi * mark * t[sl]),
+                    np.sin(2 * np.pi * space * t[sl]),
+                    np.cos(2 * np.pi * space * t[sl]),
+                ],
+                axis=1,
+            )  # (spb, 4)
+            G = B.T @ B + 1e-6 * np.eye(4)
+            D = B @ np.linalg.inv(G)  # (spb, 4) dual basis
+            W[i, sl, s] = D[:, 0]
+            W[i, sl, spr + s] = D[:, 1]
+            W[i, sl, 2 * spr + s] = D[:, 2]
+            W[i, sl, 3 * spr + s] = D[:, 3]
+    return W
 
 
-_EQ_TAPS = 5  # calibrated discriminator equalizer length (per-bit taps)
+@functools.lru_cache(maxsize=64)
+def _fsk_boxcar_templates(spb: int, n_offsets: int) -> np.ndarray:
+    """(n_offsets, row+ov, spr) central-window boxcars for the discriminator."""
+    spr, row, ov = _fsk_geometry(spb)
+    core_lo, core_hi = max(1, int(spb * 0.2)), max(2, int(np.ceil(spb * 0.8)))
+    W = np.zeros((n_offsets, row + ov, spr), dtype=np.float32)
+    for i in range(n_offsets):
+        o = i * spb // n_offsets
+        for s in range(spr):
+            W[i, s * spb + o + core_lo : s * spb + o + core_hi, s] = 1.0
+    return W
 
 
-def _np_analytic_freq(wave: np.ndarray, band_lo: float, band_hi: float, sr: int) -> np.ndarray:
-    """Host-side (numpy) analytic-signal instantaneous frequency, for calibration."""
+def _rows_with_overlap(x: jnp.ndarray, n_used: int, r: int, row: int, ov: int) -> jnp.ndarray:
+    """1-D samples -> (r, row+ov) overlapped lane rows (zero-padded)."""
+    x_pad = jnp.pad(x[:n_used], (0, r * row + ov - n_used))
+    xr = x_pad[: r * row].reshape(r, row)
+    nxt = jnp.concatenate([xr[1:, :ov], x_pad[r * row : r * row + ov][None, :]], axis=0)
+    return jnp.concatenate([xr, nxt], axis=1)
+
+
+_EQ_TAPS = 9  # calibrated discriminator equalizer length (per-bit taps)
+
+
+def _np_vector_bit_freqs(
+    wave: np.ndarray, band_lo: float, band_hi: float, sr: int, spb: int,
+    core_lo: int, core_hi: int, n_bits: int,
+) -> np.ndarray:
+    """Host-side reference of the discriminator front end, for calibration:
+    per-bit frequency = angle of the vector sum of z[n+1]*conj(z[n]) over the
+    central bit window (amplitude-weighted frequency averaging)."""
     spec = np.fft.fft(wave.astype(np.float64))
     freqs = np.fft.fftfreq(len(wave), d=1.0 / sr)
     spec *= 2.0 * ((freqs >= band_lo) & (freqs <= band_hi))
     z = np.fft.ifft(spec)
-    return np.angle(z[1:] * np.conj(z[:-1])) * sr / (2 * np.pi)
+    p = z[1:] * np.conj(z[:-1])
+    out = np.empty(n_bits)
+    for k in range(n_bits):
+        w = p[k * spb + core_lo : k * spb + core_hi]
+        out[k] = np.angle(w.sum()) * sr / (2 * np.pi) if len(w) else 0.0
+    return out
 
 
 @functools.lru_cache(maxsize=64)
 def _discriminator_calibration(
     spb: int, baud: float, mark: float, space: float, sample_rate: int,
-    band_lo: float, band_hi: float, core_lo: int, core_hi: int,
+    band_lo: float, band_hi: float,
 ) -> np.ndarray:
-    """Fit a per-bit FIR equalizer mapping measured mean frequencies to tones.
+    """Fit a per-bit FIR equalizer mapping measured bit frequencies to tones.
 
     Close-tone CPFSK (modulation index << 1) suffers inter-symbol interference
-    through the analytic transform: a bit's measured mean frequency is biased
-    by its neighbors. This one-time, per-configuration calibration synthesizes
-    a known pseudo-random bit sequence, measures it through the exact receive
+    through the analytic transform: a bit's measured frequency is biased by
+    its neighbors. This one-time, per-configuration calibration synthesizes a
+    known pseudo-random bit sequence, measures it through the exact receive
     front end, and least-squares fits ``_EQ_TAPS`` taps + bias that undo the
     bias. Returns (taps..., bias) as float32.
+
+    Residual floor: ~1.5e-5 BER at the pathological FSK9600 configuration
+    (1200/2200 Hz tones at 9600 Bd, modulation index 0.1) — the remaining
+    errors are nonlinear ISI a linear equalizer cannot reach (a per-bit DFE
+    stage was tried and propagates errors; true MLSE over the CPFSK phase
+    trellis is the known fix). Use --fec for large payloads there. The
+    reference's own demodulator crashes outright on this configuration.
     """
     from .common import bytes_to_bits
 
     rng = np.random.default_rng(0xFB9C)
-    train = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+    train = rng.integers(0, 256, 3200, dtype=np.uint8).tobytes()
     bits = bytes_to_bits(FSK_PREAMBLE + train).astype(np.float64)
 
     # Pure-numpy CPFSK synthesis (identical math to fsk_modulate, kept out of
@@ -165,16 +252,14 @@ def _discriminator_calibration(
         2 * np.pi * (tones * t[None, :] + phase0[:, None] / sample_rate)
     ).reshape(-1)
     f_true = np.where(bits == 1, mark, space)
-    freq = _np_analytic_freq(wave, band_lo, band_hi, sample_rate)
-    n_bits = len(bits)
-    means = np.empty(n_bits)
-    for k in range(n_bits):
-        w = freq[k * spb + core_lo : k * spb + core_hi]
-        means[k] = w.mean() if len(w) else (mark + space) / 2
+    core_lo, core_hi = max(1, int(spb * 0.2)), max(2, int(np.ceil(spb * 0.8)))
+    means = _np_vector_bit_freqs(
+        wave, band_lo, band_hi, sample_rate, spb, core_lo, core_hi, len(bits)
+    )
     pad = _EQ_TAPS // 2
     fm = np.pad(means, pad, mode="edge")
     A = np.stack(
-        [fm[j : j + n_bits] for j in range(_EQ_TAPS)] + [np.ones(n_bits)], axis=1
+        [fm[j : j + len(bits)] for j in range(_EQ_TAPS)] + [np.ones(len(bits))], axis=1
     )
     coef, *_ = np.linalg.lstsq(A, f_true, rcond=None)
     return coef.astype(np.float32)
@@ -192,61 +277,99 @@ def fsk_demod_bits(
     sample_rate: int,
     n_offsets: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Demodulate CPFSK to a bit array; returns ``(bits, best_offset_score)``."""
+    """Demodulate CPFSK to a bit array; returns ``(bits, best_offset_score)``.
+
+    Two statically-chosen strategies, both in the blocked lanes-major layout
+    (bit index on the 128-lane axis; see ARCHITECTURE.md):
+
+    * Dual-tone matched filter (tones separated >= 0.4 cycles/bit): per-bit
+      mark/space energies via ONE matmul of overlapped sample rows against
+      block-diagonal tone-quadrature templates, directly on the raw samples
+      (the matched filter IS the band-pass — no FFT anywhere).
+    * Frequency discriminator (close tones): band-limited analytic signal,
+      per-sample phasor product, per-bit *vector* frequency average via a
+      boxcar matmul (one atan2 per bit, not per sample), then the calibrated
+      per-config ISI equalizer.
+    """
     spb = _samples_per_bit(sample_rate, baud)
     n = samples.shape[-1]
     n_bits = n // spb
     if n_bits < 2:
         raise ValueError("signal shorter than two bit periods")
+    spr, row, ov = _fsk_geometry(spb)
+    r = -(-n_bits // spr)
+    x = samples.astype(jnp.float32)
 
+    if _separation_cycles(baud, mark, space, sample_rate) >= 0.4:
+        W = jnp.asarray(
+            _fsk_blocked_templates(spb, float(mark), float(space), sample_rate, n_offsets)
+        )
+        xov = _rows_with_overlap(x, n_bits * spb, r, row, ov)
+
+        # Pass 1: offset margins on up to 3 row windows.
+        wr = min(32, r)
+        starts = sorted({0, max(0, r // 2 - wr // 2), max(0, r - wr)})
+        wins = jnp.concatenate([xov[s : s + wr] for s in starts], axis=0)
+        W_all = W.transpose(1, 0, 2).reshape(row + ov, -1)  # (c, K*4spr)
+        pj = (wins @ W_all).reshape(wins.shape[0], n_offsets, 4, spr)
+        em = pj[:, :, 0] ** 2 + pj[:, :, 1] ** 2
+        es = pj[:, :, 2] ** 2 + pj[:, :, 3] ** 2
+        score = jnp.sum(jnp.abs(em - es), axis=(0, 2))
+        best = jnp.argmax(score)
+
+        # Pass 2: full-signal energies at the winning offset.
+        pj = (xov @ W[best]).reshape(r, 4, spr)
+        margin = (pj[:, 0] ** 2 + pj[:, 1] ** 2) - (pj[:, 2] ** 2 + pj[:, 3] ** 2)
+        bits = (margin > 0).astype(jnp.uint8).reshape(-1)
+        return bits[: max(n_bits, 1)], score[best]
+
+    # Discriminator path.
     lo_f, hi_f = min(mark, space), max(mark, space)
     band_lo = max(lo_f - baud, 10.0)
     band_hi = min(hi_f + baud, sample_rate / 2 - 10.0)
-    z = analytic_bandpass(samples, band_lo, band_hi, sample_rate)
+    z = analytic_bandpass(x, band_lo, band_hi, sample_rate)
+    zr, zi = jnp.real(z).astype(jnp.float32), jnp.imag(z).astype(jnp.float32)
+    # Phasor product p[n] = z[n+1] * conj(z[n]) as two real 1-D streams.
+    p_re = jnp.concatenate([zr[1:] * zr[:-1] + zi[1:] * zi[:-1], jnp.zeros((1,))])
+    p_im = jnp.concatenate([zi[1:] * zr[:-1] - zr[1:] * zi[:-1], jnp.zeros((1,))])
 
-    if _separation_cycles(baud, mark, space, sample_rate) >= 0.4:
-        frames = frame_signal(z, 2 * spb, spb, n_bits)
-        T = jnp.asarray(_fsk_templates(spb, float(mark), float(space), sample_rate, n_offsets))
-        e = jnp.abs(frames @ T).reshape(n_bits, n_offsets, 2)  # (.., [mark, space])
-        margin = e[:, :, 0] - e[:, :, 1]
-        score = jnp.sum(jnp.abs(margin), axis=0)
-        best = jnp.argmax(score)
-        bits = (jnp.take(margin, best, axis=1) > 0).astype(jnp.uint8)
-        return bits, score[best]
+    Wb = jnp.asarray(_fsk_boxcar_templates(spb, n_offsets))
+    pr = _rows_with_overlap(p_re, n_bits * spb, r, row, ov)
+    pi = _rows_with_overlap(p_im, n_bits * spb, r, row, ov)
 
-    # Discriminator path: per-sample instantaneous frequency, averaged over
-    # the *central* 60% of each bit window at each timing offset — the outer
-    # samples carry keying transitions and, at the signal edges, the Gibbs
-    # transient of the brick-wall band limit.
-    dphase = jnp.angle(z[1:] * jnp.conj(z[:-1]))  # rad/sample
-    freq = dphase * (sample_rate / (2 * jnp.pi))
-    frames = frame_signal(freq, 2 * spb, spb, n_bits)
-    box = np.zeros((2 * spb, n_offsets), dtype=np.float32)
-    core_lo, core_hi = max(1, int(spb * 0.2)), max(2, int(np.ceil(spb * 0.8)))
-    for i in range(n_offsets):
-        o = i * spb // n_offsets
-        box[o + core_lo : o + core_hi, i] = 1.0 / (core_hi - core_lo)
-    mean_freq = frames @ jnp.asarray(box)  # (n_bits, n_offsets)
+    # Pass 1: offset margins on row windows (vector-averaged frequencies).
+    wr = min(32, r)
+    starts = sorted({0, max(0, r // 2 - wr // 2), max(0, r - wr)})
+    mid = (mark + space) / 2.0
+    scale = sample_rate / (2 * jnp.pi)
+    Wb_all = Wb.transpose(1, 0, 2).reshape(row + ov, -1)
+    wins_r = jnp.concatenate([pr[s : s + wr] for s in starts], axis=0) @ Wb_all
+    wins_i = jnp.concatenate([pi[s : s + wr] for s in starts], axis=0) @ Wb_all
+    f_win = jnp.arctan2(wins_i, wins_r) * scale
+    score = jnp.sum(
+        jnp.abs(f_win - mid).reshape(-1, n_offsets, spr), axis=(0, 2)
+    )
+    best = jnp.argmax(score)
 
-    # Undo neighbor-bit ISI with the statically calibrated per-config equalizer.
+    # Pass 2: full-signal vector frequencies at the winning offset.
+    sr_sum = pr @ Wb[best]  # (r, spr)
+    si_sum = pi @ Wb[best]
+    f = (jnp.arctan2(si_sum, sr_sum) * scale).reshape(-1)  # (r*spr,)
+
+    # Undo neighbor-bit ISI with the statically calibrated per-config
+    # equalizer (static 1-D shifts are cheap lane slices).
     coef = _discriminator_calibration(
         spb, float(baud), float(mark), float(space), sample_rate,
-        float(band_lo), float(band_hi), core_lo, core_hi,
+        float(band_lo), float(band_hi),
     )
     pad = _EQ_TAPS // 2
-    fm = jnp.concatenate(
-        [jnp.repeat(mean_freq[:1], pad, axis=0), mean_freq, jnp.repeat(mean_freq[-1:], pad, axis=0)]
-    )
-    eq = jnp.full_like(mean_freq, float(coef[-1]))
+    fm = jnp.concatenate([jnp.repeat(f[:1], pad), f, jnp.repeat(f[-1:], pad)])
+    eq = jnp.full_like(f, float(coef[-1]))
     for j in range(_EQ_TAPS):
-        eq = eq + float(coef[j]) * fm[j : j + mean_freq.shape[0]]
+        eq = eq + float(coef[j]) * fm[j : j + f.shape[0]]
 
-    mid = (mark + space) / 2.0
-    score = jnp.sum(jnp.abs(eq - mid), axis=0)
-    best = jnp.argmax(score)
-    f = jnp.take(eq, best, axis=1)
-    bits = (jnp.abs(f - mark) < jnp.abs(f - space)).astype(jnp.uint8)
-    return bits, score[best]
+    bits = (jnp.abs(eq - mark) < jnp.abs(eq - space)).astype(jnp.uint8)
+    return bits[: max(n_bits, 1)], score[best]
 
 
 def fsk_demodulate(
