@@ -13,6 +13,7 @@ registry consumes them directly, so reassembly actually works.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import Dict, List, Optional
@@ -217,6 +218,74 @@ class AssemblyRegistry:
         with self._lock:
             self._assemblies.clear()
             self.stats = self._fresh_stats()
+
+    # --- checkpoint / resume ---------------------------------------------
+    # The reference's in-flight transfers die with the process (SURVEY.md §5:
+    # "not persisted to disk, lost on app restart"); these make a multi-part
+    # reception survive restarts within the assembly timeout.
+
+    def save_state(self, path: str) -> None:
+        """Persist in-flight assemblies + stats to a JSON checkpoint."""
+        import base64
+        import json
+
+        with self._lock:
+            state = {
+                "stats": self.stats,
+                "timeout_seconds": self.timeout_seconds,
+                "assemblies": [
+                    {
+                        "key": key,
+                        "filename": a.filename,
+                        "total_parts": a.total_parts,
+                        "file_size": a.file_size,
+                        "file_crc": a.expected_crc,
+                        "creation_time": a.creation_time,
+                        "last_update": a.last_update,
+                        "parts": [
+                            None if p is None else base64.b64encode(p).decode()
+                            for p in a.parts
+                        ],
+                        "qualities": a.parts_quality,
+                    }
+                    for key, a in self._assemblies.items()
+                ],
+            }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
+    def load_state(self, path: str) -> int:
+        """Restore a checkpoint; returns the number of assemblies resumed.
+
+        Already-expired assemblies are dropped on load.
+        """
+        import base64
+        import json
+
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            state = json.load(f)
+        resumed = 0
+        with self._lock:
+            self.stats.update(state.get("stats", {}))
+            for rec in state.get("assemblies", []):
+                a = FileAssembly(
+                    rec["filename"], rec["total_parts"], rec["file_size"], rec["file_crc"]
+                )
+                a.creation_time = rec["creation_time"]
+                a.last_update = rec["last_update"]
+                a.parts = [
+                    None if p is None else base64.b64decode(p) for p in rec["parts"]
+                ]
+                a.parts_quality = rec["qualities"]
+                a.received_parts = sum(1 for p in a.parts if p is not None)
+                if not a.is_expired(self.timeout_seconds):
+                    self._assemblies[rec["key"]] = a
+                    resumed += 1
+        return resumed
 
 
 # Default process-wide registry (the decoder pipeline uses this unless an

@@ -103,8 +103,12 @@ def fsk_modulate(
     coeff = np.stack(
         [cphi * is_mark, sphi * is_mark, cphi * ~is_mark, sphi * ~is_mark], axis=1
     ).astype(np.float32)
+    from .psk import _bucket_symbols
+
+    n_bits = coeff.shape[0]
+    coeff = np.pad(coeff, ((0, _bucket_symbols(n_bits) - n_bits), (0, 0)))
     out = _synthesize(jnp.asarray(coeff), spb, float(mark_freq), float(space_freq), int(samp_rate))
-    return np.asarray(out)
+    return np.asarray(out)[: n_bits * spb]
 
 
 # --- demodulation -------------------------------------------------------------

@@ -58,6 +58,16 @@ def _samples_per_symbol(sample_rate: int, baud: float) -> int:
     return int(sample_rate / baud)
 
 
+def _bucket_symbols(n: int) -> int:
+    """Round a symbol count up to a coarse bucket so the jitted synthesizers
+    compile once per bucket instead of once per file length (device compiles
+    are expensive); callers slice the waveform back to the exact length."""
+    b = 256
+    while b < n:
+        b <<= 1
+    return b
+
+
 @functools.lru_cache(maxsize=64)
 def _carrier_basis(spsym: int, carrier: float, sample_rate: int) -> np.ndarray:
     """(2, spsym) rows = (sin, cos) of the carrier over one symbol, ramped.
@@ -100,8 +110,10 @@ def bpsk_modulate(
     half_turns = np.cumsum(bits) % 2
     phase_qt = (half_turns * 2).astype(np.int32)  # 0 or 2 quarter-turns
     spsym = _samples_per_symbol(samp_rate, baud)
+    n_sym = len(phase_qt)
+    phase_qt = np.pad(phase_qt, (0, _bucket_symbols(n_sym) - n_sym))
     out = _synthesize(jnp.asarray(phase_qt), spsym, float(carrier), int(samp_rate))
-    return np.asarray(out)
+    return np.asarray(out)[: n_sym * spsym]
 
 
 def qpsk_modulate(
@@ -118,8 +130,10 @@ def qpsk_modulate(
     deltas = hi * 3 + lo * (1 - 2 * hi)
     phase_qt = (np.cumsum(deltas) % 4).astype(np.int32)
     spsym = _samples_per_symbol(samp_rate, baud)
+    n_sym = len(phase_qt)
+    phase_qt = np.pad(phase_qt, (0, _bucket_symbols(n_sym) - n_sym))
     out = _synthesize(jnp.asarray(phase_qt), spsym, float(carrier), int(samp_rate))
-    return np.asarray(out)
+    return np.asarray(out)[: n_sym * spsym]
 
 
 # --- demodulation -------------------------------------------------------------

@@ -1,0 +1,164 @@
+"""Sequence parallelism: one long capture sharded across the device mesh.
+
+Batch (data) parallelism covers the many-captures case; this module covers
+the other axis — a single capture too long (or too latency-sensitive) for one
+chip. The sample axis is sharded contiguously across the mesh and each device
+demodulates its shard, with the two cross-shard couplings handled explicitly
+(SURVEY.md §5 maps the reference's "long audio stream" handling onto exactly
+this):
+
+* **Halo exchange** — the last symbol of shard d needs the head of shard d+1
+  (the 2-symbol projection window and the differential product both cross the
+  boundary). A single ``ppermute`` moves each shard's head to its left
+  neighbor.
+* **Global timing consensus** — every shard scores the timing offsets
+  locally, then a ``psum`` over the mesh combines the scores so all shards
+  project at the same winning offset (a shard of leading silence must not
+  pick its own garbage offset).
+
+Output bits come back sharded on the same axis; magic sync and byte packing
+then run on the logically-global bit array (GSPMD inserts the boundary
+communication for the shifted slices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.psk import (
+    _BLOCK_SYM,
+    _blocked_templates,
+    _coherence_score,
+    _samples_per_symbol,
+    qpsk_gray_streams,
+)
+from .mesh import DATA_AXIS
+
+SAMPLE_RATE = 96000
+
+
+def demod_capture_sharded(
+    samples: np.ndarray,
+    baud: float,
+    carrier: float,
+    mesh: Mesh,
+    n_psk: int = 4,
+    sample_rate: int = SAMPLE_RATE,
+    n_offsets: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Demodulate ONE capture with its sample axis sharded over ``mesh``.
+
+    Returns ``(d_re, d_im)`` differential streams (still sharded on the
+    mesh's data axis). The capture is padded so each shard holds a whole
+    number of 128-symbol rows.
+    """
+    spsym = _samples_per_symbol(sample_rate, baud)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    row = _BLOCK_SYM * spsym
+    W8 = _blocked_templates(spsym, float(carrier), sample_rate, n_offsets)
+    c = W8.shape[1]
+    ov = c - row
+
+    # Pad so each shard gets a whole number of rows — at least 2, so the
+    # (row+ov)-sample halo head always fits within one shard.
+    n = len(samples)
+    r_total = max(2 * n_dev, -(-(-(-n // row)) // n_dev) * n_dev)
+    x = np.zeros(r_total * row, dtype=np.float32)
+    x[:n] = samples[: r_total * row]
+    r_local = r_total // n_dev
+
+    W8j = jnp.asarray(W8)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    def _shard_demod(x_local: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # x_local: (r_local*row,) contiguous samples of this shard.
+        xr = x_local.reshape(r_local, row)
+
+        # Halo: this shard's head row -> left neighbor (so each shard can
+        # extend its last row's windows and final differential).
+        head = x_local[: row + ov]
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        halo = jax.lax.ppermute(head[None], DATA_AXIS, perm)[0]
+
+        ext = jnp.concatenate([x_local, halo])
+        nxt = jnp.concatenate(
+            [xr[1:, :ov], jax.lax.dynamic_slice(ext, (r_local * row,), (ov,))[None]],
+            axis=0,
+        )
+        xov = jnp.concatenate([xr, nxt], axis=1)  # (r_local, row+ov)
+
+        # Local offset scores -> global consensus via psum.
+        proj_all = xov @ W8j.transpose(1, 0, 2).reshape(c, -1)
+        pa = proj_all.reshape(r_local, n_offsets, 2, _BLOCK_SYM)
+        re_a, im_a = pa[:, :, 0], pa[:, :, 1]
+        dr_a = re_a[..., 1:] * re_a[..., :-1] + im_a[..., 1:] * im_a[..., :-1]
+        di_a = im_a[..., 1:] * re_a[..., :-1] - re_a[..., 1:] * im_a[..., :-1]
+        local_score = _coherence_score(dr_a, di_a, axis=(0, 2))  # (K,)
+        score = jax.lax.psum(local_score, DATA_AXIS)
+        best = jnp.argmax(score)
+
+        out = xov @ W8j[best]  # (r_local, 256)
+        re = out[:, :_BLOCK_SYM].reshape(-1)
+        im = out[:, _BLOCK_SYM:].reshape(-1)
+
+        # Differential: the final element needs the first symbol of the next
+        # shard — project the halo window (only its symbol 0 is used, so the
+        # halo's own missing overlap tail doesn't matter).
+        nb = halo[None, :] @ W8j[best]  # (1, 256): neighbor's first symbols
+        re_ext = jnp.concatenate([re, nb[0, :1]])
+        im_ext = jnp.concatenate([im, nb[0, _BLOCK_SYM : _BLOCK_SYM + 1]])
+        d_re = re_ext[1:] * re_ext[:-1] + im_ext[1:] * im_ext[:-1]
+        d_im = im_ext[1:] * re_ext[:-1] - re_ext[1:] * im_ext[:-1]
+        return d_re, d_im
+
+    x_dev = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(DATA_AXIS)))
+    return _shard_demod(x_dev)
+
+
+def decode_capture_sharded(
+    samples: np.ndarray,
+    mode: str,
+    symbol_rate: int,
+    mesh: Mesh,
+    sample_rate: int = SAMPLE_RATE,
+) -> bytes:
+    """Full sequence-parallel receive for a PSK-family mode: sharded demod,
+    then sync+pack on the logically-global bit array."""
+    from ..framing import MAGIC_BIT_PATTERN
+    from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
+    from .batch import resolve_demod_plan
+
+    kind, params = resolve_demod_plan(mode, symbol_rate)
+    if kind not in ("psk2", "psk4"):
+        raise ValueError(f"sequence-parallel decode supports PSK modes, not {mode}")
+    baud, carrier = params
+
+    d_re, d_im = demod_capture_sharded(
+        samples, baud, carrier, mesh, n_psk=4 if kind == "psk4" else 2,
+        sample_rate=sample_rate,
+    )
+    with mesh:
+        if kind == "psk4":
+            hi, lo = jax.jit(qpsk_gray_streams)(d_re, d_im)
+            packed, n_valid, _found = jax.jit(
+                lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
+            )(hi, lo)
+        else:
+            bits = jax.jit(lambda d: (d < 0).astype(jnp.uint8))(d_re)
+            start, _found = jax.jit(
+                lambda b: find_bit_pattern(b, MAGIC_BIT_PATTERN)
+            )(bits)
+            packed, n_valid = jax.jit(pack_bits_from)(bits, start)
+    return bytes(np.asarray(packed)[: int(n_valid)])

@@ -93,3 +93,33 @@ def test_stats_accumulate():
     assert 0 <= stats["average_quality"] <= 1
     reg.clear_stats()
     assert reg.get_stats()["total_files"] == 0
+
+
+def test_checkpoint_resume(tmp_path):
+    data = bytes(range(256)) * 4
+    frames = _mk_frames("resume.bin", data, 3)
+    reg = AssemblyRegistry()
+    reg.offer(frames[0])
+    reg.offer(frames[2])
+    ckpt = str(tmp_path / "assemblies.json")
+    reg.save_state(ckpt)
+
+    # "Restart": fresh registry resumes and completes with the missing part.
+    reg2 = AssemblyRegistry()
+    assert reg2.load_state(ckpt) == 1
+    assert reg2.get_status()[0]["received"] == 2
+    assert reg2.offer(frames[1]) == data
+
+
+def test_checkpoint_drops_expired(tmp_path):
+    reg = AssemblyRegistry(timeout_seconds=0)
+    reg.offer(_mk_frames("old.bin", b"x" * 50, 2)[0])
+    ckpt = str(tmp_path / "a.json")
+    reg.save_state(ckpt)
+    time.sleep(0.01)
+    reg2 = AssemblyRegistry(timeout_seconds=0)
+    assert reg2.load_state(ckpt) == 0
+
+
+def test_load_missing_checkpoint():
+    assert AssemblyRegistry().load_state("/nonexistent/path.json") == 0
