@@ -27,6 +27,23 @@ def _cmd_encode(args: argparse.Namespace) -> int:
     from .encoder import calculate_transmission_stats, encode_file_paths
     import os
 
+    if args.sstv_prep:
+        # Image -> thumbnail -> low-quality JPEG -> zlib payload, then framed
+        # like any other file (the reference's SSTV payload preparation).
+        import tempfile
+
+        from .utils.compression import prepare_sstv_like
+
+        payload = prepare_sstv_like(args.file)
+        tmp = os.path.join(
+            tempfile.mkdtemp(prefix="sstv_"), os.path.basename(args.file) + ".sstv"
+        )
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        print(f"SSTV prep: {os.path.getsize(args.file)} -> {len(payload)} bytes")
+        args.file = tmp
+        args.no_compress = True  # already compressed
+
     stats = calculate_transmission_stats(
         os.path.getsize(args.file), args.mode, args.symbol_rate, not args.no_compress
     )
@@ -180,6 +197,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--no-compress", action="store_true")
     e.add_argument("--split", action="store_true", help="split large files into parts")
     e.add_argument("--duration-min", type=int, default=1, help="target minutes per part")
+    e.add_argument("--sstv-prep", action="store_true",
+                   help="prepare an image as an SSTV-style payload first")
     e.add_argument("--fec", action="store_true", help="wrap payloads in forward error correction")
     e.add_argument("--fec-type", default=None, choices=["reed_solomon", "convolutional"])
     e.add_argument("--cache-dir", default="cache")
