@@ -65,6 +65,19 @@ def parse_fbp_stream_enhanced(raw: bytes) -> List[Frame]:
     return parse_frames(raw)
 
 
+def smart_decompress(compressed_data: bytes) -> bytes:
+    """Reference-compatible alias (decoder.py:210-243): same tagged-container
+    decompression as utils.compression.intelligent_decompress."""
+    return intelligent_decompress(compressed_data)
+
+
+def find_frame_start(data: bytes, start_pos: int = 0) -> int:
+    """Locate an 0xAA-preamble followed by the FBPC magic (reference
+    decoder.py:470-478; unused by the main path there and here — the parser
+    scans all magic offsets directly)."""
+    return data.find(b"\xAA\xAA\xAA\xAAFBPC", start_pos)
+
+
 def _safe_name(name: str) -> str:
     return "".join(c for c in name if c.isalnum() or c in (" ", "-", "_", "."))
 

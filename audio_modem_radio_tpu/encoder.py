@@ -248,6 +248,21 @@ def encode_file_parts(
     return encoded
 
 
+def encode_hellschreiber_text(
+    text: str, cache_dir: str = CACHE_DIR, baud: float = 122.5, carrier: float = 1000.0
+) -> str:
+    """Encode plain text as a Hellschreiber WAV (the reference stubs this,
+    encoder.py:255-257; here it actually modulates)."""
+    from .ops.hell import hellschreiber_modulate
+
+    out_dir = _ensure_cache_dir(cache_dir)
+    arr = hellschreiber_modulate(text, baud, carrier)
+    outname = os.path.join(out_dir, f"hellschreiber_{abs(hash(text)) & 0xFFFFFF:06x}.wav")
+    with open(outname, "wb") as f:
+        f.write(wav_from_array(arr, SAMPLE_RATE))
+    return outname
+
+
 def encode_file(
     path: str,
     mode: str = "QPSK",

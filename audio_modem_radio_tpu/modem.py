@@ -68,6 +68,25 @@ __all__ = [
 ]
 
 
+# --- reference-compatible helpers ---------------------------------------------
+
+def adaptive_gain_control(data: np.ndarray, peak: float = 0.95) -> np.ndarray:
+    """Normalize a waveform to ``peak`` (reference AdvancedModem, modem.py:18-22)."""
+    arr = np.asarray(data, dtype=np.float32)
+    m = float(np.max(np.abs(arr))) if arr.size else 0.0
+    return arr / m * peak if m > 0 else arr
+
+
+class AdvancedModem:
+    """API-parity shell around the mode registry (reference modem.py:14-22)."""
+
+    def __init__(self, sample_rate: int = SAMPLE_RATE):
+        self.sample_rate = sample_rate
+
+    def _adaptive_gain_control(self, data: np.ndarray) -> np.ndarray:
+        return adaptive_gain_control(data)
+
+
 # --- reference-compatible aliased functions ----------------------------------
 
 def psk8_modulate(d, b=1200, c=3000.0, s=96000):

@@ -158,6 +158,16 @@ def intelligent_decompress(blob: bytes) -> bytes:
         return blob
 
 
+def super_compress_enhanced(data: bytes) -> bytes:
+    """Analysis-driven tagged compression (reference compression.py:127-137)."""
+    rec = IntelligentCompressor().analyze_data_pattern(data)["recommended"]
+    if rec == "lzma":
+        return TAG_LZMA + lzma.compress(data, preset=9)
+    if rec == "delta+lzma":
+        return TAG_DLZM + lzma.compress(delta_compress(data), preset=9)
+    return TAG_ZLIB + zlib.compress(data, 9)
+
+
 def compress_data(data: bytes, level: int = 9) -> bytes:
     """Plain zlib compression; very small payloads pass through untouched."""
     if len(data) < 100:

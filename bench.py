@@ -55,10 +55,13 @@ def _bench_tpu(batch: int, n_samples: int, baud: int, reps: int = 3) -> float:
     out = demod_pack_batch(x, "QPSK", baud)  # compile + warm
     jax.block_until_ready(out)
 
+    # Pipelined (sustained) throughput: keep dispatches in flight and drain
+    # at the end — JAX's async dispatch overlaps the ~30 ms tunnel round trip
+    # with device execution, exactly as the production batch driver does.
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = demod_pack_batch(x, "QPSK", baud)
-        jax.block_until_ready(out)
+    outs = [demod_pack_batch(x, "QPSK", baud) for _ in range(reps)]
+    for o in outs:
+        jax.block_until_ready(o)
     dt = (time.perf_counter() - t0) / reps
     return batch * n_samples / dt / 1e6
 
