@@ -14,24 +14,28 @@ TPU-first architecture:
   drift across millions of bits, unlike a float accumulator). The waveform is
   one ``(n_bits, 4) @ (4, samples_per_bit)`` matmul: each bit contributes
   ``(cosφ, sinφ)`` against precomputed (sin, cos) basis rows of its tone.
-* **Demodulation** — two strategies, chosen statically from the
-  configuration, both in the blocked lanes-major layout (bit index on the
-  128-lane axis, row = spr*spb lanes; see ARCHITECTURE.md):
+* **Demodulation** — three strategies, chosen statically from the tone
+  separation (cycles per bit window), all in the blocked lanes-major layout
+  (bit index on the 128-lane axis, row = spr*spb lanes; see ARCHITECTURE.md):
 
-  - *Dual-tone subspace detector* when the tones are separated by >=0.4
-    cycles per bit window: per-bit least-squares projection of the RAW
-    samples onto the joint 4-D {mark, space} x {sin, cos} subspace via one
-    block-diagonal matmul (no FFT anywhere — the Gram inverse separates the
-    tones and their negative-frequency images exactly); the bit decision
-    compares tone energies. Strictly better than the reference's
-    Butterworth-envelope comparison (modem.py:306-315).
-  - *Frequency discriminator* when the tones are too close for one-bit-window
-    separation (e.g. the reference's FSK9600 configuration: 1200/2200 Hz
-    tones at 9600 baud — which crashes the reference demodulator outright
-    because its bandpass edge goes negative): band-limited analytic signal,
-    per-sample phasor products, per-bit *vector* frequency averages via a
-    boxcar matmul (one atan2 per bit), then a statically calibrated linear
-    ISI equalizer.
+  - *Raw-sample LS subspace detector* (separation >= 0.8, e.g. FSK1200, MSK,
+    FT8): per-bit least-squares projection onto the joint 4-D
+    {mark, space} x {sin, cos} subspace via one block-diagonal matmul — no
+    FFT anywhere; the Gram inverse separates the tones and their
+    negative-frequency images exactly.
+  - *Analytic matched filter* (0.4 <= separation < 0.8, e.g. FSK19200): the
+    analytic transform removes the negative-frequency image, after which
+    plain quadrature correlation is the noise-optimal noncoherent detector
+    (the raw-sample dual basis is ill-conditioned here and amplifies noise).
+  - *Frequency discriminator* (separation < 0.4, e.g. the reference's
+    FSK9600 configuration: 1200/2200 Hz tones at 9600 baud — which crashes
+    the reference demodulator outright because its bandpass edge goes
+    negative): band-limited analytic signal, per-sample phasor products,
+    per-bit *vector* frequency averages via a boxcar matmul (one atan2 per
+    bit), then a statically calibrated linear ISI equalizer.
+
+  All three are strictly stronger receivers than the reference's
+  Butterworth-envelope comparison (modem.py:306-315).
 """
 
 from __future__ import annotations
@@ -175,6 +179,28 @@ def _fsk_blocked_templates(
 
 
 @functools.lru_cache(maxsize=64)
+def _fsk_quadrature_templates(
+    spb: int, mark: float, space: float, sample_rate: int, n_offsets: int
+) -> np.ndarray:
+    """(n_offsets, row+ov, 4*spr) plain tone quadratures [cos_m, sin_m,
+    cos_s, sin_s] for matched filtering of the ANALYTIC signal (no dual
+    basis: the analytic transform already removed the negative-frequency
+    image, and plain correlation is the noise-optimal detector)."""
+    spr, row, ov = _fsk_geometry(spb)
+    t = np.arange(row + ov, dtype=np.float64) / sample_rate
+    W = np.zeros((n_offsets, row + ov, 4 * spr), dtype=np.float32)
+    for i in range(n_offsets):
+        o = i * spb // n_offsets
+        for s in range(spr):
+            sl = slice(s * spb + o, s * spb + o + spb)
+            W[i, sl, s] = np.cos(2 * np.pi * mark * t[sl])
+            W[i, sl, spr + s] = np.sin(2 * np.pi * mark * t[sl])
+            W[i, sl, 2 * spr + s] = np.cos(2 * np.pi * space * t[sl])
+            W[i, sl, 3 * spr + s] = np.sin(2 * np.pi * space * t[sl])
+    return W
+
+
+@functools.lru_cache(maxsize=64)
 def _fsk_boxcar_templates(spb: int, n_offsets: int) -> np.ndarray:
     """(n_offsets, row+ov, spr) central-window boxcars for the discriminator."""
     spr, row, ov = _fsk_geometry(spb)
@@ -304,7 +330,9 @@ def fsk_demod_bits(
     r = -(-n_bits // spr)
     x = samples.astype(jnp.float32)
 
-    if _separation_cycles(baud, mark, space, sample_rate) >= 0.4:
+    sep = _separation_cycles(baud, mark, space, sample_rate)
+    if sep >= 0.8:
+        # Well-separated tones: raw-sample LS subspace detector (no FFT).
         W = jnp.asarray(
             _fsk_blocked_templates(spb, float(mark), float(space), sample_rate, n_offsets)
         )
@@ -324,6 +352,50 @@ def fsk_demod_bits(
         # Pass 2: full-signal energies at the winning offset.
         pj = (xov @ W[best]).reshape(r, 4, spr)
         margin = (pj[:, 0] ** 2 + pj[:, 1] ** 2) - (pj[:, 2] ** 2 + pj[:, 3] ** 2)
+        bits = (margin > 0).astype(jnp.uint8).reshape(-1)
+        return bits[: max(n_bits, 1)], score[best]
+
+    if sep >= 0.4:
+        # Mid separation (e.g. FSK19200: 0.42 cycles/bit): matched filter on
+        # the ANALYTIC signal. The raw-sample dual basis is ill-conditioned
+        # here and amplifies noise; after the analytic transform removes the
+        # negative-frequency image, plain quadrature correlation is the
+        # noise-optimal noncoherent detector.
+        lo_f, hi_f = min(mark, space), max(mark, space)
+        z = analytic_bandpass(
+            x, max(lo_f - baud, 10.0), min(hi_f + baud, sample_rate / 2 - 10.0), sample_rate
+        )
+        zr = jnp.real(z).astype(jnp.float32)
+        zi = jnp.imag(z).astype(jnp.float32)
+        W = jnp.asarray(
+            _fsk_quadrature_templates(spb, float(mark), float(space), sample_rate, n_offsets)
+        )
+        rr = _rows_with_overlap(zr, n_bits * spb, r, row, ov)
+        ri = _rows_with_overlap(zi, n_bits * spb, r, row, ov)
+
+        def energies(m, n_):
+            # m/n_: (rows, K?, 4, spr) projections of zr/zi. For tone f:
+            # E = (Σzr·cos + Σzi·sin)² + (Σzi·cos − Σzr·sin)².
+            c_m, s_m, c_s, s_s = m[..., 0, :], m[..., 1, :], m[..., 2, :], m[..., 3, :]
+            ic_m, is_m, ic_s, is_s = n_[..., 0, :], n_[..., 1, :], n_[..., 2, :], n_[..., 3, :]
+            e_mark = (c_m + is_m) ** 2 + (ic_m - s_m) ** 2
+            e_space = (c_s + is_s) ** 2 + (ic_s - s_s) ** 2
+            return e_mark - e_space
+
+        wr = min(32, r)
+        starts = sorted({0, max(0, r // 2 - wr // 2), max(0, r - wr)})
+        W_all = W.transpose(1, 0, 2).reshape(row + ov, -1)
+        wins_r = jnp.concatenate([rr[s : s + wr] for s in starts], axis=0) @ W_all
+        wins_i = jnp.concatenate([ri[s : s + wr] for s in starts], axis=0) @ W_all
+        m = wins_r.reshape(-1, n_offsets, 4, spr)
+        n_ = wins_i.reshape(-1, n_offsets, 4, spr)
+        margin_w = energies(m, n_)  # (rows, K, spr)
+        score = jnp.sum(jnp.abs(margin_w), axis=(0, 2))
+        best = jnp.argmax(score)
+
+        m = (rr @ W[best]).reshape(r, 4, spr)
+        n_ = (ri @ W[best]).reshape(r, 4, spr)
+        margin = energies(m, n_)  # (r, spr)
         bits = (margin > 0).astype(jnp.uint8).reshape(-1)
         return bits[: max(n_bits, 1)], score[best]
 
