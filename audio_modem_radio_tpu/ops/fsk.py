@@ -201,6 +201,159 @@ def _fsk_quadrature_templates(
 
 
 @functools.lru_cache(maxsize=64)
+def _fsk_local_quadrature_templates(
+    spb: int, mark: float, space: float, sample_rate: int, n_offsets: int
+) -> np.ndarray:
+    """(n_offsets, row+ov, 4*spr) LOCAL-time tone quadratures for MLSE.
+
+    MLSE needs each bit's correlation phase referenced to the bit's own start
+    (matching the modulator's per-bit phase accumulator), so the cos/sin
+    arguments restart at every bit window. Columns per row-chunk:
+    [cos_m x spr | sin_m x spr | cos_s x spr | sin_s x spr].
+    """
+    spr, row, ov = _fsk_geometry(spb)
+    tl = np.arange(spb, dtype=np.float64) / sample_rate  # local time
+    W = np.zeros((n_offsets, row + ov, 4 * spr), dtype=np.float32)
+    for i in range(n_offsets):
+        o = i * spb // n_offsets
+        for s in range(spr):
+            sl = slice(s * spb + o, s * spb + o + spb)
+            W[i, sl, s] = np.cos(2 * np.pi * mark * tl)
+            W[i, sl, spr + s] = np.sin(2 * np.pi * mark * tl)
+            W[i, sl, 2 * spr + s] = np.cos(2 * np.pi * space * tl)
+            W[i, sl, 3 * spr + s] = np.sin(2 * np.pi * space * tl)
+    return W
+
+
+def _cpfsk_trellis(spb: int, mark: float, space: float, sample_rate: int):
+    """(n_states, adv_mark, adv_space) for the CPFSK phase trellis, or None.
+
+    Per-bit phase advances are exact rationals (integer 1/sr-cycle units);
+    the state is the accumulated phase on their common grid.
+    """
+    inc_m = int(round(mark * spb)) % sample_rate
+    inc_s = int(round(space * spb)) % sample_rate
+    g = math.gcd(math.gcd(inc_m, inc_s), sample_rate)
+    n_states = sample_rate // g
+    if n_states > 96 or n_states < 2:
+        return None
+    return n_states, (inc_m // g) % n_states, (inc_s // g) % n_states
+
+
+def _mlse_refine(
+    s_corr, c_corr, eq_bits, n_states: int, adv_mark: int, adv_space: int,
+    spb: int, mark: float, space: float, sample_rate: int,
+):
+    """Maximum-likelihood sequence detection over the CPFSK phase trellis.
+
+    Operates on RAW-sample correlations: on a clean (or white-noise) channel
+    the received bit IS the hypothesis waveform ``a·sin(2π f_b t + φ_s)``, so
+    the ML branch metric is ``-||x - a·h||² ∝ m(s,b) - (a/2)·||h_{s,b}||²``
+    with ``m = S_b cosφ_s + C_b sinφ_s``. Both correction pieces matter and
+    were measured to matter:
+
+    * The energy term ``||h||² = spb/2 - (cos2φ·Kc - sin2φ·Ks)/2`` varies
+      strongly with the hypothesis phase over short windows — correlation-only
+      metrics (valid only for equal-energy hypotheses) lose to the linear
+      equalizer here.
+    * Band-limited (analytic) front-end correlations also fail: the filter
+      smears each bit across neighbors, so ideal-waveform hypotheses no
+      longer match. Raw samples ARE the model.
+
+    ``s_corr/c_corr``: (2, n_bits) per-bit local-time Σx·sin / Σx·cos per
+    tone, rows [mark, space]. ``eq_bits`` seed the decision-directed channel
+    phase and amplitude estimates. Returns refined bits.
+    """
+    n_bits = s_corr.shape[1]
+    phases_np = 2 * np.pi * np.arange(n_states) / n_states
+    sin_t = jnp.asarray(np.sin(phases_np).astype(np.float32))
+    cos_t = jnp.asarray(np.cos(phases_np).astype(np.float32))
+    tl = np.arange(spb) / sample_rate
+    kc = np.float32([np.cos(4 * np.pi * f * tl).sum() for f in (mark, space)])
+    ks = np.float32([np.sin(4 * np.pi * f * tl).sum() for f in (mark, space)])
+
+    # Channel-phase estimate. Key facts: (a) the trellis is invariant under
+    # rotations by whole grid steps (2π/n_states) — rotating every state
+    # relabels paths without changing their bits or metrics — so θ only
+    # matters modulo one grid step; (b) every true symbol phase is ON the
+    # grid, so (u_k)^n_states erases the per-bit phase entirely. Hence
+    # θ̂ = angle(Σ_k w_k·e^{j·n_states·ψ_k}) / n_states with ψ = angle(u):
+    # needs NO phase trajectory, so seed bit errors (which would rotate a
+    # cumulative trajectory and poison a decision-directed estimate — the
+    # round-1 failure mode) cannot corrupt it.
+    # The quadrature correlation of a pure tone bit is elliptical, exactly:
+    # u = j·Σ x e^{-jwt} = (a/2)·(spb·e^{jψ} − D_f·e^{-jψ}) with
+    # ψ = φ_state + θ and the static tone constant D_f = Σ_t e^{-2jw_f t}.
+    # Invert the ellipse per bit: v = (A·u + B_f·conj(u)) / (A² − |B_f|²)
+    # with A = spb/2, B_f = D_f/2, giving v = a·e^{jψ} exactly — unbiased
+    # phase AND amplitude per bit.
+    tl2 = np.arange(spb) / sample_rate
+    d_consts = [np.exp(-4j * np.pi * f * tl2).sum() for f in (mark, space)]
+    a_const = spb / 2.0
+    b_re = jnp.asarray(np.float32([d.real / 2 for d in d_consts]))[:, None]
+    b_im = jnp.asarray(np.float32([d.imag / 2 for d in d_consts]))[:, None]
+    denom = jnp.asarray(
+        np.float32([a_const**2 - abs(d / 2) ** 2 for d in d_consts])
+    )[:, None]
+    # v = (A u + B conj(u)) / denom, complex arithmetic in parts:
+    v_re = (a_const * s_corr + b_re * s_corr + b_im * c_corr) / denom
+    v_im = (a_const * c_corr + b_im * s_corr - b_re * c_corr) / denom
+
+    is_mark = eq_bits[:n_bits] == 1
+    u_re = jnp.where(is_mark, v_re[0], v_re[1])
+    u_im = jnp.where(is_mark, v_im[0], v_im[1])
+    psi = jnp.arctan2(u_im, u_re)
+    mag = jnp.sqrt(u_re**2 + u_im**2)
+    # θ matters only modulo a grid step (the trellis is rotation-invariant by
+    # whole steps) and true phases are on the grid, so the n_states-th power
+    # erases them — no phase trajectory, hence immune to seed bit errors.
+    theta = (
+        jnp.arctan2(
+            jnp.sum(mag * jnp.sin(n_states * psi)),
+            jnp.sum(mag * jnp.cos(n_states * psi)),
+        )
+        / n_states
+    )
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    # u' = u e^{-j theta} on the RAW correlations (the metric model uses u).
+    sp = s_corr * ct + c_corr * st  # Re(u')
+    cp = c_corr * ct - s_corr * st  # Im(u')
+    a_half = jnp.maximum(jnp.mean(mag), 2e-6) / 2
+
+    # Hypothesis energies at the θ-SHIFTED grid: ||h(φ_s + θ)||² is NOT
+    # invariant under grid rotations (its ripple has period π), so the energy
+    # table must follow the estimated channel phase for the relabeled true
+    # path to score exactly.
+    ang2 = 2 * (jnp.asarray(phases_np, jnp.float32)[None, :] + theta)  # (1, S)
+    ec = spb / 2 - (
+        jnp.cos(ang2) * jnp.asarray(kc)[:, None] - jnp.sin(ang2) * jnp.asarray(ks)[:, None]
+    ) / 2  # (2, S)
+
+    p1 = (jnp.arange(n_states) - adv_mark) % n_states  # predecessor via bit 1
+    p0 = (jnp.arange(n_states) - adv_space) % n_states
+
+    def step(pm, uk):
+        sm, cm, ss, cs = uk
+        m1 = sm * cos_t + cm * sin_t - a_half * ec[0]  # at each pred phase
+        m0 = ss * cos_t + cs * sin_t - a_half * ec[1]
+        cand1 = pm[p1] + m1[p1]
+        cand0 = pm[p0] + m0[p0]
+        take1 = cand1 > cand0
+        pm_new = jnp.where(take1, cand1, cand0)
+        return pm_new - pm_new.max(), take1
+
+    pm, decisions = jax.lax.scan(step, jnp.zeros(n_states), (sp[0], cp[0], sp[1], cp[1]))
+
+    def back(state, dec_t):
+        bit = dec_t[state]
+        pred = jnp.where(bit, (state - adv_mark) % n_states, (state - adv_space) % n_states)
+        return pred, bit.astype(jnp.uint8)
+
+    _, bits_rev = jax.lax.scan(back, jnp.argmax(pm), decisions, reverse=True)
+    return bits_rev
+
+
+@functools.lru_cache(maxsize=64)
 def _fsk_boxcar_templates(spb: int, n_offsets: int) -> np.ndarray:
     """(n_offsets, row+ov, spr) central-window boxcars for the discriminator."""
     spr, row, ov = _fsk_geometry(spb)
@@ -297,7 +450,7 @@ def _discriminator_calibration(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("baud", "mark", "space", "sample_rate", "n_offsets"),
+    static_argnames=("baud", "mark", "space", "sample_rate", "n_offsets", "mlse"),
 )
 def fsk_demod_bits(
     samples: jnp.ndarray,
@@ -306,6 +459,7 @@ def fsk_demod_bits(
     space: float,
     sample_rate: int,
     n_offsets: int = 8,
+    mlse: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Demodulate CPFSK to a bit array; returns ``(bits, best_offset_score)``.
 
@@ -445,7 +599,34 @@ def fsk_demod_bits(
         eq = eq + float(coef[j]) * fm[j : j + f.shape[0]]
 
     bits = (jnp.abs(eq - mark) < jnp.abs(eq - space)).astype(jnp.uint8)
-    return bits[: max(n_bits, 1)], score[best]
+    bits = bits[: max(n_bits, 1)]
+
+    # MLSE refinement on RAW-sample correlations: the equalizer floors around
+    # 1.5e-5 BER at tiny modulation indices; the phase-trellis Viterbi is the
+    # exact ML detector there. Gated to tractable trellises and capture sizes
+    # (the trellis scan is sequential).
+    trellis = _cpfsk_trellis(spb, float(mark), float(space), sample_rate) if mlse else None
+    if trellis is not None and n_bits <= (1 << 18):
+        n_states, adv_m, adv_s = trellis
+        Wl = jnp.asarray(
+            _fsk_local_quadrature_templates(
+                spb, float(mark), float(space), sample_rate, n_offsets
+            )
+        )
+        xov = _rows_with_overlap(x, n_bits * spb, r, row, ov)
+        pj = (xov @ Wl[best]).reshape(r, 4, spr)  # [C_m, S_m, C_s, S_s]
+        s_corr = jnp.stack(
+            [pj[:, 1].reshape(-1)[:n_bits], pj[:, 3].reshape(-1)[:n_bits]]
+        )
+        c_corr = jnp.stack(
+            [pj[:, 0].reshape(-1)[:n_bits], pj[:, 2].reshape(-1)[:n_bits]]
+        )
+        bits = _mlse_refine(
+            s_corr, c_corr, bits, n_states, adv_m, adv_s,
+            spb, float(mark), float(space), sample_rate,
+        )
+
+    return bits, score[best]
 
 
 def fsk_demodulate(
@@ -455,18 +636,33 @@ def fsk_demodulate(
     space_freq: float = 2200.0,
     samp_rate: int = 96000,
 ) -> bytes:
-    """CPFSK receive chain: bits -> magic-aligned bytes."""
-    from ..framing import MAGIC_BIT_PATTERN
+    """CPFSK receive chain: bits -> magic-aligned bytes.
 
-    bits, _ = fsk_demod_bits(
-        jnp.asarray(samples, jnp.float32),
-        float(baud),
-        float(mark_freq),
-        float(space_freq),
-        int(samp_rate),
-    )
-    packed, n_valid, _found = bit_sync_and_pack(bits, MAGIC_BIT_PATTERN)
-    return bytes(np.asarray(packed)[: int(n_valid)])
+    Close-tone configs run the MLSE-refined stream first (exact on clean
+    captures, where the linear equalizer has a ~1.5e-5 floor); if no valid
+    frame parses — e.g. a channel whose phase response breaks the MLSE
+    waveform model — the equalizer-only stream is returned instead.
+    """
+    from ..framing import MAGIC_BIT_PATTERN, parse_frames
+
+    def _run(use_mlse: bool) -> bytes:
+        bits, _ = fsk_demod_bits(
+            jnp.asarray(samples, jnp.float32),
+            float(baud),
+            float(mark_freq),
+            float(space_freq),
+            int(samp_rate),
+            mlse=use_mlse,
+        )
+        packed, n_valid, _found = bit_sync_and_pack(bits, MAGIC_BIT_PATTERN)
+        return bytes(np.asarray(packed)[: int(n_valid)])
+
+    raw = _run(True)
+    if _separation_cycles(baud, mark_freq, space_freq, samp_rate) < 0.4 and not parse_frames(raw):
+        eq_raw = _run(False)
+        if parse_frames(eq_raw):
+            return eq_raw
+    return raw
 
 
 def fsk_high_speed_modulate(data_bytes: bytes, baud: float = 19200, samp_rate: int = 96000) -> np.ndarray:

@@ -155,3 +155,38 @@ def test_batched_path_matches_generic_path(rng):
     # a longer zero tail; the real content must match exactly.
     assert fused[: len(generic)] == generic
     assert parse_frames(fused)[0].data == data
+
+
+def test_fsk9600_large_random_payload_mlse(rng):
+    # The close-tone discriminator's linear equalizer floors at ~1.5e-5 BER;
+    # the CPFSK phase-trellis MLSE refinement makes clean captures exact.
+    # 16 KB of random payload (~131k bits) would fail without it.
+    data = rng.integers(0, 256, 16384, dtype=np.uint8).tobytes()
+    framed = _frame(data)
+    wave = fsk_modulate(framed, baud=9600)
+    _assert_decodes(fsk_demodulate(wave, baud=9600), data)
+
+
+def test_fsk9600_rotated_channel_equalizer_floor(rng):
+    # A channel phase rotation breaks the MLSE waveform model (hundreds of
+    # bit errors); the equalizer stream stays near its ~1.5e-5 floor. This
+    # pins the EQ path's robustness and, implicitly, what the parse-verified
+    # fallback in fsk_demodulate falls back TO.
+    import jax.numpy as jnp
+    from scipy.signal import hilbert
+
+    from audio_modem_radio_tpu.ops.common import bytes_to_bits
+    from audio_modem_radio_tpu.ops.fsk import fsk_demod_bits
+
+    data = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    framed = _frame(data)
+    wave = fsk_modulate(framed, baud=9600)
+    z = hilbert(np.asarray(wave, np.float64))
+    rotated = (np.real(z * np.exp(1j * 0.7)) * 0.5).astype(np.float32)
+    expected = bytes_to_bits(b"\xAA\xAA\xAA\xAA" + framed + b"\xAA")
+    bits, _ = fsk_demod_bits(
+        jnp.asarray(rotated), 9600.0, 1200.0, 2200.0, 96000, mlse=False
+    )
+    bits = np.asarray(bits)
+    n = min(len(bits), len(expected))
+    assert int((bits[:n] != expected[:n]).sum()) <= 5  # ~floor, not model break
