@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..assembly import AssemblyRegistry
-from ..framing import MAGIC_BIT_PATTERN, Frame, parse_frames
+from ..framing import MAGIC_BIT_PATTERN, Frame, parse_frames, parse_frames_detailed
 from ..modem import MODES, SAMPLE_RATE
 from ..config import CONFIG
 from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
@@ -229,7 +229,10 @@ def decode_wav_batch(
         if NATIVE_AVAILABLE:
             frames, damaged = scan_frames(raw)
         else:
-            frames, damaged = [], []
-            frames = parse_frames(raw)
+            # Same contract as the native scanner: damaged frames (header
+            # intact, payload CRC failed) must reach save_decoded_files so
+            # FEC recovery can run — identical to the single-file path
+            # (decoder.py decode behavior).
+            frames, damaged = parse_frames_detailed(raw)
         out.append(save_decoded_files(frames, recv_dir, registry, damaged=damaged or None))
     return out

