@@ -184,7 +184,11 @@ def _modulate_with_fallback(
     reference's 0.1 s floor there would misfire; it only verifies on the
     multi-part path anyway, encoder.py:284-296).
     """
-    arr = modulate(mode, framed, symbol_rate)
+    try:
+        arr = modulate(mode, framed, symbol_rate)
+    except Exception as exc:  # unknown mode / modulator bug: same ladder
+        logger.error("mode %s failed to modulate (%s); falling back to BPSK", mode, exc)
+        arr = np.zeros(0, np.float32)
     if verify_audio_output(arr, min_duration):
         return arr
     logger.error("mode %s produced invalid audio; falling back to BPSK", mode)

@@ -32,7 +32,8 @@ _MODE_CONFIGS: Dict[str, Dict[str, Any]] = {
     "FSK1200": {"symbol_rate": 1200, "compress": True},
     "FSK9600": {"symbol_rate": 9600, "compress": True},
     "QPSK": {"symbol_rate": 9600, "compress": True},
-    "NEURAL": {"symbol_rate": 8000, "compress": False},
+    # 3000 sym/s divides 96 kHz exactly into 4-sample chips -> 3000 B/s.
+    "NEURAL": {"symbol_rate": 3000, "compress": True},
     "FSK19200": {"symbol_rate": 19200, "compress": True},
 }
 

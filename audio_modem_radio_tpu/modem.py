@@ -28,6 +28,11 @@ from .ops.fsk import (
     fsk_modulate,
 )
 from .ops.hell import hellschreiber_demodulate, hellschreiber_modulate
+from .ops.neural import (
+    _chip_len as _neural_chip_len,
+    neural_mode_demodulate,
+    neural_mode_modulate,
+)
 from .ops.ofdm import estimate_subcarrier_gains, ofdm_demodulate, ofdm_modulate
 from .ops.psk import bpsk_demodulate, bpsk_modulate, qpsk_demodulate, qpsk_modulate
 from .utils.wavio import SAMPLE_RATE, wav_from_array  # re-export
@@ -311,6 +316,16 @@ MODES: Dict[str, ModeSpec] = {
         lambda x, r: feld_hell_demodulate(x, 122.5, 1000.0),
         lambda r: 15,
         fixed_baud=122.5,
+    ),
+    "NEURAL": _spec(
+        # A real learned-modulation mode (the reference only gestures at one,
+        # neural_modem.py:106-115, and its recommender still advertises a
+        # NEURAL profile): committed learned codebook, 1 byte/symbol, ML
+        # nearest-codeword detection as one matmul+argmax. ops/neural.py.
+        "NEURAL",
+        lambda d, r: neural_mode_modulate(d, r),
+        lambda x, r: neural_mode_demodulate(x, r),
+        lambda r: SAMPLE_RATE / (8 * _neural_chip_len(r)),
     ),
     "SSTV": _spec(
         # The reference GUI lists SSTV but ships no SSTV modulator; payloads

@@ -60,6 +60,7 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
         "MSK": ("fsk", (float(r), 6000.0, 6000.0 + r)),
         "FT8": ("fsk", (50.0, 3000.0, 3050.0)),
         "PSK31": ("psk2", (31.25, 3000.0)),
+        "NEURAL": ("neural", (float(r),)),
     }
     if mode not in table:
         if mode in MODES:
@@ -90,6 +91,29 @@ def demod_pack_batch(
     kind, params = resolve_demod_plan(mode, symbol_rate)
     if kind == "ofdm" and CONFIG.get("modem.ofdm_compat_alias", False):
         kind, params = "psk4", (params[0], params[1])
+
+    if kind == "neural":
+        # Learned-codebook detection IS a batched matmul already; symbols are
+        # bytes, so no bit-level sync/pack stage exists for this mode.
+        from ..ops.neural import (
+            PREAMBLE_LEN,
+            _chip_len,
+            _codebook,
+            _demod,
+            _preamble_baseband,
+        )
+
+        chip_len = _chip_len(int(params[0]))
+        pre = _preamble_baseband(chip_len)
+        n_fft = 1 << int(np.ceil(np.log2(samples.shape[-1] + len(pre))))
+        cb, pre_j = jnp.asarray(_codebook()), jnp.asarray(pre)
+
+        def neural_one(x):
+            syms, _k0 = _demod(x, cb, pre_j, chip_len, n_fft)
+            payload = syms[PREAMBLE_LEN:]
+            return payload, jnp.asarray(payload.shape[0]), jnp.asarray(True)
+
+        return jax.vmap(neural_one)(samples)
 
     if kind in ("psk4", "psk2"):
         baud, carrier = params
