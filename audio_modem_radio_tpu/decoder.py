@@ -207,6 +207,9 @@ def decode_wav_file(
     return decode_from_buffer(data, mode, symbol_rate, recv_dir, registry, sample_rate=sr)
 
 
+RETRY_FACTORS = (1.0, 0.95, 1.05)
+
+
 def decode_with_retry(
     data: np.ndarray,
     mode: str,
@@ -214,26 +217,78 @@ def decode_with_retry(
     max_retries: int = 3,
     recv_dir: str = RECV_DIR,
     registry: Optional[AssemblyRegistry] = None,
+    dump_attempts: bool = True,
 ) -> List[str]:
-    """Decode with up to 3 attempts at perturbed symbol rates (1.0/0.95/1.05x).
+    """Decode with up to 3 clock-drift hypotheses (1.0/0.95/1.05x) in ONE
+    batched dispatch.
 
-    The rate sweep compensates clock drift between transmitter and recorder
-    (reference decoder.py:313-377).
+    The reference perturbs the symbol rate across three sequential attempts
+    (decoder.py:313-377), each a freshly compiled program here. Instead the
+    hypotheses become a batch axis: a TX clock off by factor f scales baud
+    AND carrier together, so the inverse is time-rescaling the capture by f
+    and decoding at the nominal config — three resampled rows, one
+    ``decode_sample_batch`` round-trip, one compiled program. (Deviation
+    from the reference recorded here: rate-only perturbation models clock
+    drift incorrectly anyway — a drifted sound card shifts the carrier too.)
+
+    Each attempt's demodulated bytes are dumped to
+    ``<recv_dir>/demodulated_attempt_N.bin`` for manual inspection, matching
+    the reference's debugging story (decoder.py:353; it writes to cwd, we
+    keep artifacts under the recv dir).
     """
+    from .parallel.batch import decode_sample_batch
+
     samples = np.asarray(data, dtype=np.float32)
-    for attempt, factor in enumerate((1.0, 0.95, 1.05)[:max_retries]):
-        rate = max(1, int(symbol_rate * factor))
-        try:
-            raw = demodulate(mode, pad_to_bucket(samples), rate)
-            frames = parse_frames(raw)
-            if frames:
-                saved = save_decoded_files(frames, recv_dir, registry)
-                if saved:
-                    logger.info("retry attempt %d (rate %d) succeeded", attempt + 1, rate)
-                    return saved
-        except Exception:
-            logger.exception("retry attempt %d (rate %d) failed", attempt + 1, rate)
-    logger.warning("all %d decode attempts failed", max_retries)
+    factors = RETRY_FACTORS[:max_retries]
+    n = len(samples)
+
+    try:
+        # Row i undoes a TX clock off by ``factors[i]`` EXACTLY: the capture
+        # is resampled by stretch 1/factor (reading it at stride ``factor``).
+        # Note this must be the exact inverse — a 0.95-rate attempt against a
+        # 1.05-fast clock (the reference's pairing) leaves a 0.25% residual
+        # rate error that drifts symbol timing past sync within ~400 symbols.
+        strides = [1.0 / f for f in factors]  # read stride that undoes drift f
+        m = int(np.ceil(n / min(strides)))
+        batch = np.zeros((len(factors), m), dtype=np.float32)
+        src = np.arange(n, dtype=np.float64)
+        for i, s in enumerate(strides):
+            if s == 1.0:
+                batch[i, :n] = samples
+            else:
+                dst = np.arange(int(n / s), dtype=np.float64) * s
+                row = np.interp(dst, src, samples).astype(np.float32)
+                batch[i, : len(row)] = row
+        raws = decode_sample_batch(batch, mode, symbol_rate)
+    except Exception:
+        logger.exception("batched retry failed; falling back to sequential attempts")
+        raws = []
+        for factor in factors:
+            rate = max(1, int(symbol_rate * factor))
+            try:
+                raws.append(demodulate(mode, pad_to_bucket(samples), rate))
+            except Exception:
+                raws.append(b"")
+
+    for attempt, raw in enumerate(raws):
+        if dump_attempts:
+            try:
+                out_dir = _ensure_recv_dir(recv_dir)
+                with open(os.path.join(out_dir, f"demodulated_attempt_{attempt + 1}.bin"), "wb") as f:
+                    f.write(raw)
+            except OSError:
+                pass
+        frames = parse_frames(raw)
+        if frames:
+            saved = save_decoded_files(frames, recv_dir, registry)
+            if saved:
+                logger.info(
+                    "retry hypothesis %d (clock factor %.2f) succeeded",
+                    attempt + 1,
+                    factors[attempt],
+                )
+                return saved
+    logger.warning("all %d decode hypotheses failed", len(raws))
     return []
 
 

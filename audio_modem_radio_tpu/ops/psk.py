@@ -37,7 +37,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import bit_sync_and_pack, bytes_to_bits, frame_signal
+from .common import (
+    bit_sync_and_pack,
+    bytes_to_bits,
+    find_bit_pattern,
+    frame_signal,
+    pack_bits_from,
+)
 
 # Exact unit-circle table for quarter-turn phases: cos/sin of k*pi/2.
 _QT_COS = np.array([1.0, 0.0, -1.0, 0.0], dtype=np.float64)
@@ -250,17 +256,15 @@ def psk_demod_streams(
     re, im = proj[0::2], proj[1::2]
     s_re = re[:, 1:] * re[:, :-1] + im[:, 1:] * im[:, :-1]
     s_im = im[:, 1:] * re[:, :-1] - re[:, 1:] * im[:, :-1]
-    # Score = energy-weighted 4-fold phase coherence, Σ |d|²·cos(4θ_d).
+    # Score = energy-weighted 4-fold phase coherence |Σ |d|²e^{j4θ_d}|.
     # Raw energy is NOT a valid criterion here: the Gram-inverse dual basis
     # amplifies misaligned-window projections, so a half-symbol-off hypothesis
     # can carry more energy than the true one. At the true offset every
-    # differential phasor sits on a quarter-angle multiple (cos4θ = +1, for
-    # DBPSK and DQPSK alike); misaligned windows produce mixture angles that
-    # average the coherence toward zero. cos4θ·|d|² = ((a-b)² - 4ab)/(a+b)
-    # with a = d_re², b = d_im² — no transcendentals.
-    a = s_re * s_re
-    b = s_im * s_im
-    score = jnp.sum(((a - b) ** 2 - 4 * a * b) / (a + b + 1e-20), axis=1)
+    # differential phasor sits on a quarter-angle multiple (|e^{j4θ}| sums
+    # coherently, for DBPSK and DQPSK alike, and a CFO-induced common
+    # rotation doesn't change the magnitude); misaligned windows produce
+    # mixture angles that average the coherence toward zero.
+    score = _coherence_score(s_re, s_im, axis=1)
     best = jnp.argmax(score)
 
     # --- pass 2: full-signal projection at the winning offset ---------------
@@ -305,11 +309,87 @@ def psk_demod_streams(
     return d_re, d_im, score[best]
 
 
-def _coherence_score(d_re: jnp.ndarray, d_im: jnp.ndarray, axis) -> jnp.ndarray:
-    """Energy-weighted 4-fold phase coherence (see pass-1 comments)."""
+def _fourth_power(d_re: jnp.ndarray, d_im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Energy-normalized 4th power: |z|² e^{j4θ} as (re, im), no transcendentals.
+
+    z² = (re²−im², 2·re·im); z⁴ = (z²)²; dividing by |z|² leaves a linear
+    energy weight so strong symbols dominate but one outlier can't."""
     a = d_re * d_re
     b = d_im * d_im
-    return jnp.sum(((a - b) ** 2 - 4 * a * b) / (a + b + 1e-20), axis=axis)
+    u = a - b
+    v = 2 * d_re * d_im
+    w = a + b + 1e-20
+    return (u * u - v * v) / w, (2 * u * v) / w
+
+
+def _coherence_score(d_re: jnp.ndarray, d_im: jnp.ndarray, axis) -> jnp.ndarray:
+    """Energy-weighted 4-fold phase coherence |Σ |z|² e^{j4θ}|.
+
+    The *magnitude* of the complex 4th-power sum, not its real part: a
+    carrier-frequency offset rotates every differential phasor by the same
+    angle, which would scale Σcos4θ by cos(4·rotation) (zero at a π/8
+    rotation — timing selection would collapse). The magnitude is
+    rotation-invariant, so timing sync survives CFO."""
+    re4, im4 = _fourth_power(d_re, d_im)
+    return jnp.hypot(jnp.sum(re4, axis=axis), jnp.sum(im4, axis=axis))
+
+
+def estimate_cfo(
+    samples, baud: float, carrier: float, sample_rate: int
+) -> float:
+    """Carrier-frequency-offset estimate in Hz (resolved mod ``baud/4``).
+
+    A CFO on this wire format cannot scatter the per-symbol projection: the
+    modulator restarts the carrier phase each symbol (ops reference:
+    /root/reference/modem.py:54,177 behavior), so a carrier offset appears
+    purely as a CONSTANT rotation 2pi*delta/baud of every differential
+    phasor. The blind 4th-power rotation estimate therefore IS the CFO
+    measurement: delta_hat = baud*theta_hat/2pi, mod baud/4 (the k*pi/2
+    sector ambiguity, which the demodulator's quarter-turn sync retry
+    absorbs). Correction needs no signal retuning at all; this function is
+    for diagnostics and the tolerance benchmark.
+    """
+    d_re, d_im, _ = psk_demod_streams(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(sample_rate)
+    )
+    theta = float(estimate_common_rotation(d_re, d_im))
+    return theta * float(baud) / (2 * np.pi)
+
+
+
+def estimate_common_rotation(d_re: jnp.ndarray, d_im: jnp.ndarray) -> jnp.ndarray:
+    """Blind CFO estimate: the common rotation of the differential phasors.
+
+    A carrier frequency offset Δf adds a constant 2πΔf/baud to every
+    differential angle. The 4th power cancels both DBPSK (0/π) and DQPSK
+    (k·π/2) data, leaving 4·rotation: θ̂ = arg(Σ |z|²e^{j4θ})/4, resolved
+    mod π/2 (the residual k·π/2 ambiguity is a Gray-sector relabeling,
+    handled by the sync-stage rotation retry). Reduces over the last axis.
+    """
+    re4, im4 = _fourth_power(d_re, d_im)
+    return jnp.arctan2(jnp.sum(im4, axis=-1), jnp.sum(re4, axis=-1)) / 4
+
+
+def derotate(
+    d_re: jnp.ndarray, d_im: jnp.ndarray, theta: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotate differential phasors by −θ (θ broadcasts over leading axes)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    if d_re.ndim > getattr(theta, "ndim", 0):
+        c, s = c[..., None], s[..., None]
+    return d_re * c + d_im * s, d_im * c - d_re * s
+
+
+def quarter_turn(d_re: jnp.ndarray, d_im: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotate by −k·π/2 exactly (sign/swap only) — the CFO ambiguity retry."""
+    k %= 4
+    if k == 0:
+        return d_re, d_im
+    if k == 1:
+        return d_im, -d_re
+    if k == 2:
+        return -d_re, -d_im
+    return -d_im, d_re
 
 
 @functools.partial(
@@ -464,6 +544,7 @@ def psk_demod_bits(
     avoids materializing the interleaved (n, 2) layout.
     """
     d_re, d_im, best_score = psk_demod_streams(samples, baud, carrier, sample_rate, n_offsets)
+    d_re, d_im = derotate(d_re, d_im, estimate_common_rotation(d_re, d_im))
     if n_psk == 2:
         bits = (d_re < 0).astype(jnp.uint8)
     else:
@@ -472,14 +553,56 @@ def psk_demod_bits(
     return bits, best_score
 
 
+@functools.partial(
+    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_psk", "pattern")
+)
+def _psk_bytes_candidates(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int, n_psk: int, pattern: str
+):
+    """CFO-derotated demod -> 4 quarter-turn sync/pack candidates.
+
+    The blind 4th-power CFO estimate resolves the common rotation mod π/2;
+    the residual k·π/2 relabels every Gray sector (DQPSK) or inverts every
+    bit (DBPSK), so each k is synced against the frame magic and the host
+    picks the first that locks (k=0 for a clean channel)."""
+    d_re, d_im, _ = psk_demod_streams(samples, baud, carrier, sample_rate)
+    d_re, d_im = derotate(d_re, d_im, estimate_common_rotation(d_re, d_im))
+    outs = []
+    for k in range(4):
+        r, i = quarter_turn(d_re, d_im, k)
+        if n_psk == 2:
+            bits = (r < 0).astype(jnp.uint8)
+        else:
+            hi, lo = qpsk_gray_streams(r, i)
+            bits = jnp.stack([hi, lo], axis=1).reshape(-1)
+        start, found = find_bit_pattern(bits, pattern)
+        packed, n_valid = pack_bits_from(bits, start)
+        outs.append((packed, n_valid, found))
+    return (
+        jnp.stack([o[0] for o in outs]),
+        jnp.stack([o[1] for o in outs]),
+        jnp.stack([o[2] for o in outs]),
+    )
+
+
 def _demod_to_bytes(samples: np.ndarray, baud, carrier, samp_rate, n_psk, pattern) -> bytes:
     from ..framing import MAGIC_BIT_PATTERN
 
-    bits, _ = psk_demod_bits(
-        jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(samp_rate), n_psk
+    # CFO handling needs no front-end correction on this wire format: a
+    # carrier offset is exactly a constant differential rotation (see
+    # estimate_cfo), which _psk_bytes_candidates' blind derotation +
+    # quarter-turn sync retry absorbs.
+    packed, n_valid, found = _psk_bytes_candidates(
+        jnp.asarray(samples, jnp.float32),
+        float(baud),
+        float(carrier),
+        int(samp_rate),
+        n_psk,
+        pattern or MAGIC_BIT_PATTERN,
     )
-    packed, n_valid, _found = bit_sync_and_pack(bits, pattern or MAGIC_BIT_PATTERN)
-    return bytes(np.asarray(packed)[: int(n_valid)])
+    found = np.asarray(found)
+    k = int(np.argmax(found)) if found.any() else 0
+    return bytes(np.asarray(packed[k])[: int(n_valid[k])])
 
 
 def bpsk_demodulate(

@@ -32,7 +32,13 @@ from ..config import CONFIG
 from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
 from ..ops.fsk import fsk_demod_bits
 from ..ops.ofdm import ofdm_demod_bits
-from ..ops.psk import psk_demod_streams_batch, qpsk_gray_streams
+from ..ops.psk import (
+    derotate,
+    estimate_common_rotation,
+    psk_demod_streams_batch,
+    qpsk_gray_streams,
+    quarter_turn,
+)
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
 
@@ -118,20 +124,44 @@ def demod_pack_batch(
     if kind in ("psk4", "psk2"):
         baud, carrier = params
         d_re, d_im = psk_demod_streams_batch(samples, baud, carrier, SAMPLE_RATE)
-        if kind == "psk4":
-            hi, lo = jax.vmap(qpsk_gray_streams)(d_re, d_im)
-            return jax.vmap(lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN))(hi, lo)
-        bits = (d_re < 0).astype(jnp.uint8)
-    else:
+        # CFO handling (ops/psk.py): blind 4th-power derotation per capture,
+        # then the residual k·π/2 sector ambiguity is resolved by syncing all
+        # four quarter-turns against the frame magic and keeping, per capture,
+        # the first that locks (k=0 on a clean channel).
+        theta = estimate_common_rotation(d_re, d_im)
+        d_re, d_im = derotate(d_re, d_im, theta)
+        cands = []
+        for k in range(4):
+            r, i = quarter_turn(d_re, d_im, k)
+            if kind == "psk4":
+                hi, lo = jax.vmap(qpsk_gray_streams)(r, i)
+                cands.append(
+                    jax.vmap(lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN))(hi, lo)
+                )
+            else:
+                kb = (r < 0).astype(jnp.uint8)
 
-        def to_bits(x):
-            if kind == "ofdm":
-                baud, carrier, n_sub = params
-                return ofdm_demod_bits(x, baud, carrier, int(n_sub), SAMPLE_RATE)[0]
-            baud, mark, space = params
-            return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE)[0]
+                def sync_pack_one(bb):
+                    start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)
+                    packed, n_valid = pack_bits_from(bb, start)
+                    return packed, n_valid, found
 
-        bits = jax.vmap(to_bits)(samples)
+                cands.append(jax.vmap(sync_pack_one)(kb))
+        packed4 = jnp.stack([c[0] for c in cands])  # (4, B, M)
+        nval4 = jnp.stack([c[1] for c in cands])  # (4, B)
+        found4 = jnp.stack([c[2] for c in cands])  # (4, B)
+        sel = jnp.argmax(found4, axis=0)  # first locking rotation, else 0
+        bsel = jnp.arange(packed4.shape[1])
+        return packed4[sel, bsel], nval4[sel, bsel], found4[sel, bsel]
+
+    def to_bits(x):
+        if kind == "ofdm":
+            baud, carrier, n_sub = params
+            return ofdm_demod_bits(x, baud, carrier, int(n_sub), SAMPLE_RATE)[0]
+        baud, mark, space = params
+        return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE)[0]
+
+    bits = jax.vmap(to_bits)(samples)
 
     def sync_pack(bb):
         start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)

@@ -19,10 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Dict, List
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _bit_errors(sent: bytes, received: bytes) -> float:
@@ -97,6 +100,62 @@ def run(modes: List[str], snrs: List[float], payload_len: int, trials: int) -> L
     return results
 
 
+def cfo_sweep(
+    offsets_hz: List[float],
+    snr_db: float = 20.0,
+    payload_len: int = 1024,
+    trials: int = 3,
+) -> List[Dict]:
+    """Frame recovery + BER vs carrier-frequency offset (tolerance curve).
+
+    Narrowband configs (band fully positive, so an analytic-signal spectral
+    shift is the physical mistuning model): QPSK 2400 Bd @ 6 kHz and
+    BPSK 1200 Bd @ 3 kHz. The receivers absorb CFO via blind 4th-power
+    derotation + quarter-turn sync retry (ops/psk.py).
+    """
+    from scipy.signal import hilbert
+
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+    from audio_modem_radio_tpu.ops.psk import (
+        bpsk_demodulate,
+        bpsk_modulate,
+        qpsk_demodulate,
+        qpsk_modulate,
+    )
+
+    configs = [
+        ("QPSK 2400Bd c=6000", lambda d: qpsk_modulate(d, 2400, 6000.0),
+         lambda s: qpsk_demodulate(s, 2400, 6000.0)),
+        ("BPSK 1200Bd c=3000", lambda d: bpsk_modulate(d, 1200, 3000.0),
+         lambda s: bpsk_demodulate(s, 1200, 3000.0)),
+    ]
+    results = []
+    for name, mod, demod in configs:
+        for df in offsets_hz:
+            rng = np.random.default_rng(hash((name, df)) % (2**32))
+            rec = 0
+            for _ in range(trials):
+                payload = rng.integers(0, 256, payload_len, dtype=np.uint8).tobytes()
+                framed = pack_frame("cfo.bin", payload, 0, 1, payload_len, crc32(payload))
+                wave = np.asarray(mod(framed), np.float64)
+                z = hilbert(wave)
+                shifted = np.real(
+                    z * np.exp(2j * np.pi * df * np.arange(len(wave)) / 96000)
+                )
+                p_sig = float(np.mean(shifted**2))
+                sigma = np.sqrt(p_sig / 10 ** (snr_db / 10))
+                noisy = (shifted + rng.normal(0, sigma, len(shifted))).astype(np.float32)
+                frames = parse_frames(demod(noisy))
+                rec += bool(frames and frames[0].data == payload)
+            results.append(
+                {"config": name, "cfo_hz": df, "snr_db": snr_db,
+                 "recovery": rec / trials, "trials": trials}
+            )
+            print(f"{name:>20} CFO {df:6.1f} Hz @ {snr_db} dB: recovery {rec}/{trials}",
+                  flush=True)
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--modes", default="QPSK,BPSK,FSK1200,OFDM4")
@@ -104,7 +163,18 @@ def main() -> int:
     ap.add_argument("--payload", type=int, default=2048)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default="ber_results.json")
+    ap.add_argument("--cfo", action="store_true", help="run the CFO tolerance sweep instead")
     args = ap.parse_args()
+
+    if args.cfo:
+        results = cfo_sweep(
+            [0, 15, 30, 60, 120, 240, 480], payload_len=args.payload, trials=args.trials
+        )
+        out = args.out if args.out != "ber_results.json" else "cfo_results.json"
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out}")
+        return 0
 
     results = run(
         args.modes.split(","),

@@ -156,3 +156,24 @@ def test_progress_callback(workdir):
     src = _write_file(workdir, "doc.bin", CONTENT)
     encode_file_paths(src, mode="QPSK", symbol_rate=9600, progress_callback=lambda a, b: calls.append((a, b)))
     assert calls == [(1, 1)]
+
+
+def test_decode_with_retry_batched_clock_drift(workdir):
+    """A ±5% TX clock drift (baud AND carrier scaled) is recovered by the
+    batched hypothesis sweep, and attempt dumps are written (reference
+    decoder.py:353 parity)."""
+    src = _write_file(workdir, "doc.bin", CONTENT)
+    wav = encode_file(src, mode="QPSK", symbol_rate=4800)
+    samples, _ = read_wav(wav)
+    for d in (1.05, 0.95):
+        drifted = np.interp(
+            np.arange(int(len(samples) / d)) * d,
+            np.arange(len(samples), dtype=float),
+            samples.astype(np.float64),
+        ).astype(np.float32)
+        reg = AssemblyRegistry()
+        saved = decode_with_retry(drifted, "QPSK", 4800, registry=reg)
+        assert len(saved) == 1 and open(saved[0], "rb").read() == CONTENT
+    import os
+    dumps = [f for f in os.listdir("recv") if f.startswith("demodulated_attempt_")]
+    assert len(dumps) >= 1
