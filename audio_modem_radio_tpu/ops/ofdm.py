@@ -166,29 +166,50 @@ def ofdm_demod_bits(
     x = samples.astype(jnp.float32)[: n_sym * S].reshape(n_sym, S)
     x_next = jnp.concatenate([x[1:], jnp.zeros((1, S), jnp.float32)])
     T = jnp.asarray(_ofdm_dual_templates(S, float(carrier), K, sample_rate, n_offsets))
-    proj = x @ T[:S] + x_next @ T[S:]  # (n_sym, n_offsets*K2)
-    proj = proj.reshape(n_sym, n_offsets, K, 2)
-    re, im = proj[..., 0], proj[..., 1]  # (n_sym, n_off, K)
 
-    # Per-subcarrier channel-magnitude estimate per offset hypothesis;
-    # equalize so frequency-selective channels don't skew offset scoring
-    # (the "per-subcarrier equalization"). Estimated over the whole capture,
-    # not just the preamble slots: real captures can lead with silence, which
-    # would zero a preamble-indexed pilot estimate.
+    # --- pass 1: all-offset timing search on up to 3 SMALL symbol windows ---
+    # The old all-offsets projection over the full capture materialized a
+    # (n_sym, S, 2K) tensor — ~1 GB for a 5-minute capture at 160-sample
+    # symbols. Timing needs only a few hundred symbols of evidence; the full
+    # capture is then projected once at the winning offset (pass 2).
+    wsyms = min(n_sym - 1, 256)
+    starts = sorted({0, max(0, n_sym // 2 - wsyms // 2), max(0, n_sym - 1 - wsyms)})
+    xw = jnp.concatenate(
+        [jax.lax.dynamic_slice(x, (s, 0), (wsyms, S)) for s in starts], axis=0
+    )
+    xw_next = jnp.concatenate(
+        [jax.lax.dynamic_slice(x_next, (s, 0), (wsyms, S)) for s in starts], axis=0
+    )
+    projw = (xw @ T[:S] + xw_next @ T[S:]).reshape(-1, n_offsets, K, 2)
+    rew, imw = projw[..., 0], projw[..., 1]  # (nw, n_off, K)
+
+    # Per-subcarrier channel-magnitude equalization per offset hypothesis,
+    # so frequency-selective channels can't let one strong subcarrier
+    # dominate offset scoring (the "per-subcarrier equalization"). Estimated
+    # over the windows, not preamble slots: real captures can lead with
+    # silence, which would zero a preamble-indexed pilot estimate.
     del n_pilot
-    gains = jnp.sqrt(jnp.mean(re**2 + im**2, axis=0)) + 1e-9
-    re = re / gains[None]
-    im = im / gains[None]
+    gains_w = jnp.sqrt(jnp.mean(rew**2 + imw**2, axis=0)) + 1e-9
+    rew = rew / gains_w[None]
+    imw = imw / gains_w[None]
 
-    d_re = re[1:] * re[:-1] + im[1:] * im[:-1]
-    d_im = im[1:] * re[:-1] - re[1:] * im[:-1]
-
+    d_re = rew[1:] * rew[:-1] + imw[1:] * imw[:-1]
+    d_im = imw[1:] * rew[:-1] - rew[1:] * imw[:-1]
     # 4-fold phase-coherence offset score (see psk.py for why not energy).
     a, b = d_re * d_re, d_im * d_im
     score = jnp.sum(((a - b) ** 2 - 4 * a * b) / (a + b + 1e-20), axis=(0, 2))
     best = jnp.argmax(score)
-    dr = d_re[:, best]  # (n_sym-1, K)
-    di = d_im[:, best]
+
+    # --- pass 2: full-signal projection at the winning offset only ----------
+    T_best = jax.lax.dynamic_slice(T, (0, best * K2), (2 * S, K2))
+    proj = (x @ T_best[:S] + x_next @ T_best[S:]).reshape(n_sym, K, 2)
+    re, im = proj[..., 0], proj[..., 1]  # (n_sym, K)
+    gains = jnp.sqrt(jnp.mean(re**2 + im**2, axis=0)) + 1e-9
+    re = re / gains[None]
+    im = im / gains[None]
+
+    dr = re[1:] * re[:-1] + im[1:] * im[:-1]  # (n_sym-1, K)
+    di = im[1:] * re[:-1] - re[1:] * im[:-1]
 
     swap = jnp.abs(di) > jnp.abs(dr)
     neg = jnp.where(swap, di < 0, dr < 0)
@@ -197,8 +218,7 @@ def ofdm_demod_bits(
     # Round-robin subcarrier order: symbol-major, subcarrier-minor, then
     # (hi, lo) per dibit.
     bits = jnp.stack([hi, lo], axis=2).reshape(-1)
-    best_gains = jnp.take(gains, best, axis=0)
-    return bits, score[best], best_gains
+    return bits, score[best], gains
 
 
 def ofdm_demodulate(
