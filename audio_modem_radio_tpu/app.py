@@ -51,8 +51,38 @@ class ConsoleApp:
         self.ptt_port: Optional[str] = None
         self.ptt_method = "RTS"
         self._player = None
+        self.playlist_path = "playlist.json"
+        self._load_playlist()
 
     # --- helpers ---------------------------------------------------------
+
+    def _load_playlist(self) -> None:
+        """Restore playlist + played-state (the reference loses both on
+        restart; its colored playlist is filebeep_advanced_v2.py:1159-1203)."""
+        import json
+
+        try:
+            with open(self.playlist_path) as f:
+                data = json.load(f)
+            self.playlist = [e["path"] for e in data.get("entries", [])]
+            self._restored_played = {
+                e["path"] for e in data.get("entries", []) if e.get("played")
+            }
+        except (OSError, ValueError, KeyError):
+            self._restored_played = set()
+
+    def _save_playlist(self) -> None:
+        import json
+
+        entries = [
+            {"path": p, "played": p in self.player.played or p in self._restored_played}
+            for p in self.playlist
+        ]
+        try:
+            with open(self.playlist_path, "w") as f:
+                json.dump({"entries": entries}, f, indent=1)
+        except OSError:
+            pass
 
     def _input(self, prompt: str, default: str = "") -> str:
         try:
@@ -134,15 +164,29 @@ class ConsoleApp:
             print("sounddevice not installed; live capture unavailable")
             return
         seconds = float(self._input("record seconds", "30"))
-        session = ReceiveSession(self.mode, self.symbol_rate, Recorder())
+        recorder = Recorder()
+
+        def meter(level: float) -> None:
+            # Live input level like the reference's volume bar
+            # (filebeep_advanced_v2.py:309-310, RMS x15); \r keeps one line.
+            bars = int(level * 30)
+            sys.stdout.write(f"\rlevel [{'#' * bars}{'.' * (30 - bars)}] {level * 100:3.0f}%")
+            sys.stdout.flush()
+
+        recorder.volume_callback = meter
+        session = ReceiveSession(self.mode, self.symbol_rate, recorder)
         print("recording...")
         saved = session.run(seconds)
+        sys.stdout.write("\n")
         print(f"{len(saved)} file(s) recovered")
 
     def do_player(self) -> None:
         while True:
             for i, p in enumerate(self.playlist):
-                marker = {"playing": ">", "played": "*", "pending": " "}[self.player.state_of(p)]
+                state = self.player.state_of(p)
+                if state == "pending" and p in self._restored_played:
+                    state = "played"  # restored from playlist.json
+                marker = {"playing": ">", "played": "*", "pending": " "}[state]
                 print(f" {marker} [{i}] {p}")
             cmd = self._input("player (play N / pause / stop / add PATH / clear / ptt PORT [RTS|DTR] / tx N / back)")
             parts = cmd.split()
@@ -151,14 +195,18 @@ class ConsoleApp:
             try:
                 if parts[0] == "play":
                     self.player.play(self.playlist[int(parts[1])])
+                    self._save_playlist()
                 elif parts[0] == "pause":
                     self.player.pause()
                 elif parts[0] == "stop":
                     self.player.stop()
                 elif parts[0] == "add":
                     self.playlist.append(parts[1])
+                    self._save_playlist()
                 elif parts[0] == "clear":
                     self.playlist.clear()
+                    self._restored_played.clear()
+                    self._save_playlist()
                 elif parts[0] == "ptt":
                     self.ptt_port = parts[1]
                     self.ptt_method = parts[2] if len(parts) > 2 else "RTS"
@@ -227,13 +275,24 @@ class ConsoleApp:
 
     # --- main loop ---------------------------------------------------------
 
+    def do_diagram(self) -> None:
+        """ASCII mode diagrams (reference ModeDiagramWidget parity)."""
+        from .diagrams import mode_diagram
+
+        mode = self._input("mode to illustrate", self.mode).upper()
+        print(mode_diagram(mode, self.symbol_rate))
+
     def run(self) -> None:
-        print("audio-modem-radio-tpu console (encode/decode/player/analysis/config/log/quit)")
+        print(
+            "audio-modem-radio-tpu console "
+            "(encode/decode/player/analysis/diagram/config/log/quit)"
+        )
         dispatch = {
             "encode": self.do_encode,
             "decode": self.do_decode,
             "player": self.do_player,
             "analysis": self.do_analysis,
+            "diagram": self.do_diagram,
             "config": self.do_config,
             "log": self.do_log,
         }

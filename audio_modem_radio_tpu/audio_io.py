@@ -145,6 +145,21 @@ class Recorder:
         )
         self._stream.start()
 
+    def drain(self) -> np.ndarray:
+        """Take the samples captured so far WITHOUT stopping the stream.
+
+        The continuous-capture primitive: a decode loop that alternates
+        stop()/start() drops every sample that arrives between the two calls,
+        so a frame straddling the gap is lost (the reference's 30 s one-shot
+        capture sidesteps this by never looping). drain() just swaps the
+        block list under the lock; capture never pauses.
+        """
+        with self._lock:
+            if not self._blocks:
+                return np.zeros(0, np.float32)
+            blocks, self._blocks = self._blocks, []
+        return np.concatenate(blocks)[:, 0].astype(np.float32)
+
     def stop(self) -> np.ndarray:
         if self._stream is not None:
             self._stream.stop()
@@ -170,9 +185,16 @@ class FileRecorder(Recorder):
         data, sr = read_wav(path)
         super().__init__(sample_rate=sr)
         self._data = data
+        self._drained = False
 
     def start(self) -> None:
         pass
+
+    def drain(self) -> np.ndarray:
+        if self._drained:
+            return np.zeros(0, np.float32)
+        self._drained = True
+        return self._data
 
     def stop(self) -> np.ndarray:
         return self._data

@@ -138,12 +138,15 @@ def _cmd_decode_stream(args: argparse.Namespace) -> int:
 
     rec.start()
     try:
+        # Continuous capture: drain() swaps the block buffer without pausing
+        # the input stream, so no samples are lost between windows (a
+        # stop()/start() loop drops the audio between the two calls — a frame
+        # straddling that gap would never decode).
         deadline = _time.time() + args.seconds
         while _time.time() < deadline:
             _time.sleep(1.0)
-            for p in dec.feed(rec.stop()):
+            for p in dec.feed(rec.drain()):
                 print(f"recovered: {p}")
-            rec.start()
     finally:
         dec.feed(rec.stop())
         for p in dec.flush():
@@ -151,12 +154,18 @@ def _cmd_decode_stream(args: argparse.Namespace) -> int:
     return 0
 
 
-def _cmd_modes(_args: argparse.Namespace) -> int:
+def _cmd_modes(args: argparse.Namespace) -> int:
     from .modem import MODES
 
+    if getattr(args, "diagram", None):
+        from .diagrams import mode_diagram
+
+        print(mode_diagram(args.diagram, args.symbol_rate))
+        return 0
     for name, spec in MODES.items():
         baud = f"fixed {spec.fixed_baud} Bd" if spec.fixed_baud else "symbol-rate arg"
         print(f"{name:14s} {baud:20s} ~{spec.bytes_per_sec(9600)} B/s @9600")
+    print("(try: modes --diagram QPSK)")
     return 0
 
 
@@ -223,6 +232,8 @@ def build_parser() -> argparse.ArgumentParser:
     ds.set_defaults(fn=_cmd_decode_stream)
 
     m = sub.add_parser("modes", help="list transmission modes")
+    m.add_argument("--diagram", metavar="MODE", help="print an ASCII diagram of a mode")
+    m.add_argument("--symbol-rate", type=int, default=2400)
     m.set_defaults(fn=_cmd_modes)
 
     s = sub.add_parser("stats", help="estimate transmission stats for a file")

@@ -261,7 +261,11 @@ def encode_hellschreiber_text(
 
     out_dir = _ensure_cache_dir(cache_dir)
     arr = hellschreiber_modulate(text, baud, carrier)
-    outname = os.path.join(out_dir, f"hellschreiber_{abs(hash(text)) & 0xFFFFFF:06x}.wav")
+    # crc32, not hash(): PYTHONHASHSEED makes hash() differ across processes,
+    # which made re-encoding the same text produce a new file every run.
+    outname = os.path.join(
+        out_dir, f"hellschreiber_{crc32(text.encode('utf-8')) & 0xFFFFFF:06x}.wav"
+    )
     with open(outname, "wb") as f:
         f.write(wav_from_array(arr, SAMPLE_RATE))
     return outname

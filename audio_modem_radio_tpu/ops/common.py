@@ -168,6 +168,115 @@ def dibit_sync_and_pack(
     return packed, n_valid, found
 
 
+_GRAY_HI = (0, 0, 1, 1)  # sector -> hi bit (sectors 0..3 = 0, π/2, π, 3π/2)
+_GRAY_LO = (0, 1, 1, 0)  # sector -> lo bit
+
+
+def _rotate_dibit_pattern(pattern: str, k: int) -> str:
+    """The magic pattern as it appears when every diff sector is shifted +k.
+
+    A residual CFO rotation of k·π/2 relabels each received Gray sector
+    s -> (s+k) mod 4. Rather than relabeling the (hi, lo) streams four times,
+    transform the PATTERN once on the host: pattern dibit p maps to sector
+    invgray(p), shows up as sector invgray(p)+k, i.e. bits gray(invgray(p)+k).
+    """
+    out = []
+    for t in range(0, len(pattern) - 1, 2):
+        p_hi, p_lo = int(pattern[t]), int(pattern[t + 1])
+        s = 2 * p_hi + (p_hi ^ p_lo)  # inverse Gray map
+        s2 = (s + k) % 4
+        out.append(f"{_GRAY_HI[s2]}{_GRAY_LO[s2]}")
+    return "".join(out)
+
+
+@functools.partial(jax.jit, static_argnames=("pattern",))
+def dibit_sync_and_pack_rotations(
+    hi: jnp.ndarray, lo: jnp.ndarray, pattern: str
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sync + pack a dibit stream under the 4 quarter-turn CFO hypotheses.
+
+    Matching runs 4x (against the 4 rotated patterns — cheap boolean slice
+    scans); shifting and byte packing (the matmuls, the expensive part) run
+    ONCE on the winning rotation's relabeled stream. Preference order is
+    k=0 first, so a clean channel takes the unrotated path.
+    """
+    m = hi.shape[0]
+    sector = (2 * hi + (hi ^ lo)).astype(jnp.int32)  # inverse Gray, per dibit
+
+    starts, founds = [], []
+    for k in range(4):
+        pat_k = _rotate_dibit_pattern(pattern, k)
+        # Match even/odd alignments exactly like dibit_sync_and_pack.
+        pat = [1 if c == "1" else 0 for c in pat_k]
+        L = m - (len(pat) // 2 + 1)
+        match_e = jnp.ones((L,), dtype=bool)
+        match_o = jnp.ones((L,), dtype=bool)
+        for t in range(len(pat) // 2):
+            match_e &= (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
+            match_o &= (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
+        ie = jnp.argmax(match_e).astype(jnp.int32)
+        io = jnp.argmax(match_o).astype(jnp.int32)
+        fe, fo = match_e[ie], match_o[io]
+        se, so = 2 * ie, 2 * io + 1
+        starts.append(jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0)))
+        founds.append(fe | fo)
+
+    start4 = jnp.stack(starts)
+    found4 = jnp.stack(founds)
+    ksel = jnp.argmax(found4)  # first found rotation, else 0
+    s = start4[ksel]
+    found = found4[ksel]
+
+    # Relabel the stream by the chosen rotation: sector -> sector - k.
+    s2 = (sector - ksel) % 4
+    rh = (s2 >= 2).astype(jnp.uint8)
+    rl = ((s2 == 1) | (s2 == 2)).astype(jnp.uint8)
+
+    k0 = s >> 1
+    parity = (s & 1).astype(bool)
+    fh = _shift_left(rh, k0).astype(jnp.float32)
+    fl = _shift_left(rl, k0).astype(jnp.float32)
+    fh_next = jnp.concatenate([fh[1:], jnp.zeros((1,), jnp.float32)])
+    a = jnp.where(parity, fl, fh)
+    b = jnp.where(parity, fh_next, fl)
+    packed = _pack_stream(a, 4, (128, 32, 8, 2)) + _pack_stream(b, 4, (64, 16, 4, 1))
+    n_valid = (2 * m - s) // 8
+    return packed, n_valid, found
+
+
+@functools.partial(jax.jit, static_argnames=("pattern",))
+def bit_sync_and_pack_rotations(
+    bits_re: jnp.ndarray, bits_im: jnp.ndarray, pattern: str
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DBPSK analog of :func:`dibit_sync_and_pack_rotations`.
+
+    The 4 quarter-turn hypotheses for a BPSK diff constellation are: k=0 the
+    real-axis bits, k=2 their complement, k=1/k=3 the imag-axis bits and
+    their complement. Matching = 2 streams x {pattern, ~pattern}; packing
+    runs once on the winner.
+    """
+    inv_pattern = "".join("1" if c == "0" else "0" for c in pattern)
+    cands = []
+    for bits, pat, inv in (
+        (bits_re, pattern, 0),
+        (bits_im, pattern, 0),
+        (bits_re, inv_pattern, 1),
+        (bits_im, inv_pattern, 1),
+    ):
+        start, found = find_bit_pattern(bits, pat)
+        cands.append((start, found, inv))
+    found4 = jnp.stack([c[1] for c in cands])
+    start4 = jnp.stack([c[0] for c in cands])
+    ksel = jnp.argmax(found4)
+    s = start4[ksel]
+    found = found4[ksel]
+    use_im = (ksel == 1) | (ksel == 3)
+    invert = (ksel >= 2).astype(jnp.uint8)
+    bits = jnp.where(use_im, bits_im, bits_re) ^ invert
+    packed, n_valid = pack_bits_from(bits, s)
+    return packed, n_valid, found
+
+
 def bit_sync_and_pack(bits: jnp.ndarray, pattern: str) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Align the bit stream on ``pattern`` and pack to bytes.
 

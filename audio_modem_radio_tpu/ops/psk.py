@@ -556,33 +556,25 @@ def psk_demod_bits(
 @functools.partial(
     jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_psk", "pattern")
 )
-def _psk_bytes_candidates(
+def _psk_bytes_cfo(
     samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int, n_psk: int, pattern: str
 ):
-    """CFO-derotated demod -> 4 quarter-turn sync/pack candidates.
+    """CFO-robust demod to bytes: derotation + quarter-turn rotation sync.
 
     The blind 4th-power CFO estimate resolves the common rotation mod π/2;
-    the residual k·π/2 relabels every Gray sector (DQPSK) or inverts every
-    bit (DBPSK), so each k is synced against the frame magic and the host
-    picks the first that locks (k=0 for a clean channel)."""
+    the residual k·π/2 relabels every Gray sector (DQPSK) or inverts/swaps
+    the bit stream (DBPSK). The rotation sync matches the magic under all
+    four relabelings (cheap) and packs bytes once (ops/common.py)."""
+    from .common import bit_sync_and_pack_rotations, dibit_sync_and_pack_rotations
+
     d_re, d_im, _ = psk_demod_streams(samples, baud, carrier, sample_rate)
     d_re, d_im = derotate(d_re, d_im, estimate_common_rotation(d_re, d_im))
-    outs = []
-    for k in range(4):
-        r, i = quarter_turn(d_re, d_im, k)
-        if n_psk == 2:
-            bits = (r < 0).astype(jnp.uint8)
-        else:
-            hi, lo = qpsk_gray_streams(r, i)
-            bits = jnp.stack([hi, lo], axis=1).reshape(-1)
-        start, found = find_bit_pattern(bits, pattern)
-        packed, n_valid = pack_bits_from(bits, start)
-        outs.append((packed, n_valid, found))
-    return (
-        jnp.stack([o[0] for o in outs]),
-        jnp.stack([o[1] for o in outs]),
-        jnp.stack([o[2] for o in outs]),
-    )
+    if n_psk == 2:
+        bits_re = (d_re < 0).astype(jnp.uint8)
+        bits_im = (d_im < 0).astype(jnp.uint8)
+        return bit_sync_and_pack_rotations(bits_re, bits_im, pattern)
+    hi, lo = qpsk_gray_streams(d_re, d_im)
+    return dibit_sync_and_pack_rotations(hi, lo, pattern)
 
 
 def _demod_to_bytes(samples: np.ndarray, baud, carrier, samp_rate, n_psk, pattern) -> bytes:
@@ -590,9 +582,8 @@ def _demod_to_bytes(samples: np.ndarray, baud, carrier, samp_rate, n_psk, patter
 
     # CFO handling needs no front-end correction on this wire format: a
     # carrier offset is exactly a constant differential rotation (see
-    # estimate_cfo), which _psk_bytes_candidates' blind derotation +
-    # quarter-turn sync retry absorbs.
-    packed, n_valid, found = _psk_bytes_candidates(
+    # estimate_cfo), which the blind derotation + rotation sync absorbs.
+    packed, n_valid, _found = _psk_bytes_cfo(
         jnp.asarray(samples, jnp.float32),
         float(baud),
         float(carrier),
@@ -600,9 +591,7 @@ def _demod_to_bytes(samples: np.ndarray, baud, carrier, samp_rate, n_psk, patter
         n_psk,
         pattern or MAGIC_BIT_PATTERN,
     )
-    found = np.asarray(found)
-    k = int(np.argmax(found)) if found.any() else 0
-    return bytes(np.asarray(packed[k])[: int(n_valid[k])])
+    return bytes(np.asarray(packed)[: int(n_valid)])
 
 
 def bpsk_demodulate(

@@ -29,7 +29,13 @@ from ..assembly import AssemblyRegistry
 from ..framing import MAGIC_BIT_PATTERN, Frame, parse_frames, parse_frames_detailed
 from ..modem import MODES, SAMPLE_RATE
 from ..config import CONFIG
-from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
+from ..ops.common import (
+    bit_sync_and_pack_rotations,
+    dibit_sync_and_pack,
+    dibit_sync_and_pack_rotations,
+    find_bit_pattern,
+    pack_bits_from,
+)
 from ..ops.fsk import fsk_demod_bits
 from ..ops.ofdm import ofdm_demod_bits
 from ..ops.psk import (
@@ -125,34 +131,22 @@ def demod_pack_batch(
         baud, carrier = params
         d_re, d_im = psk_demod_streams_batch(samples, baud, carrier, SAMPLE_RATE)
         # CFO handling (ops/psk.py): blind 4th-power derotation per capture,
-        # then the residual k·π/2 sector ambiguity is resolved by syncing all
-        # four quarter-turns against the frame magic and keeping, per capture,
-        # the first that locks (k=0 on a clean channel).
+        # then the residual k·π/2 sector ambiguity is resolved by matching
+        # the frame magic under all four quarter-turn relabelings (pattern
+        # transformed on the host — cheap boolean scans) and byte-packing
+        # ONCE on the winning rotation (ops/common.py rotation sync).
         theta = estimate_common_rotation(d_re, d_im)
         d_re, d_im = derotate(d_re, d_im, theta)
-        cands = []
-        for k in range(4):
-            r, i = quarter_turn(d_re, d_im, k)
-            if kind == "psk4":
-                hi, lo = jax.vmap(qpsk_gray_streams)(r, i)
-                cands.append(
-                    jax.vmap(lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN))(hi, lo)
-                )
-            else:
-                kb = (r < 0).astype(jnp.uint8)
-
-                def sync_pack_one(bb):
-                    start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)
-                    packed, n_valid = pack_bits_from(bb, start)
-                    return packed, n_valid, found
-
-                cands.append(jax.vmap(sync_pack_one)(kb))
-        packed4 = jnp.stack([c[0] for c in cands])  # (4, B, M)
-        nval4 = jnp.stack([c[1] for c in cands])  # (4, B)
-        found4 = jnp.stack([c[2] for c in cands])  # (4, B)
-        sel = jnp.argmax(found4, axis=0)  # first locking rotation, else 0
-        bsel = jnp.arange(packed4.shape[1])
-        return packed4[sel, bsel], nval4[sel, bsel], found4[sel, bsel]
+        if kind == "psk4":
+            hi, lo = jax.vmap(qpsk_gray_streams)(d_re, d_im)
+            return jax.vmap(
+                lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)
+            )(hi, lo)
+        bits_re = (d_re < 0).astype(jnp.uint8)
+        bits_im = (d_im < 0).astype(jnp.uint8)
+        return jax.vmap(
+            lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN)
+        )(bits_re, bits_im)
 
     def to_bits(x):
         if kind == "ofdm":

@@ -78,12 +78,18 @@ class StreamingDecoder:
 
     def flush(self) -> List[str]:
         """Decode whatever remains in the buffer (end of capture)."""
+        saved: List[str] = []
+        # feed() keeps the buffer under one window, but guard anyway so a
+        # direct flush after a huge final chunk can never discard samples.
+        while len(self._buf) >= self.window:
+            saved += self._decode_window(self._buf[: self.window])
+            self._buf = self._buf[self.window - self.overlap :]
         if len(self._buf) == 0:
-            return []
+            return saved
         tail = np.zeros(self.window, dtype=np.float32)
-        tail[: len(self._buf)] = self._buf[: self.window]
+        tail[: len(self._buf)] = self._buf
         self._buf = np.zeros(0, dtype=np.float32)
-        return self._decode_window(tail)
+        return saved + self._decode_window(tail)
 
     def _decode_window(self, window_samples: np.ndarray) -> List[str]:
         raw = demodulate(self.mode, window_samples, self.symbol_rate)
