@@ -165,7 +165,13 @@ def _cmd_modes(args: argparse.Namespace) -> int:
     for name, spec in MODES.items():
         baud = f"fixed {spec.fixed_baud} Bd" if spec.fixed_baud else "symbol-rate arg"
         print(f"{name:14s} {baud:20s} ~{spec.bytes_per_sec(9600)} B/s @9600")
-    print("(try: modes --diagram QPSK)")
+    if getattr(args, "all", False):
+        from .modem import ANALOG_MODES, DIGITAL_MODES
+
+        print("\ncatalog labels (reference GUI lists; display-only there too):")
+        print("  digital:", ", ".join(DIGITAL_MODES))
+        print("  analog: ", ", ".join(ANALOG_MODES))
+    print("(try: modes --diagram QPSK, modes --all)")
     return 0
 
 
@@ -233,6 +239,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser("modes", help="list transmission modes")
     m.add_argument("--diagram", metavar="MODE", help="print an ASCII diagram of a mode")
+    m.add_argument("--all", action="store_true", help="include the display-only mode catalogs")
     m.add_argument("--symbol-rate", type=int, default=2400)
     m.set_defaults(fn=_cmd_modes)
 

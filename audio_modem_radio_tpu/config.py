@@ -29,6 +29,9 @@ _DEFAULTS: Dict[str, Any] = {
         },
         "fec_enabled": True,
         "fec_type": "reed_solomon",  # 'reed_solomon' or 'convolutional'
+        # CFO robustness in the batched PSK decode (derotation + quarter-turn
+        # sync retry); ~25% throughput cost. Disable for carrier-exact farms.
+        "cfo_retry": True,
         "sample_rate": 96000,
         "quality_threshold": 0.4,
         "duplicate_replacement_threshold": 0.15,

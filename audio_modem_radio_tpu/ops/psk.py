@@ -370,6 +370,25 @@ def estimate_common_rotation(d_re: jnp.ndarray, d_im: jnp.ndarray) -> jnp.ndarra
     return jnp.arctan2(jnp.sum(im4, axis=-1), jnp.sum(re4, axis=-1)) / 4
 
 
+def estimate_common_rotation_windows(
+    d_re: jnp.ndarray, d_im: jnp.ndarray, win: int = 1 << 15
+) -> jnp.ndarray:
+    """Rotation estimate from 3 contiguous windows instead of the full array.
+
+    The estimate converges within a few thousand symbols; reading the whole
+    multi-megasymbol diff stream for it costs a full HBM pass in the fused
+    pipeline. Three spread windows keep coverage (leading/trailing silence
+    contributes ~zero energy weight). Reduces over the last axis.
+    """
+    n = d_re.shape[-1]
+    if n <= 3 * win:
+        return estimate_common_rotation(d_re, d_im)
+    starts = (0, (n - win) // 2, n - win)
+    sl_re = jnp.concatenate([d_re[..., s : s + win] for s in starts], axis=-1)
+    sl_im = jnp.concatenate([d_im[..., s : s + win] for s in starts], axis=-1)
+    return estimate_common_rotation(sl_re, sl_im)
+
+
 def derotate(
     d_re: jnp.ndarray, d_im: jnp.ndarray, theta: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -40,10 +40,9 @@ from ..ops.fsk import fsk_demod_bits
 from ..ops.ofdm import ofdm_demod_bits
 from ..ops.psk import (
     derotate,
-    estimate_common_rotation,
+    estimate_common_rotation_windows,
     psk_demod_streams_batch,
     qpsk_gray_streams,
-    quarter_turn,
 )
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
@@ -83,9 +82,9 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
 
 # --- device-side batched demod -------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("mode", "symbol_rate"))
+@functools.partial(jax.jit, static_argnames=("mode", "symbol_rate", "cfo_retry"))
 def demod_pack_batch(
-    samples: jnp.ndarray, mode: str, symbol_rate: int
+    samples: jnp.ndarray, mode: str, symbol_rate: int, cfo_retry: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(B, N) samples -> (packed_bytes (B, max_bytes), n_valid (B,), found (B,)).
 
@@ -135,18 +134,29 @@ def demod_pack_batch(
         # the frame magic under all four quarter-turn relabelings (pattern
         # transformed on the host — cheap boolean scans) and byte-packing
         # ONCE on the winning rotation (ops/common.py rotation sync).
-        theta = estimate_common_rotation(d_re, d_im)
-        d_re, d_im = derotate(d_re, d_im, theta)
+        # The CFO machinery costs ~25% of pipeline throughput; channels known
+        # to be carrier-exact (e.g. digital loopback farms) can pass
+        # cfo_retry=False (decode_sample_batch plumbs CONFIG modem.cfo_retry).
+        if cfo_retry:
+            theta = estimate_common_rotation_windows(d_re, d_im)
+            d_re, d_im = derotate(d_re, d_im, theta)
         if kind == "psk4":
             hi, lo = jax.vmap(qpsk_gray_streams)(d_re, d_im)
-            return jax.vmap(
-                lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)
-            )(hi, lo)
+            sync = dibit_sync_and_pack_rotations if cfo_retry else dibit_sync_and_pack
+            return jax.vmap(lambda h, l: sync(h, l, MAGIC_BIT_PATTERN))(hi, lo)
         bits_re = (d_re < 0).astype(jnp.uint8)
-        bits_im = (d_im < 0).astype(jnp.uint8)
-        return jax.vmap(
-            lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN)
-        )(bits_re, bits_im)
+        if cfo_retry:
+            bits_im = (d_im < 0).astype(jnp.uint8)
+            return jax.vmap(
+                lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN)
+            )(bits_re, bits_im)
+
+        def sync_pack_one(bb):
+            start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)
+            packed, n_valid = pack_bits_from(bb, start)
+            return packed, n_valid, found
+
+        return jax.vmap(sync_pack_one)(bits_re)
 
     def to_bits(x):
         if kind == "ofdm":
@@ -211,7 +221,9 @@ def decode_sample_batch(
     else:
         x = jnp.asarray(batch)
 
-    packed, n_valid, _found = demod_pack_batch(x, mode, int(symbol_rate))
+    packed, n_valid, _found = demod_pack_batch(
+        x, mode, int(symbol_rate), cfo_retry=bool(CONFIG.get("modem.cfo_retry", True))
+    )
     packed = np.asarray(packed)[:b]
     n_valid = np.asarray(n_valid)[:b]
     return [packed[i, : int(n_valid[i])].tobytes() for i in range(b)]

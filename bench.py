@@ -32,7 +32,7 @@ def _make_signal(n_samples: int, baud: int = 9600) -> np.ndarray:
     return np.tile(wave, reps)[:n_samples]
 
 
-def _bench_tpu(batch: int, n_samples: int, baud: int, reps: int = 3) -> float:
+def _bench_tpu(batch: int, n_samples: int, baud: int, reps: int = 3, cfo_retry: bool = True) -> float:
     """Msamples/s through the fused batched demod on the default device.
 
     Uses the production decode layout: captures pre-shaped into blocked rows
@@ -52,14 +52,14 @@ def _bench_tpu(batch: int, n_samples: int, baud: int, reps: int = 3) -> float:
     shaped[:, :keep] = np.broadcast_to(sig, (batch, n_samples))[:, :keep]
     x = jnp.asarray(shaped.reshape(batch, r, row))
 
-    out = demod_pack_batch(x, "QPSK", baud)  # compile + warm
+    out = demod_pack_batch(x, "QPSK", baud, cfo_retry=cfo_retry)  # compile + warm
     jax.block_until_ready(out)
 
     # Pipelined (sustained) throughput: keep dispatches in flight and drain
     # at the end — JAX's async dispatch overlaps the ~30 ms tunnel round trip
     # with device execution, exactly as the production batch driver does.
     t0 = time.perf_counter()
-    outs = [demod_pack_batch(x, "QPSK", baud) for _ in range(reps)]
+    outs = [demod_pack_batch(x, "QPSK", baud, cfo_retry=cfo_retry) for _ in range(reps)]
     for o in outs:
         jax.block_until_ready(o)
     dt = (time.perf_counter() - t0) / reps
@@ -97,7 +97,12 @@ def main() -> None:
     # latency, so throughput must be measured against >>30 ms of real work.
     batch, n_samples = 64, 1 << 24  # 1.07 Gsamples (4 GB) per step
 
+    # Headline = the production DEFAULT pipeline, which since round 2
+    # includes CFO robustness (blind derotation + quarter-turn sync retry).
     value = _bench_tpu(batch, n_samples, baud)
+    # Equal-capability comparison point vs earlier rounds (which had no CFO
+    # machinery): the same pipeline with cfo_retry off.
+    value_fast = _bench_tpu(batch, n_samples, baud, reps=2, cfo_retry=False)
     baseline = _bench_reference_cpu(1 << 21, baud)
 
     import jax
@@ -108,7 +113,8 @@ def main() -> None:
         "unit": "Msamples/s",
         "vs_baseline": round(value / baseline, 2),
         "baseline_cpu_msamples_per_sec": round(baseline, 2),
-        "config": f"QPSK@{baud}Bd 96kHz, batch={batch}x{n_samples}",
+        "config": f"QPSK@{baud}Bd 96kHz, batch={batch}x{n_samples}, cfo_retry=on (default)",
+        "msamples_per_sec_cfo_off": round(value_fast, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
