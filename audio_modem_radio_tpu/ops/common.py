@@ -201,7 +201,6 @@ def dibit_sync_and_pack_rotations(
     k=0 first, so a clean channel takes the unrotated path.
     """
     m = hi.shape[0]
-    sector = (2 * hi + (hi ^ lo)).astype(jnp.int32)  # inverse Gray, per dibit
 
     starts, founds = [], []
     for k in range(4):
@@ -226,8 +225,18 @@ def dibit_sync_and_pack_rotations(
     ksel = jnp.argmax(found4)  # first found rotation, else 0
     s = start4[ksel]
     found = found4[ksel]
+    packed, n_valid = relabel_shift_pack(hi, lo, s, ksel)
+    return packed, n_valid, found
 
-    # Relabel the stream by the chosen rotation: sector -> sector - k.
+
+def relabel_shift_pack(
+    hi: jnp.ndarray, lo: jnp.ndarray, s: jnp.ndarray, ksel: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Relabel the dibit stream by rotation ``ksel`` (sector -> sector - k),
+    shift to bit offset ``s`` and byte-pack. The shared tail of the XLA and
+    Pallas rotation-sync paths."""
+    m = hi.shape[0]
+    sector = (2 * hi + (hi ^ lo)).astype(jnp.int32)  # inverse Gray, per dibit
     s2 = (sector - ksel) % 4
     rh = (s2 >= 2).astype(jnp.uint8)
     rl = ((s2 == 1) | (s2 == 2)).astype(jnp.uint8)
@@ -241,7 +250,7 @@ def dibit_sync_and_pack_rotations(
     b = jnp.where(parity, fh_next, fl)
     packed = _pack_stream(a, 4, (128, 32, 8, 2)) + _pack_stream(b, 4, (64, 16, 4, 1))
     n_valid = (2 * m - s) // 8
-    return packed, n_valid, found
+    return packed, n_valid
 
 
 @functools.partial(jax.jit, static_argnames=("pattern",))

@@ -205,3 +205,147 @@ def psk_project_diff(
         ],
         interpret=interpret,
     )(xpad, xpad, w)
+
+
+# --- fused rotation-hypothesis magic match -------------------------------------
+
+def rotation_match_conditions(pattern: str):
+    """All 8 (rotation x bit-parity) magic hypotheses as uniform conditions.
+
+    Under a residual CFO rotation k·π/2 the received Gray dibit relabels as
+    (hi', lo') = k=0:(hi,lo) k=1:(~lo,hi) k=2:(~hi,~lo) k=3:(lo,~hi); matching
+    the pattern in the relabeled stream at even/odd bit offsets therefore
+    reduces, for every hypothesis, to an AND of 16 conditions of the single
+    form ``(hi|lo)[t+offset] == bit``. Returns ``cond[h] = tuple of
+    (is_hi, offset, bitval)`` for h = 4*parity + k, plus the max offset.
+    """
+    p = [1 if c == "1" else 0 for c in pattern]
+    n_dib = len(p) // 2
+    # (hi'==b, lo'==b) translated to conditions on the raw streams, per k.
+    def tr(k, is_hi_prime, b):
+        if k == 0:
+            return (is_hi_prime, b)
+        if k == 1:  # hi' = ~lo, lo' = hi
+            return (not is_hi_prime, 1 - b) if is_hi_prime else (True, b)
+        if k == 2:  # hi' = ~hi, lo' = ~lo
+            return (is_hi_prime, 1 - b)
+        return (not is_hi_prime, b) if is_hi_prime else (True, 1 - b)  # k=3
+
+    conds = []
+    for parity in (0, 1):
+        for k in range(4):
+            c = []
+            for t in range(n_dib):
+                if parity == 0:  # even: (hi'_t, lo'_t) == (p_2t, p_2t+1)
+                    sh, bh = tr(k, True, p[2 * t])
+                    sl, bl = tr(k, False, p[2 * t + 1])
+                    c.append((sh, t, bh))
+                    c.append((sl, t, bl))
+                else:  # odd: (lo'_t, hi'_{t+1}) == (p_2t, p_2t+1)
+                    sl, bl = tr(k, False, p[2 * t])
+                    sh, bh = tr(k, True, p[2 * t + 1])
+                    c.append((sl, t, bl))
+                    c.append((sh, t + 1, bh))
+            conds.append(tuple(c))
+    return tuple(conds), n_dib
+
+
+def _rotmatch_kernel(h_ref, hn_ref, l_ref, ln_ref, out_ref, *, conds, blk):
+    """Per-tile first-match position for all 8 rotation/parity hypotheses.
+
+    One pass over the (blk, 128) hi/lo dibit tiles: builds the 9 lane-shifted
+    views once, then each hypothesis is an int accumulation (sum of XOR
+    mismatches) -> position min. Replaces ~128 XLA slice-compare passes with
+    a single VMEM-resident sweep — the whole CFO robustness tax lives here.
+    """
+    i = pl.program_id(0)
+    hi = h_ref[:].astype(jnp.int32)
+    lo = l_ref[:].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk, _BLOCK_SYM), 1)
+
+    def shifted(v, vn, j):
+        """Value at dibit position +j (lane +j, wrapping into the next row,
+        whose head comes from the 8-row lookahead block)."""
+        if j == 0:
+            return v
+        ext = jnp.concatenate([v, vn], axis=0)  # (blk+8, 128)
+        nxt = pltpu.roll(ext, ext.shape[0] - 1, axis=0)[:blk]  # row r+1
+        same_r = pltpu.roll(v, _BLOCK_SYM - j, axis=1)
+        nxt_r = pltpu.roll(nxt, _BLOCK_SYM - j, axis=1)
+        return jnp.where(lane >= _BLOCK_SYM - j, nxt_r, same_r)
+
+    hn = hn_ref[:].astype(jnp.int32)
+    ln = ln_ref[:].astype(jnp.int32)
+    max_off = max(off for c in conds for (_s, off, _b) in c)
+    hs = [shifted(hi, hn, j) for j in range(max_off + 1)]
+    ls = [shifted(lo, ln, j) for j in range(max_off + 1)]
+
+    pos = (
+        (i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, _BLOCK_SYM), 0)) * _BLOCK_SYM
+        + lane
+    )
+    big = jnp.int32(2**30)
+    firsts = []
+    for c in conds:
+        acc = jnp.zeros((blk, _BLOCK_SYM), jnp.int32)
+        for is_hi, off, bit in c:
+            src = hs[off] if is_hi else ls[off]
+            acc = acc + (src ^ bit)
+        firsts.append(jnp.min(jnp.where(acc == 0, pos, big)))
+    out_ref[0] = jnp.stack([jnp.full((_BLOCK_SYM,), f, jnp.int32) for f in firsts])
+
+
+@functools.partial(jax.jit, static_argnames=("pattern", "rows_per_capture", "block_rows", "interpret"))
+def rotation_match_batch(
+    hi: jnp.ndarray,
+    lo: jnp.ndarray,
+    pattern: str,
+    rows_per_capture: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """(B, R, 128) uint8 dibit streams -> per-capture (first_pos, found) for
+    the 8 rotation/parity hypotheses, shape (B, 8) each.
+
+    Tiles never straddle captures (R % block_rows == 0); windows reading past
+    a capture's end only see its zero-pad tail, whose positions are larger
+    than any true match, so the per-capture min is unaffected.
+    """
+    b, r, w = hi.shape
+    if w != _BLOCK_SYM or r != rows_per_capture or r % block_rows:
+        raise ValueError(f"bad shapes {hi.shape} for rows_per_capture={rows_per_capture}")
+    conds, _n_dib = rotation_match_conditions(pattern)
+    h2d = hi.reshape(b * r, w)
+    l2d = lo.reshape(b * r, w)
+    steps = (b * r) // block_rows
+    last_block8 = b * r // 8 - 1
+
+    kern = functools.partial(_rotmatch_kernel, conds=conds, blk=block_rows)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, w),
+                lambda i: (jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, w),
+                lambda i: (jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 8, _BLOCK_SYM), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((steps, 8, _BLOCK_SYM), jnp.int32),
+        interpret=interpret,
+    )(h2d, h2d, l2d, l2d)
+
+    first_all = out[:, :, 0].reshape(b, steps // b, 8)
+    first = jnp.min(first_all, axis=1)  # (B, 8) global dibit position per capture
+    # Positions are global over the flattened batch; make them capture-local.
+    base = (jnp.arange(b) * r * _BLOCK_SYM)[:, None]
+    found = first < 2**30
+    return jnp.where(found, first - base, 0), found

@@ -142,8 +142,37 @@ def demod_pack_batch(
             d_re, d_im = derotate(d_re, d_im, theta)
         if kind == "psk4":
             hi, lo = jax.vmap(qpsk_gray_streams)(d_re, d_im)
-            sync = dibit_sync_and_pack_rotations if cfo_retry else dibit_sync_and_pack
-            return jax.vmap(lambda h, l: sync(h, l, MAGIC_BIT_PATTERN))(hi, lo)
+            if not cfo_retry:
+                return jax.vmap(
+                    lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
+                )(hi, lo)
+            n_dib = hi.shape[1]
+            if jax.default_backend() == "tpu" and n_dib % (128 * 256) == 0:
+                # Pallas matcher: one VMEM sweep computes all 8 rotation/
+                # parity magic hypotheses — this match was the entire CFO
+                # robustness tax (~30%) as XLA slice scans.
+                from ..ops.common import relabel_shift_pack
+                from ..ops.pallas_kernels import rotation_match_batch
+
+                r_dib = n_dib // 128
+                first, found8 = rotation_match_batch(
+                    hi.reshape(-1, r_dib, 128),
+                    lo.reshape(-1, r_dib, 128),
+                    MAGIC_BIT_PATTERN,
+                    r_dib,
+                )
+                fe, fo = found8[:, :4], found8[:, 4:]
+                se, so = 2 * first[:, :4], 2 * first[:, 4:] + 1
+                s_k = jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0))
+                found_k = fe | fo
+                ksel = jnp.argmax(found_k, axis=1)
+                s = jnp.take_along_axis(s_k, ksel[:, None], 1)[:, 0]
+                found = jnp.take_along_axis(found_k, ksel[:, None], 1)[:, 0]
+                packed, n_valid = jax.vmap(relabel_shift_pack)(hi, lo, s, ksel)
+                return packed, n_valid, found
+            return jax.vmap(
+                lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)
+            )(hi, lo)
         bits_re = (d_re < 0).astype(jnp.uint8)
         if cfo_retry:
             bits_im = (d_im < 0).astype(jnp.uint8)

@@ -88,3 +88,44 @@ def test_analytic_bandpass_extracts_tone():
     assert np.abs(np.abs(z[mid]).mean() - 1.0) < 0.05
     inst = np.angle(z[1:] * np.conj(z[:-1])) * sr / (2 * np.pi)
     assert abs(np.median(inst[mid]) - 3000) < 20
+
+
+def test_rotation_match_kernel_interpret(rng):
+    """Pallas rotation matcher (interpreter mode) agrees with a direct numpy
+    evaluation of the 8 hypothesis condition sets, including planted rotated
+    magics and not-found hypotheses."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.framing import MAGIC_BIT_PATTERN
+    from audio_modem_radio_tpu.ops.pallas_kernels import (
+        rotation_match_batch,
+        rotation_match_conditions,
+    )
+
+    conds, n_dib = rotation_match_conditions(MAGIC_BIT_PATTERN)
+    B, R = 2, 256
+    hi = rng.integers(0, 2, (B, R, 128)).astype(np.uint8)
+    lo = rng.integers(0, 2, (B, R, 128)).astype(np.uint8)
+    for h, p in {0: 5000, 3: 7000, 6: 1234}.items():
+        fh, fl = hi[0].reshape(-1), lo[0].reshape(-1)
+        for is_hi, off, bit in conds[h]:
+            (fh if is_hi else fl)[p + off] = bit
+
+    first, found = rotation_match_batch(
+        jnp.asarray(hi), jnp.asarray(lo), MAGIC_BIT_PATTERN, R, interpret=True
+    )
+    first, found = np.asarray(first), np.asarray(found)
+
+    for b in range(B):
+        fh, fl = hi[b].reshape(-1), lo[b].reshape(-1)
+        m = len(fh)
+        L = m - (n_dib + 1)
+        for h, c in enumerate(conds):
+            match = np.ones(L, bool)
+            for is_hi, off, bit in c:
+                src = fh if is_hi else fl
+                match &= src[off : off + L] == bit
+            exp_found = bool(match.any())
+            assert bool(found[b, h]) == exp_found, (b, h)
+            if exp_found:
+                assert int(first[b, h]) == int(np.argmax(match)), (b, h)
