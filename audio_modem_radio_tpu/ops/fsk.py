@@ -52,6 +52,11 @@ from .common import analytic_bandpass, bit_sync_and_pack, bytes_to_bits
 
 FSK_PREAMBLE = b"\xAA\xAA\xAA\xAA"
 
+# Block-parallel MLSE geometry: Viterbi blocks of CORE bits with OVERLAP-bit
+# warmup/cooldown on each side (survivor merge depth is a few hundred bits).
+_MLSE_BLOCK_CORE = 1 << 13
+_MLSE_BLOCK_OVERLAP = 1 << 10
+
 
 def _samples_per_bit(sample_rate: int, baud: float) -> int:
     # round(), matching the reference (modem.py:272).
@@ -332,25 +337,55 @@ def _mlse_refine(
     p1 = (jnp.arange(n_states) - adv_mark) % n_states  # predecessor via bit 1
     p0 = (jnp.arange(n_states) - adv_space) % n_states
 
-    def step(pm, uk):
-        sm, cm, ss, cs = uk
-        m1 = sm * cos_t + cm * sin_t - a_half * ec[0]  # at each pred phase
-        m0 = ss * cos_t + cs * sin_t - a_half * ec[1]
-        cand1 = pm[p1] + m1[p1]
-        cand0 = pm[p0] + m0[p0]
-        take1 = cand1 > cand0
-        pm_new = jnp.where(take1, cand1, cand0)
-        return pm_new - pm_new.max(), take1
+    def viterbi(sp_b, cp_b):
+        """(2, L) θ-corrected correlations -> (L,) ML bit path."""
 
-    pm, decisions = jax.lax.scan(step, jnp.zeros(n_states), (sp[0], cp[0], sp[1], cp[1]))
+        def step(pm, uk):
+            sm, cm, ss, cs = uk
+            m1 = sm * cos_t + cm * sin_t - a_half * ec[0]  # at each pred phase
+            m0 = ss * cos_t + cs * sin_t - a_half * ec[1]
+            cand1 = pm[p1] + m1[p1]
+            cand0 = pm[p0] + m0[p0]
+            take1 = cand1 > cand0
+            pm_new = jnp.where(take1, cand1, cand0)
+            return pm_new - pm_new.max(), take1
 
-    def back(state, dec_t):
-        bit = dec_t[state]
-        pred = jnp.where(bit, (state - adv_mark) % n_states, (state - adv_space) % n_states)
-        return pred, bit.astype(jnp.uint8)
+        pm, decisions = jax.lax.scan(
+            step, jnp.zeros(n_states), (sp_b[0], cp_b[0], sp_b[1], cp_b[1])
+        )
 
-    _, bits_rev = jax.lax.scan(back, jnp.argmax(pm), decisions, reverse=True)
-    return bits_rev
+        def back(state, dec_t):
+            bit = dec_t[state]
+            pred = jnp.where(
+                bit, (state - adv_mark) % n_states, (state - adv_space) % n_states
+            )
+            return pred, bit.astype(jnp.uint8)
+
+        _, bits_rev = jax.lax.scan(back, jnp.argmax(pm), decisions, reverse=True)
+        return bits_rev
+
+    sp_cp = jnp.stack([sp, cp], axis=0)  # (2, 2, n_bits): [s/c, tone, t]
+    core, ov = _MLSE_BLOCK_CORE, _MLSE_BLOCK_OVERLAP
+    if n_bits <= core + 2 * ov:
+        return viterbi(sp_cp[0], sp_cp[1])
+
+    # Block-parallel Viterbi: the sequential scan was gated to 2^18 bits in
+    # round 1 (long FSK captures silently skipped MLSE). Survivor paths of
+    # this trellis merge within a few hundred bits, so blocks overlapping by
+    # ``ov`` on each side decode independently (vmapped — the scan length
+    # drops from n_bits to core+2ov) and only the converged cores are kept.
+    n_blocks = -(-n_bits // core)
+    padded = jnp.pad(sp_cp, ((0, 0), (0, 0), (ov, n_blocks * core - n_bits + ov)))
+    blocks = jnp.stack(
+        [
+            jax.lax.dynamic_slice(
+                padded, (0, 0, i * core), (2, 2, core + 2 * ov)
+            )
+            for i in range(n_blocks)
+        ]
+    )  # (n_blocks, 2, 2, core+2ov)
+    bits_blocks = jax.vmap(lambda b: viterbi(b[0], b[1]))(blocks)
+    return bits_blocks[:, ov : ov + core].reshape(-1)[:n_bits]
 
 
 @functools.lru_cache(maxsize=64)
@@ -603,10 +638,10 @@ def fsk_demod_bits(
 
     # MLSE refinement on RAW-sample correlations: the equalizer floors around
     # 1.5e-5 BER at tiny modulation indices; the phase-trellis Viterbi is the
-    # exact ML detector there. Gated to tractable trellises and capture sizes
-    # (the trellis scan is sequential).
+    # exact ML detector there. Long captures run the block-parallel Viterbi
+    # (vmapped over overlapping blocks) — no capture-size gate since round 2.
     trellis = _cpfsk_trellis(spb, float(mark), float(space), sample_rate) if mlse else None
-    if trellis is not None and n_bits <= (1 << 18):
+    if trellis is not None:
         n_states, adv_m, adv_s = trellis
         Wl = jnp.asarray(
             _fsk_local_quadrature_templates(

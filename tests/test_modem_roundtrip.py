@@ -190,3 +190,18 @@ def test_fsk9600_rotated_channel_equalizer_floor(rng):
     bits = np.asarray(bits)
     n = min(len(bits), len(expected))
     assert int((bits[:n] != expected[:n]).sum()) <= 5  # ~floor, not model break
+
+
+def test_fsk9600_long_capture_blocked_mlse(rng):
+    """Captures beyond the old 2^18-bit MLSE gate decode bit-exact via the
+    block-parallel Viterbi (VERDICT r1 weak #4: long FSK9600 captures
+    silently skipped MLSE)."""
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+    from audio_modem_radio_tpu.ops.fsk import fsk_demodulate, fsk_modulate
+
+    payload = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
+    framed = pack_frame("big.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(fsk_modulate(framed, 9600), np.float32)
+    assert len(wave) // 10 > (1 << 18)  # beyond the old gate
+    frames = parse_frames(fsk_demodulate(wave, 9600))
+    assert frames and frames[0].data == payload
