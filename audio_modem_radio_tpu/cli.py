@@ -23,6 +23,13 @@ import sys
 from typing import List, Optional
 
 
+def _analytics():
+    """Shared analytics store; CLI runs record like the console app does."""
+    from .observability import AnalyticsStore
+
+    return AnalyticsStore()
+
+
 def _cmd_encode(args: argparse.Namespace) -> int:
     from .encoder import calculate_transmission_stats, encode_file_paths
     import os
@@ -64,6 +71,9 @@ def _cmd_encode(args: argparse.Namespace) -> int:
     )
     for p in paths:
         print(p)
+    an = _analytics()
+    an.record_encode(args.mode, os.path.getsize(args.file), ok=bool(paths))
+    an.save()
     return 0 if paths else 1
 
 
@@ -98,6 +108,15 @@ def _cmd_decode(args: argparse.Namespace) -> int:
             saved_all.extend(saved)
     for p in saved_all:
         print(p)
+    import os
+
+    an = _analytics()
+    an.record_decode(
+        args.mode,
+        sum(os.path.getsize(p) for p in saved_all if os.path.exists(p)),
+        ok=bool(saved_all),
+    )
+    an.save()
     return 0 if saved_all else 1
 
 
