@@ -1,0 +1,121 @@
+"""Multi-host (DCN) batch decode: scale the capture farm past one host.
+
+``decode_wav_batch`` assumes one process owning all devices; a pod slice
+spans hosts, each owning a subset of chips, coordinated over DCN. The design
+keeps DCN entirely OUT of the hot path (SURVEY.md §5: captures are
+independent, so the only cross-host traffic is job setup and the final
+result gather — there are no cross-sample collectives to ride DCN):
+
+* ``initialize()`` — ``jax.distributed.initialize`` (env-driven under
+  standard launchers; explicit args otherwise). Safe no-op single-process.
+* ``partition_files(paths)`` — deterministic round-robin split of the global
+  WAV list by process index: every host decodes its own shard with its LOCAL
+  devices through the existing single-host pipeline. Round-robin (not
+  contiguous blocks) balances mixed-length capture sets.
+* ``decode_wav_batch_multihost(paths, ...)`` — partition, decode locally,
+  then (optionally) all-gather the per-host saved-file manifests through one
+  tiny ``process_allgather`` so every host returns the global result list.
+
+Runs unchanged on one process (partition = identity, gather = identity) —
+which is how the test suite exercises it; the driver's virtual mesh covers
+the single-host sharding underneath.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger("audio_modem_radio_tpu")
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up jax.distributed; no-op when already initialized or solo."""
+    import jax
+
+    if jax.process_count() > 1:
+        return
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()  # env-driven (SLURM/GKE/launcher)
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except Exception as exc:  # single-process / no coordinator: stay local
+        logger.info("jax.distributed not initialized (%s); running single-host", exc)
+
+
+def partition_files(paths: Sequence[str], process_id: Optional[int] = None,
+                    num_processes: Optional[int] = None) -> List[str]:
+    """This process's shard of the global WAV list (deterministic, disjoint,
+    exhaustive across processes)."""
+    import jax
+
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if num_processes is None else num_processes
+    return list(paths[pid::n])
+
+
+def decode_wav_batch_multihost(
+    paths: Sequence[str],
+    mode: str,
+    symbol_rate: int,
+    recv_dir: Optional[str] = None,
+    registry=None,
+    gather_manifest: bool = True,
+) -> List[str]:
+    """Decode a GLOBAL list of WAVs across all hosts; returns saved paths.
+
+    Each host decodes ``partition_files(paths)`` on its local devices via the
+    single-host batched pipeline (local mesh over ``jax.local_devices()``).
+    With ``gather_manifest`` every host returns the union of all hosts' saved
+    file names (one tiny DCN all-gather); otherwise just the local ones.
+    """
+    import jax
+
+    from ..decoder import RECV_DIR
+    from .batch import decode_wav_batch
+    from .mesh import get_mesh
+
+    mine = partition_files(paths)
+    saved_local: List[str] = []
+    if mine:
+        mesh = get_mesh(devices=jax.local_devices())
+        results = decode_wav_batch(
+            mine, mode, symbol_rate, recv_dir=recv_dir or RECV_DIR, registry=registry,
+            mesh=mesh,
+        )
+        saved_local = [p for r in results for p in r]
+
+    if not gather_manifest or jax.process_count() == 1:
+        return saved_local
+
+    # One tiny control-plane all-gather: fixed-width encoded names, padded to
+    # the global max count (DCN traffic ~KB; the captures never cross hosts).
+    from jax.experimental import multihost_utils
+
+    encoded = [p.encode("utf-8")[:255] for p in saved_local]
+    max_count = int(
+        multihost_utils.process_allgather(np.asarray([len(encoded)], np.int32)).max()
+    )
+    buf = np.zeros((max_count, 256), np.uint8)
+    for i, e in enumerate(encoded):
+        buf[i, 0] = len(e)
+        buf[i, 1 : 1 + len(e)] = np.frombuffer(e, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)  # (n_proc, max_count, 256)
+    out: List[str] = []
+    for host_rows in gathered:
+        for row in host_rows:
+            n = int(row[0])
+            if n:
+                out.append(bytes(row[1 : 1 + n]).decode("utf-8", "ignore"))
+    return out

@@ -130,3 +130,31 @@ def test_2d_mesh_shapes():
     assert dict(mesh.shape) == {"data": 4, "model": 2}
     with pytest.raises(ValueError):
         get_2d_mesh(8, 2)
+
+
+def test_multihost_single_process_path(workdir):
+    """Multi-host decode degenerates to the single-host pipeline on one
+    process: identity partition, local mesh, same results."""
+    from audio_modem_radio_tpu.parallel.multihost import (
+        decode_wav_batch_multihost,
+        partition_files,
+    )
+
+    assert partition_files(["a", "b", "c"]) == ["a", "b", "c"]
+    assert partition_files(["a", "b", "c", "d"], process_id=1, num_processes=2) == ["b", "d"]
+    assert sorted(
+        partition_files(["a", "b", "c"], 0, 2) + partition_files(["a", "b", "c"], 1, 2)
+    ) == ["a", "b", "c"]
+
+    contents, wavs = [], []
+    for i in range(3):
+        data = bytes(f"multihost file {i} ".encode() * 30)
+        p = workdir / f"m{i}.bin"
+        p.write_bytes(data)
+        wavs.append(encode_file(str(p), mode="QPSK", symbol_rate=4800))
+        contents.append(data)
+    reg = AssemblyRegistry()
+    saved = decode_wav_batch_multihost(wavs, "QPSK", 4800, registry=reg)
+    assert len(saved) == 3
+    got = sorted(open(p, "rb").read() for p in saved)
+    assert got == sorted(contents)

@@ -110,3 +110,45 @@ def test_streaming_flush_never_discards(tmp_path, monkeypatch, rng):
     dec._buf = big
     saved = dec.flush()
     assert saved and open(saved[0], "rb").read() == payload
+
+
+def test_tui_render_functions():
+    """The TUI's pure render layer covers every reference GUI affordance
+    without needing a terminal."""
+    from audio_modem_radio_tpu.tui import (
+        AppState,
+        render_screen,
+        render_volume_bar,
+    )
+
+    st = AppState()
+    st.playlist = ["a.wav", "b.wav"]
+    st.played = {"a.wav"}
+    st.playing = "b.wav"
+    st.stats = {"total_files": 2, "channel_snr_db": 17.5, "recommended": "QPSK"}
+    st.assemblies = [{"filename": "big.bin", "received": 2, "total": 3}]
+    st.host = {"cpu": 10}
+    st.volume = 0.5
+    st.recording = True
+    st.logline("hello")
+
+    for tab in range(4):
+        st.tab = tab
+        lines = render_screen(st, width=80)
+        assert all(len(ln) <= 80 for ln in lines)
+        assert any("QPSK@9600Bd" in ln for ln in lines)
+        assert any("hello" in ln for ln in lines)
+
+    st.tab = 2
+    txt = "\n".join(render_screen(st, 80))
+    assert "* [0] a.wav" in txt  # played
+    assert "> [1] b.wav" in txt  # playing
+    st.tab = 1
+    txt = "\n".join(render_screen(st, 80))
+    assert "level [" in txt and "big.bin 2/3" in txt
+    st.tab = 3
+    txt = "\n".join(render_screen(st, 80))
+    assert "17.5 dB" in txt and "QPSK" in txt
+
+    bar = render_volume_bar(0.5, width=10)
+    assert bar.count("#") == 5 and " 50%" in bar
