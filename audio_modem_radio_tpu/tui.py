@@ -292,9 +292,6 @@ def main() -> int:  # pragma: no cover - requires a terminal
                 continue
             key = chr(ch) if 0 < ch < 256 else ""
             if key == "q":
-                shell.playlist = st.playlist
-                shell._restored_played = set(st.played)
-                shell.player = None  # type: ignore[assignment]
                 try:
                     import json
 
