@@ -135,3 +135,19 @@ def test_neural_batched_sharded_decode(rng):
 
 def _framed_named(name: str, payload: bytes) -> bytes:
     return pack_frame(name, payload, 0, 1, len(payload), crc32(payload))
+
+
+def test_codebook_loads_zip_safe(monkeypatch):
+    """The codebook loads through importlib.resources when the filesystem
+    path is absent (zipapp / wheel-in-zip deployment)."""
+    import audio_modem_radio_tpu.ops.neural as nmod
+
+    nmod._codebook.cache_clear()
+    monkeypatch.setattr(nmod, "_CODEBOOK_PATH", "/nonexistent/neural_codebook.npz")
+    try:
+        cb = nmod._codebook()
+        assert cb.shape == (256, 16)
+    finally:
+        nmod._codebook.cache_clear()
+        monkeypatch.undo()
+        assert nmod._codebook().shape == (256, 16)
