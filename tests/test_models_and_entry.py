@@ -72,3 +72,12 @@ def test_graft_entry_multichip_odd_count():
     import __graft_entry__ as g
 
     g.dryrun_multichip(5)  # non-power-of-two device count must work too
+
+
+def test_dryrun_multichip_self_provisions_via_subprocess():
+    """The round-1 MULTICHIP failure mode: a process with too few devices
+    must re-exec into a virtual CPU mesh and run the full dryrun (the test
+    process has 8 devices, so asking for 12 forces the re-exec leg)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(12)
