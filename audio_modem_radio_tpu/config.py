@@ -30,8 +30,11 @@ _DEFAULTS: Dict[str, Any] = {
         "fec_enabled": True,
         "fec_type": "reed_solomon",  # 'reed_solomon' or 'convolutional'
         # CFO robustness in the batched PSK decode (derotation + quarter-turn
-        # sync retry); ~25% throughput cost. Disable for carrier-exact farms.
+        # sync retry); ~15% throughput cost. Disable for carrier-exact farms.
         "cfo_retry": True,
+        # MLSE refinement in the BATCHED FSK decode (the single-file path
+        # always runs it): ~3x throughput cost for a ~1.5e-5 -> 0 BER gain.
+        "batch_mlse": False,
         "sample_rate": 96000,
         "quality_threshold": 0.4,
         "duplicate_replacement_threshold": 0.15,

@@ -187,12 +187,19 @@ def demod_pack_batch(
 
         return jax.vmap(sync_pack_one)(bits_re)
 
+    # Batched FSK skips MLSE refinement by default: the trellis scan costs
+    # ~3x pipeline throughput and the equalizer's ~1.5e-5 floor is already
+    # far below frame-loss relevance on production captures; precision
+    # decodes (the single-file path) still run MLSE with parse-verified
+    # fallback. Flip modem.batch_mlse to pay for it here too.
+    batch_mlse = bool(CONFIG.get("modem.batch_mlse", False))
+
     def to_bits(x):
         if kind == "ofdm":
             baud, carrier, n_sub = params
             return ofdm_demod_bits(x, baud, carrier, int(n_sub), SAMPLE_RATE)[0]
         baud, mark, space = params
-        return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE)[0]
+        return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE, mlse=batch_mlse)[0]
 
     bits = jax.vmap(to_bits)(samples)
 
