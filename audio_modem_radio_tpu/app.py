@@ -61,6 +61,11 @@ class ConsoleApp:
         restart; its colored playlist is filebeep_advanced_v2.py:1159-1203)."""
         import json
 
+        # Set both attributes unconditionally: callers construct this object
+        # without __init__ (the TUI shares the persistence logic), so the
+        # error path must leave a fully usable state.
+        self.playlist = getattr(self, "playlist", [])
+        self._restored_played = set()
         try:
             with open(self.playlist_path) as f:
                 data = json.load(f)
@@ -69,7 +74,7 @@ class ConsoleApp:
                 e["path"] for e in data.get("entries", []) if e.get("played")
             }
         except (OSError, ValueError, KeyError):
-            self._restored_played = set()
+            pass
 
     def _save_playlist(self) -> None:
         import json

@@ -242,39 +242,61 @@ def decode_with_retry(
     factors = RETRY_FACTORS[:max_retries]
     n = len(samples)
 
+    # Hypothesis 1.0 first, through the FULL single-capture receiver
+    # (including FSK MLSE refinement, which the batched throughput path
+    # skips) — retry must never decode worse than a plain decode.
+    try:
+        raw0 = demodulate(mode, pad_to_bucket(samples), symbol_rate)
+        frames = parse_frames(raw0)
+        if frames:
+            saved = save_decoded_files(frames, recv_dir, registry)
+            if saved:
+                if dump_attempts:
+                    try:
+                        out_dir = _ensure_recv_dir(recv_dir)
+                        with open(
+                            os.path.join(out_dir, "demodulated_attempt_1.bin"), "wb"
+                        ) as f:
+                            f.write(raw0)
+                    except OSError:
+                        pass
+                return saved
+    except Exception:
+        logger.exception("nominal decode attempt failed; trying drift hypotheses")
+
     try:
         # Row i undoes a TX clock off by ``factors[i]`` EXACTLY: the capture
         # is resampled by stretch 1/factor (reading it at stride ``factor``).
         # Note this must be the exact inverse — a 0.95-rate attempt against a
         # 1.05-fast clock (the reference's pairing) leaves a 0.25% residual
         # rate error that drifts symbol timing past sync within ~400 symbols.
-        strides = [1.0 / f for f in factors]  # read stride that undoes drift f
-        m = int(np.ceil(n / min(strides)))
-        batch = np.zeros((len(factors), m), dtype=np.float32)
+        drift = [f for f in factors if f != 1.0]
+        strides = [1.0 / f for f in drift]  # read stride that undoes drift f
+        m = int(np.ceil(n / min(strides))) if strides else n
+        batch = np.zeros((max(len(drift), 1), m), dtype=np.float32)
         src = np.arange(n, dtype=np.float64)
         for i, s in enumerate(strides):
-            if s == 1.0:
-                batch[i, :n] = samples
-            else:
-                dst = np.arange(int(n / s), dtype=np.float64) * s
-                row = np.interp(dst, src, samples).astype(np.float32)
-                batch[i, : len(row)] = row
-        raws = decode_sample_batch(batch, mode, symbol_rate)
+            dst = np.arange(int(n / s), dtype=np.float64) * s
+            row = np.interp(dst, src, samples).astype(np.float32)
+            batch[i, : len(row)] = row
+        raws = decode_sample_batch(batch, mode, symbol_rate)[: len(drift)] if drift else []
     except Exception:
         logger.exception("batched retry failed; falling back to sequential attempts")
+        drift = [f for f in factors if f != 1.0]
         raws = []
-        for factor in factors:
+        for factor in drift:
             rate = max(1, int(symbol_rate * factor))
             try:
                 raws.append(demodulate(mode, pad_to_bucket(samples), rate))
             except Exception:
                 raws.append(b"")
 
-    for attempt, raw in enumerate(raws):
+    for i, raw in enumerate(raws):
+        attempt = i + 2  # attempt 1 was the nominal full decode above
         if dump_attempts:
             try:
                 out_dir = _ensure_recv_dir(recv_dir)
-                with open(os.path.join(out_dir, f"demodulated_attempt_{attempt + 1}.bin"), "wb") as f:
+                with open(os.path.join(out_dir, f"demodulated_attempt_{attempt}.bin"), "wb") as f:
                     f.write(raw)
             except OSError:
                 pass
@@ -284,11 +306,11 @@ def decode_with_retry(
             if saved:
                 logger.info(
                     "retry hypothesis %d (clock factor %.2f) succeeded",
-                    attempt + 1,
-                    factors[attempt],
+                    attempt,
+                    drift[i],
                 )
                 return saved
-    logger.warning("all %d decode hypotheses failed", len(raws))
+    logger.warning("all %d decode hypotheses failed", len(raws) + 1)
     return []
 
 

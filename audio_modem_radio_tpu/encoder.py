@@ -184,9 +184,14 @@ def _modulate_with_fallback(
     reference's 0.1 s floor there would misfire; it only verifies on the
     multi-part path anyway, encoder.py:284-296).
     """
+    if mode not in MODES:
+        # Reference parity: its encode dispatch sends unknown mode names to
+        # QPSK (encoder.py:284-296 default arm) rather than erroring.
+        logger.warning("unknown mode %s; encoding as QPSK like the reference", mode)
+        mode = "QPSK"
     try:
         arr = modulate(mode, framed, symbol_rate)
-    except Exception as exc:  # unknown mode / modulator bug: same ladder
+    except Exception as exc:  # modulator bug / bad artifact: the BPSK ladder
         logger.error("mode %s failed to modulate (%s); falling back to BPSK", mode, exc)
         arr = np.zeros(0, np.float32)
     if verify_audio_output(arr, min_duration):

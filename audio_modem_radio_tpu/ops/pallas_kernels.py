@@ -314,7 +314,7 @@ def rotation_match_batch(
     b, r, w = hi.shape
     if w != _BLOCK_SYM or r != rows_per_capture or r % block_rows:
         raise ValueError(f"bad shapes {hi.shape} for rows_per_capture={rows_per_capture}")
-    conds, _n_dib = rotation_match_conditions(pattern)
+    conds, _n_dib = rotation_match_conditions(pattern)  # _n_dib used below
     h2d = hi.reshape(b * r, w)
     l2d = lo.reshape(b * r, w)
     steps = (b * r) // block_rows
@@ -347,5 +347,11 @@ def rotation_match_batch(
     first = jnp.min(first_all, axis=1)  # (B, 8) global dibit position per capture
     # Positions are global over the flattened batch; make them capture-local.
     base = (jnp.arange(b) * r * _BLOCK_SYM)[:, None]
-    found = first < 2**30
-    return jnp.where(found, first - base, 0), found
+    local = first - base
+    # The last tile's lookahead block reads the NEXT capture's head (and the
+    # final capture's wraps onto itself), so windows starting in the last
+    # n_dib+1 dibits can false-match across the boundary. The XLA matcher
+    # scans only L = m - (n_dib+1) positions; enforce the same bound here.
+    limit = r * _BLOCK_SYM - (_n_dib + 1)
+    found = (first < 2**30) & (local < limit)
+    return jnp.where(found, local, 0), found

@@ -561,9 +561,15 @@ def psk_demod_bits(
     Generic-bit-stream API; the batched hot path uses
     :func:`psk_demod_streams` + the dual-stream byte packer instead, which
     avoids materializing the interleaved (n, 2) layout.
+
+    Deliberately NO blind derotation here: the 4th-power estimate resolves
+    the channel rotation only mod π/2, and this API has no frame-sync stage
+    to try the quarter-turn relabelings — derotating would turn e.g. a
+    static 60° phase offset (decodable as-is, margin cos60°) into a 90°
+    offset (undecodable). CFO handling lives in the synced byte paths
+    (:func:`_psk_bytes_cfo`, parallel/batch.py).
     """
     d_re, d_im, best_score = psk_demod_streams(samples, baud, carrier, sample_rate, n_offsets)
-    d_re, d_im = derotate(d_re, d_im, estimate_common_rotation(d_re, d_im))
     if n_psk == 2:
         bits = (d_re < 0).astype(jnp.uint8)
     else:

@@ -82,9 +82,15 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
 
 # --- device-side batched demod -------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("mode", "symbol_rate", "cfo_retry"))
+@functools.partial(
+    jax.jit, static_argnames=("mode", "symbol_rate", "cfo_retry", "fsk_mlse")
+)
 def demod_pack_batch(
-    samples: jnp.ndarray, mode: str, symbol_rate: int, cfo_retry: bool = True
+    samples: jnp.ndarray,
+    mode: str,
+    symbol_rate: int,
+    cfo_retry: bool = True,
+    fsk_mlse: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(B, N) samples -> (packed_bytes (B, max_bytes), n_valid (B,), found (B,)).
 
@@ -187,19 +193,19 @@ def demod_pack_batch(
 
         return jax.vmap(sync_pack_one)(bits_re)
 
-    # Batched FSK skips MLSE refinement by default: the trellis scan costs
-    # ~3x pipeline throughput and the equalizer's ~1.5e-5 floor is already
-    # far below frame-loss relevance on production captures; precision
-    # decodes (the single-file path) still run MLSE with parse-verified
-    # fallback. Flip modem.batch_mlse to pay for it here too.
-    batch_mlse = bool(CONFIG.get("modem.batch_mlse", False))
+    # Batched FSK skips MLSE refinement by default (fsk_mlse=False): the
+    # trellis scan costs ~3x pipeline throughput and the equalizer's ~1.5e-5
+    # floor is already far below frame-loss relevance on production captures;
+    # precision decodes (the single-file path) still run MLSE with parse-
+    # verified fallback. fsk_mlse is a STATIC jit arg so the knob always
+    # takes effect (decode_sample_batch plumbs CONFIG modem.batch_mlse).
 
     def to_bits(x):
         if kind == "ofdm":
             baud, carrier, n_sub = params
             return ofdm_demod_bits(x, baud, carrier, int(n_sub), SAMPLE_RATE)[0]
         baud, mark, space = params
-        return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE, mlse=batch_mlse)[0]
+        return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE, mlse=fsk_mlse)[0]
 
     bits = jax.vmap(to_bits)(samples)
 
@@ -258,7 +264,11 @@ def decode_sample_batch(
         x = jnp.asarray(batch)
 
     packed, n_valid, _found = demod_pack_batch(
-        x, mode, int(symbol_rate), cfo_retry=bool(CONFIG.get("modem.cfo_retry", True))
+        x,
+        mode,
+        int(symbol_rate),
+        cfo_retry=bool(CONFIG.get("modem.cfo_retry", True)),
+        fsk_mlse=bool(CONFIG.get("modem.batch_mlse", False)),
     )
     packed = np.asarray(packed)[:b]
     n_valid = np.asarray(n_valid)[:b]

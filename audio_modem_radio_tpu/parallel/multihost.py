@@ -36,11 +36,15 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Bring up jax.distributed; no-op when already initialized or solo."""
+    """Bring up jax.distributed; no-op when already initialized or solo.
+
+    Must be the process's FIRST jax touch: any backend-initializing call
+    (even ``jax.process_count()``) beforehand makes ``distributed.initialize``
+    raise — so this function probes initialization state without touching
+    the backend, and only swallows the specific already-initialized error.
+    """
     import jax
 
-    if jax.process_count() > 1:
-        return
     try:
         if coordinator_address is None and num_processes is None:
             jax.distributed.initialize()  # env-driven (SLURM/GKE/launcher)
@@ -50,8 +54,13 @@ def initialize(
                 num_processes=num_processes,
                 process_id=process_id,
             )
-    except Exception as exc:  # single-process / no coordinator: stay local
-        logger.info("jax.distributed not initialized (%s); running single-host", exc)
+    except ValueError as exc:
+        # No coordinator config anywhere: legitimate single-host run.
+        logger.info("jax.distributed not configured (%s); running single-host", exc)
+    except RuntimeError as exc:
+        if "already" in str(exc).lower():
+            return  # initialized earlier in this process — fine
+        raise
 
 
 def partition_files(paths: Sequence[str], process_id: Optional[int] = None,

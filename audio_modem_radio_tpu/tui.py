@@ -180,6 +180,7 @@ def main() -> int:  # pragma: no cover - requires a terminal
 
     shell = ConsoleApp.__new__(ConsoleApp)
     shell.playlist_path = "playlist.json"
+    shell._player = None
     shell._load_playlist()
     st.playlist = list(shell.playlist)
     st.played = set(shell._restored_played)
@@ -270,7 +271,12 @@ def main() -> int:  # pragma: no cover - requires a terminal
             if now - last_stats > 2.0:
                 from .decoder import get_assembly_status, get_reception_stats
 
-                st.stats = dict(get_reception_stats())
+                fresh = dict(get_reception_stats())
+                # Keep the Analysis tab's channel results across refreshes.
+                for k in ("channel_snr_db", "recommended"):
+                    if k in st.stats:
+                        fresh[k] = st.stats[k]
+                st.stats = fresh
                 st.assemblies = get_assembly_status()
                 st.host = monitor.sample()
                 last_stats = now
@@ -292,16 +298,10 @@ def main() -> int:  # pragma: no cover - requires a terminal
                 continue
             key = chr(ch) if 0 < ch < 256 else ""
             if key == "q":
-                try:
-                    import json
-
-                    entries = [
-                        {"path": p, "played": p in st.played} for p in st.playlist
-                    ]
-                    with open("playlist.json", "w") as f:
-                        json.dump({"entries": entries}, f, indent=1)
-                except OSError:
-                    pass
+                # Persist through the console app's shared writer.
+                shell.playlist = st.playlist
+                shell._restored_played = set(st.played)
+                shell._save_playlist()
                 return
             if ch == 9 or key == "]":  # tab
                 st.tab = (st.tab + 1) % len(TABS)

@@ -82,9 +82,10 @@ def test_recommender_neural_end_to_end(tmp_path, monkeypatch, rng):
     assert saved and open(saved[0], "rb").read() == data
 
 
-def test_unknown_mode_fallback_ladder(tmp_path, monkeypatch, rng):
-    """A modulator exception falls down the BPSK ladder instead of crashing
-    (reference fault-tolerance story, encoder.py:206-226)."""
+def test_unknown_mode_encodes_as_qpsk(tmp_path, monkeypatch, rng):
+    """Unknown mode names encode as QPSK — the reference dispatch's default
+    arm (encoder.py:284-296) — and the unknown-mode DECODE falls back to
+    QPSK too (decoder.py:433-434), so a typo'd config still round-trips."""
     monkeypatch.chdir(tmp_path)
     from audio_modem_radio_tpu.decoder import decode_wav_file
     from audio_modem_radio_tpu.encoder import encode_file
@@ -93,7 +94,7 @@ def test_unknown_mode_fallback_ladder(tmp_path, monkeypatch, rng):
     src = tmp_path / "f.bin"
     src.write_bytes(data)
     wav = encode_file(str(src), mode="NO_SUCH_MODE", symbol_rate=4800)
-    saved = decode_wav_file(wav, "BPSK", 4800)
+    saved = decode_wav_file(wav, "NO_SUCH_MODE", 4800)  # both sides typo'd
     assert saved and open(saved[0], "rb").read() == data
 
 
