@@ -211,6 +211,16 @@ def ofdm_demod_bits(
     dr = re[1:] * re[:-1] + im[1:] * im[:-1]  # (n_sym-1, K)
     di = im[1:] * re[:-1] - re[1:] * im[:-1]
 
+    # CFO handling: a carrier offset advances EVERY subcarrier's symbol phase
+    # by the same 2πδ·S/fs per symbol, i.e. a constant rotation of all
+    # differential phasors — estimated blind (4th power, mod π/2) and
+    # derotated here; the residual k·π/2 sector relabeling is resolved by the
+    # caller's quarter-turn sync retry, exactly like the PSK path.
+    from .psk import derotate, estimate_common_rotation
+
+    theta = estimate_common_rotation(dr.reshape(-1), di.reshape(-1))
+    dr, di = derotate(dr, di, theta)
+
     swap = jnp.abs(di) > jnp.abs(dr)
     neg = jnp.where(swap, di < 0, dr < 0)
     hi = neg.astype(jnp.uint8)
@@ -238,7 +248,14 @@ def ofdm_demodulate(
         int(num_subcarriers),
         int(samp_rate),
     )
-    packed, n_valid, _found = bit_sync_and_pack(bits, MAGIC_BIT_PATTERN)
+    # Quarter-turn rotation retry (the k·π/2 residual of the blind CFO
+    # derotation inside ofdm_demod_bits): the interleaved bit stream's dibits
+    # ARE the Gray pairs, so the PSK rotation sync applies unchanged.
+    from .common import dibit_sync_and_pack_rotations
+
+    packed, n_valid, _found = dibit_sync_and_pack_rotations(
+        bits[0::2], bits[1::2], MAGIC_BIT_PATTERN
+    )
     return bytes(np.asarray(packed)[: int(n_valid)])
 
 

@@ -209,6 +209,15 @@ def demod_pack_batch(
 
     bits = jax.vmap(to_bits)(samples)
 
+    if kind == "ofdm" and cfo_retry:
+        # OFDM dibits are Gray pairs too; resolve the k·π/2 residual of the
+        # blind CFO derotation inside ofdm_demod_bits via the rotation sync.
+        return jax.vmap(
+            lambda bb: dibit_sync_and_pack_rotations(
+                bb[0::2], bb[1::2], MAGIC_BIT_PATTERN
+            )
+        )(bits)
+
     def sync_pack(bb):
         start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)
         packed, n_valid = pack_bits_from(bb, start)

@@ -171,3 +171,26 @@ def test_ofdm4_5db_fec_recovery(tmp_path, monkeypatch, rng):
                                    sample_rate=sr, recv_dir=str(tmp_path / f"r{t}"))
         recovered += bool(saved and open(saved[0], "rb").read() == data)
     assert recovered > 0
+
+
+def test_ofdm_cfo_tolerance(rng):
+    """CFO appears as a common rotation of all subcarriers' diffs; the blind
+    derotation + quarter-turn sync retry decodes up to ~5% of the subcarrier
+    spacing (beyond that, inter-carrier interference — not rotation — is the
+    physical limit for uncoded OFDM)."""
+    from scipy.signal import hilbert
+
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+    from audio_modem_radio_tpu.ops.ofdm import ofdm_demodulate, ofdm_modulate
+
+    payload = rng.integers(0, 256, 800, dtype=np.uint8).tobytes()
+    framed = pack_frame("o.bin", payload, 0, 1, len(payload), crc32(payload))
+    # Narrowband config: 2400 Bd, 12 kHz carrier, 1200 Hz spacing.
+    wave = np.asarray(ofdm_modulate(framed, 2400, 12000.0, 4), np.float64)
+    z = hilbert(wave)
+    for df in (0.0, 30.0, 60.0):
+        rx = np.real(z * np.exp(2j * np.pi * df * np.arange(len(wave)) / 96000)).astype(
+            np.float32
+        )
+        frames = parse_frames(ofdm_demodulate(rx, 2400, 12000.0, 4))
+        assert frames and frames[0].data == payload, f"failed at {df} Hz"
