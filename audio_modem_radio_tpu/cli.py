@@ -103,7 +103,10 @@ def _cmd_decode(args: argparse.Namespace) -> int:
                     data, args.mode, args.symbol_rate, recv_dir=args.recv_dir
                 )
             else:
-                saved = decode_wav_file(wav, args.mode, args.symbol_rate, recv_dir=args.recv_dir)
+                saved = decode_wav_file(
+                    wav, args.mode, args.symbol_rate, recv_dir=args.recv_dir,
+                    stream_fec=getattr(args, "stream_fec", False),
+                )
             print(f"{wav}: {len(saved)} file(s)")
             saved_all.extend(saved)
     for p in saved_all:
@@ -234,7 +237,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--sstv-prep", action="store_true",
                    help="prepare an image as an SSTV-style payload first")
     e.add_argument("--fec", action="store_true", help="wrap payloads in forward error correction")
-    e.add_argument("--fec-type", default=None, choices=["reed_solomon", "convolutional"])
+    e.add_argument(
+        "--fec-type",
+        default=None,
+        choices=["reed_solomon", "convolutional", "stream"],
+        help="'stream' convolutionally codes the WHOLE frame (header+magic "
+        "included) — decode with --stream-fec",
+    )
     e.add_argument("--cache-dir", default="cache")
     e.set_defaults(fn=_cmd_encode)
 
@@ -243,6 +252,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--mode", default="QPSK")
     d.add_argument("--symbol-rate", type=int, default=9600)
     d.add_argument("--retry", action="store_true", help="sweep symbol rate ±5%%")
+    d.add_argument("--stream-fec", action="store_true",
+                   help="Viterbi-decode the stream first (for --fec-type stream captures)")
     d.add_argument("--batch", action="store_true", help="batched device decode")
     d.add_argument("--recv-dir", default="recv")
     d.set_defaults(fn=_cmd_decode)

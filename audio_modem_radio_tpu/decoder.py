@@ -169,12 +169,17 @@ def decode_from_buffer(
     recv_dir: str = RECV_DIR,
     registry: Optional[AssemblyRegistry] = None,
     sample_rate: int = SAMPLE_RATE,
+    stream_fec: bool = False,
 ) -> List[str]:
     """Demodulate a sample buffer and save every recovered file.
 
     Unlike the reference's live-capture path, buffers at a non-96 kHz rate
     are resampled here (the reference feeds 48 kHz mic audio to 96 kHz
     demodulators unresampled — a documented defect, filebeep_advanced_v2.py:292).
+
+    ``stream_fec=True`` Viterbi-decodes the demodulated stream before frame
+    parsing (for transmissions made with ``fec_type="stream"`` — the whole
+    frame, header and magic included, is convolutionally protected).
     """
     samples = np.asarray(data, dtype=np.float32)
     if samples.ndim > 1:
@@ -184,6 +189,10 @@ def decode_from_buffer(
 
     try:
         raw = demodulate(mode, pad_to_bucket(samples), symbol_rate)
+        if stream_fec:
+            from .fec import stream_fec_decode
+
+            raw = stream_fec_decode(raw)
         frames, damaged = parse_frames_detailed(raw)
         logger.info(
             "demodulated %d bytes -> %d valid / %d damaged frames",
@@ -201,10 +210,14 @@ def decode_wav_file(
     symbol_rate: int,
     recv_dir: str = RECV_DIR,
     registry: Optional[AssemblyRegistry] = None,
+    stream_fec: bool = False,
 ) -> List[str]:
     """Read a WAV file (any rate, any width) and decode it."""
     data, sr = read_wav(path)
-    return decode_from_buffer(data, mode, symbol_rate, recv_dir, registry, sample_rate=sr)
+    return decode_from_buffer(
+        data, mode, symbol_rate, recv_dir, registry, sample_rate=sr,
+        stream_fec=stream_fec,
+    )
 
 
 RETRY_FACTORS = (1.0, 0.95, 1.05)

@@ -32,7 +32,7 @@ from typing import Callable, List, Optional, Tuple
 import numpy as np
 
 from .config import CONFIG
-from .fec import wrap_fec
+from .fec import stream_fec_encode, wrap_fec
 from .framing import crc32, pack_frame
 from .modem import MODES, SAMPLE_RATE, modulate, wav_from_array
 from .ops.psk import bpsk_modulate
@@ -238,9 +238,14 @@ def encode_file_parts(
             raise RuntimeError("encoding cancelled")
 
         payload = adaptive_compress(data, mode) if compress else data
-        if use_fec:
-            payload = wrap_fec(payload, fec_type or CONFIG.get("modem.fec_type", "reed_solomon"))
+        ftype = fec_type or CONFIG.get("modem.fec_type", "reed_solomon")
+        if use_fec and ftype != "stream":
+            payload = wrap_fec(payload, ftype)
         framed = pack_frame(fname, payload, part_number, total_parts, file_size, file_crc)
+        if use_fec and ftype == "stream":
+            # Stream FEC codes the WHOLE frame (header+magic+CRCs included) —
+            # receivers must decode with stream_fec=True; see fec.py.
+            framed = stream_fec_encode(framed)
         arr = _modulate_with_fallback(mode, framed, symbol_rate, min_duration=0.1)
 
         wav_bytes = wav_from_array(arr, SAMPLE_RATE)
@@ -338,9 +343,12 @@ def encode_file_paths(
         raw = f.read()
     file_crc = crc32(raw)
     data = intelligent_compress(raw) if compress else raw
-    if use_fec:
-        data = wrap_fec(data, fec_type or CONFIG.get("modem.fec_type", "reed_solomon"))
+    ftype = fec_type or CONFIG.get("modem.fec_type", "reed_solomon")
+    if use_fec and ftype != "stream":
+        data = wrap_fec(data, ftype)
     framed = pack_frame(fname, data, 0, 1, len(raw), file_crc)
+    if use_fec and ftype == "stream":
+        framed = stream_fec_encode(framed)
     arr = _modulate_with_fallback(mode, framed, symbol_rate)
     wav_bytes = wav_from_array(arr, SAMPLE_RATE)
     outname = os.path.join(out_dir, f"{fname}.{mode}.wav")

@@ -181,20 +181,30 @@ def _trellis_tables() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     return p0.astype(np.int32), p1.astype(np.int32), exp0.astype(np.float32), exp1.astype(np.float32)
 
 
-@jax.jit
-def viterbi_decode_bits(pairs: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("known_boundaries",))
+def viterbi_decode_bits(
+    pairs: jnp.ndarray, known_boundaries: bool = True
+) -> jnp.ndarray:
     """Maximum-likelihood decode of (T, 2) received bit pairs -> (T,) bits.
 
     ``pairs`` may be hard bits {0,1} or soft values in [0,1]; the branch
     metric is the L1 distance to each transition's expected output. The
     forward pass is a ``lax.scan`` of vectorized add-compare-select over all
     64 states; the traceback is a reverse scan over the stored decisions.
-    Encoder starts and (after flushing) ends in state 0.
+
+    ``known_boundaries=True`` assumes the encoder starts and (after flushing)
+    ends in state 0 — the framed-container case. ``False`` uses a uniform
+    start metric and tracebacks from the best end state, for decoding a
+    coded segment embedded mid-stream (stream FEC): the Viterbi
+    self-synchronizes within a few constraint lengths on each side.
     """
     p0, p1, exp0, exp1 = (jnp.asarray(t) for t in _trellis_tables())
     T = pairs.shape[0]
     big = jnp.float32(1e9)
-    pm0 = jnp.full((N_STATES,), big).at[0].set(0.0)
+    if known_boundaries:
+        pm0 = jnp.full((N_STATES,), big).at[0].set(0.0)
+    else:
+        pm0 = jnp.zeros((N_STATES,))
 
     def step(pm, r):
         bm0 = jnp.abs(r[None, :] - exp0).sum(axis=1)  # (64,)
@@ -213,8 +223,8 @@ def viterbi_decode_bits(pairs: jnp.ndarray) -> jnp.ndarray:
         pred = jnp.where(choice_t[state], (state >> 1) | (N_STATES >> 1), state >> 1)
         return pred, bit
 
-    # Flushed trellis terminates in state 0.
-    _, bits_rev = jax.lax.scan(back, jnp.int32(0), decisions, reverse=True)
+    end_state = jnp.int32(0) if known_boundaries else jnp.argmin(pm).astype(jnp.int32)
+    _, bits_rev = jax.lax.scan(back, end_state, decisions, reverse=True)
     return bits_rev.astype(jnp.uint8)
 
 
@@ -264,3 +274,66 @@ def unwrap_fec(blob: bytes) -> Optional[bytes]:
     if blob.startswith(TAG_PARITY):
         return ReedSolomonFEC().decode(blob[4:])
     return None
+
+
+# --- stream-level FEC -----------------------------------------------------------
+
+def stream_fec_encode(framed: bytes) -> bytes:
+    """Convolutionally encode an ENTIRE framed transmission (rate 1/2).
+
+    Unlike the payload container (wrap_fec), this protects the frame header,
+    magic, and CRCs too — the payload-only container leaves ~30 header bytes
+    unprotected, and at low SNR those kill half the otherwise-recoverable
+    frames. The coded stream carries no plaintext magic, so receivers must
+    know stream FEC is in use (an explicit config, like mode/rate).
+    """
+    bits = np.unpackbits(np.frombuffer(framed, np.uint8))
+    pairs = ConvolutionalEncoder().encode_bits(bits)  # (T+6, 2)
+    # A plaintext sync magic leads the coded stream: the demodulators'
+    # magic-pattern sync then locks HERE and hands back a byte-aligned
+    # stream. Without it, the sync can false-fire on random coded bits
+    # (p ~ n/2^16 per capture, 8x under the rotation retry) and truncate
+    # everything before the spurious match.
+    return b"FBPC" + np.packbits(pairs.reshape(-1)).tobytes()
+
+
+def stream_fec_decode(raw: bytes, max_bits: int = 1 << 22) -> bytes:
+    """Viterbi-decode a demodulated byte stream that carries stream FEC.
+
+    The demodulator's magic sync cannot fire on a coded stream (no plaintext
+    magic), so ``raw`` is the offset-0 packing of the received bits. The
+    code-symbol pairing phase is unknown (one bit of ambiguity); both phases
+    are decoded with free boundaries (the Viterbi self-synchronizes past any
+    leading garbage) and the phase whose output contains the frame magic
+    wins. Returns the decoded byte stream for the ordinary frame parser.
+    """
+    magic = np.unpackbits(np.frombuffer(b"FBPC", np.uint8))
+    # The coded stream leads with a plaintext sync magic (see encode); skip
+    # past it when present so the Viterbi starts on code symbols.
+    i = raw.find(b"FBPC")
+    if i >= 0:
+        raw = raw[i + 4 :]
+    bits = np.unpackbits(np.frombuffer(raw[: (max_bits // 8)], np.uint8))
+    best = b""
+    for phase in (0, 1):
+        usable = bits[phase:]
+        usable = usable[: (len(usable) // 2) * 2]
+        if len(usable) < 64:
+            continue
+        pairs = jnp.asarray(usable.reshape(-1, 2), jnp.float32)
+        decoded = np.asarray(viterbi_decode_bits(pairs, known_boundaries=False))
+        # The frame can sit at ANY bit offset of the decoded stream (leading
+        # channel garbage shifts it); align on the magic at the bit level.
+        start = 0
+        if len(decoded) >= len(magic):
+            win = np.lib.stride_tricks.sliding_window_view(decoded, len(magic))
+            hits = np.nonzero((win == magic).all(axis=1))[0]
+            if len(hits):
+                start = int(hits[0])
+        aligned = decoded[start:]
+        out = np.packbits(aligned[: (len(aligned) // 8) * 8]).tobytes()
+        if out.startswith(b"FBPC"):
+            return out
+        if phase == 0:
+            best = out
+    return best

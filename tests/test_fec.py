@@ -133,3 +133,92 @@ def test_damaged_frame_recovered_by_viterbi(tmp_path, monkeypatch, rng):
     for pos in range(40_000, len(n2) - spb, 61_000):
         n2[pos : pos + spb // 2] = -n2[pos : pos + spb // 2]
     assert decode_from_buffer(n2, "FSK1200", 1200, registry=AssemblyRegistry(), sample_rate=sr2) == []
+
+
+# --- stream-level FEC ----------------------------------------------------------
+
+def test_stream_fec_codec_roundtrip(rng):
+    from audio_modem_radio_tpu.fec import stream_fec_decode, stream_fec_encode
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+
+    data = rng.integers(0, 256, 900, dtype=np.uint8).tobytes()
+    framed = pack_frame("s.bin", data, 0, 1, len(data), crc32(data))
+    coded = stream_fec_encode(framed)
+    out = stream_fec_decode(coded)
+    frames = parse_frames(out)
+    assert frames and frames[0].data == data
+    # Arbitrary bit offset + garbage on both sides still decodes.
+    bits = np.unpackbits(np.frombuffer(coded, np.uint8))
+    full = np.concatenate(
+        [rng.integers(0, 2, 77, dtype=np.uint8), bits, rng.integers(0, 2, 50, dtype=np.uint8)]
+    )
+    raw = np.packbits(full[: (len(full) // 8) * 8]).tobytes()
+    frames = parse_frames(stream_fec_decode(raw))
+    assert frames and frames[0].data == data
+
+
+def test_stream_fec_protects_header(tmp_path, monkeypatch, rng):
+    """A burst over the frame HEADER region kills payload-only FEC but not
+    stream FEC (the whole frame, magic and header included, is coded)."""
+    monkeypatch.chdir(tmp_path)
+    from audio_modem_radio_tpu.assembly import AssemblyRegistry
+    from audio_modem_radio_tpu.decoder import decode_from_buffer
+    from audio_modem_radio_tpu.encoder import encode_file
+    from audio_modem_radio_tpu.utils.wavio import read_wav
+
+    data = rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+    src = tmp_path / "f.bin"
+    src.write_bytes(data)
+
+    def burst(samples):
+        """Strong additive-noise bursts across the HEADER bit region (bits
+        ~40-110), spaced >K bits apart so each is within the K=7 code's
+        correction span."""
+        noisy = samples.copy()
+        spb = 80
+        nrng = np.random.default_rng(99)
+        for pos in range(40 * spb, 110 * spb, 20 * spb):
+            noisy[pos : pos + spb] += nrng.normal(0, 8.0, spb).astype(np.float32)
+        return noisy
+
+    wav = encode_file(str(src), mode="FSK1200", symbol_rate=1200, use_fec=True,
+                      fec_type="stream")
+    s, sr = read_wav(wav)
+    saved = decode_from_buffer(burst(s), "FSK1200", 1200, registry=AssemblyRegistry(),
+                               sample_rate=sr, stream_fec=True,
+                               recv_dir=str(tmp_path / "a"))
+    assert saved and saved[0].endswith("f.bin") and open(saved[0], "rb").read() == data
+
+    wav2 = encode_file(str(src), mode="FSK1200", symbol_rate=1200, use_fec=True,
+                       fec_type="convolutional")
+    s2, sr2 = read_wav(wav2)
+    saved2 = decode_from_buffer(burst(s2), "FSK1200", 1200, registry=AssemblyRegistry(),
+                                sample_rate=sr2, recv_dir=str(tmp_path / "b"))
+    # Payload-only FEC leaves the header unprotected: the same burst either
+    # kills the frame or mangles its header fields (observed: the filename
+    # arrives corrupted). Exact recovery — right name AND right bytes — must
+    # fail, which is precisely what stream FEC fixed above.
+    exact = [
+        p for p in saved2
+        if p.endswith("f.bin") and open(p, "rb").read() == data
+    ]
+    assert not exact, "payload-only FEC unexpectedly survived header damage intact"
+
+
+def test_stream_fec_with_leading_noise(tmp_path, monkeypatch, rng):
+    monkeypatch.chdir(tmp_path)
+    from audio_modem_radio_tpu.assembly import AssemblyRegistry
+    from audio_modem_radio_tpu.decoder import decode_from_buffer
+    from audio_modem_radio_tpu.encoder import encode_file
+    from audio_modem_radio_tpu.utils.wavio import read_wav
+
+    data = rng.integers(0, 256, 1500, dtype=np.uint8).tobytes()
+    src = tmp_path / "f.bin"
+    src.write_bytes(data)
+    wav = encode_file(str(src), mode="QPSK", symbol_rate=4800, use_fec=True,
+                      fec_type="stream")
+    s, sr = read_wav(wav)
+    rx = np.concatenate([rng.normal(0, 0.02, 33333).astype(np.float32), s])
+    saved = decode_from_buffer(rx, "QPSK", 4800, registry=AssemblyRegistry(),
+                               sample_rate=sr, stream_fec=True)
+    assert saved and open(saved[0], "rb").read() == data
