@@ -106,6 +106,7 @@ def _cmd_decode(args: argparse.Namespace) -> int:
                 saved = decode_wav_file(
                     wav, args.mode, args.symbol_rate, recv_dir=args.recv_dir,
                     stream_fec=getattr(args, "stream_fec", False),
+                    denoise=getattr(args, "denoise", False),
                 )
             print(f"{wav}: {len(saved)} file(s)")
             saved_all.extend(saved)
@@ -254,6 +255,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--retry", action="store_true", help="sweep symbol rate ±5%%")
     d.add_argument("--stream-fec", action="store_true",
                    help="Viterbi-decode the stream first (for --fec-type stream captures)")
+    d.add_argument("--denoise", action="store_true",
+                   help="spectral-gate noise reduction before demodulation")
     d.add_argument("--batch", action="store_true", help="batched device decode")
     d.add_argument("--recv-dir", default="recv")
     d.set_defaults(fn=_cmd_decode)

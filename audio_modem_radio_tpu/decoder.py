@@ -170,6 +170,7 @@ def decode_from_buffer(
     registry: Optional[AssemblyRegistry] = None,
     sample_rate: int = SAMPLE_RATE,
     stream_fec: bool = False,
+    denoise: bool = False,
 ) -> List[str]:
     """Demodulate a sample buffer and save every recovered file.
 
@@ -180,12 +181,21 @@ def decode_from_buffer(
     ``stream_fec=True`` Viterbi-decodes the demodulated stream before frame
     parsing (for transmissions made with ``fec_type="stream"`` — the whole
     frame, header and magic included, is convolutionally protected).
+
+    ``denoise=True`` runs the spectral-gate noise reducer first — the real
+    implementation of the reference's dead ``modem.noise_reduction`` flag
+    (utils/denoise.py); opt-in because the receivers are matched-filter-
+    optimal under AWGN and gating only helps structured interference.
     """
     samples = np.asarray(data, dtype=np.float32)
     if samples.ndim > 1:
         samples = samples[:, 0]
     if sample_rate != SAMPLE_RATE:
         samples = resample(samples, sample_rate, SAMPLE_RATE)
+    if denoise:
+        from .utils.denoise import spectral_gate
+
+        samples = spectral_gate(samples)
 
     try:
         raw = demodulate(mode, pad_to_bucket(samples), symbol_rate)
@@ -211,12 +221,13 @@ def decode_wav_file(
     recv_dir: str = RECV_DIR,
     registry: Optional[AssemblyRegistry] = None,
     stream_fec: bool = False,
+    denoise: bool = False,
 ) -> List[str]:
     """Read a WAV file (any rate, any width) and decode it."""
     data, sr = read_wav(path)
     return decode_from_buffer(
         data, mode, symbol_rate, recv_dir, registry, sample_rate=sr,
-        stream_fec=stream_fec,
+        stream_fec=stream_fec, denoise=denoise,
     )
 
 
