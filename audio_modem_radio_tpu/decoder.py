@@ -242,6 +242,7 @@ def decode_with_retry(
     recv_dir: str = RECV_DIR,
     registry: Optional[AssemblyRegistry] = None,
     dump_attempts: bool = True,
+    stream_fec: bool = False,
 ) -> List[str]:
     """Decode with up to 3 clock-drift hypotheses (1.0/0.95/1.05x) in ONE
     batched dispatch.
@@ -266,11 +267,18 @@ def decode_with_retry(
     factors = RETRY_FACTORS[:max_retries]
     n = len(samples)
 
+    def _post(raw_bytes: bytes) -> bytes:
+        if not stream_fec:
+            return raw_bytes
+        from .fec import stream_fec_decode
+
+        return stream_fec_decode(raw_bytes)
+
     # Hypothesis 1.0 first, through the FULL single-capture receiver
     # (including FSK MLSE refinement, which the batched throughput path
     # skips) — retry must never decode worse than a plain decode.
     try:
-        raw0 = demodulate(mode, pad_to_bucket(samples), symbol_rate)
+        raw0 = _post(demodulate(mode, pad_to_bucket(samples), symbol_rate))
         frames = parse_frames(raw0)
         if frames:
             saved = save_decoded_files(frames, recv_dir, registry)
@@ -324,7 +332,7 @@ def decode_with_retry(
                     f.write(raw)
             except OSError:
                 pass
-        frames = parse_frames(raw)
+        frames = parse_frames(_post(raw))
         if frames:
             saved = save_decoded_files(frames, recv_dir, registry)
             if saved:
