@@ -99,8 +99,13 @@ def _cmd_decode(args: argparse.Namespace) -> int:
 
                 if sr != SAMPLE_RATE:
                     data = resample(data, sr, SAMPLE_RATE)
+                if getattr(args, "denoise", False):
+                    from .utils.denoise import spectral_gate
+
+                    data = spectral_gate(data)
                 saved = decode_with_retry(
-                    data, args.mode, args.symbol_rate, recv_dir=args.recv_dir
+                    data, args.mode, args.symbol_rate, recv_dir=args.recv_dir,
+                    stream_fec=getattr(args, "stream_fec", False),
                 )
             else:
                 saved = decode_wav_file(

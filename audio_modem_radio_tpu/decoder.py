@@ -274,24 +274,29 @@ def decode_with_retry(
 
         return stream_fec_decode(raw_bytes)
 
+    def _dump(attempt: int, blob: bytes) -> None:
+        """Raw demodulated bytes per attempt (pre stream-FEC decode, so every
+        attempt's artifact has the same meaning), written regardless of
+        outcome — debugging needs them most when everything failed."""
+        if not dump_attempts:
+            return
+        try:
+            out_dir = _ensure_recv_dir(recv_dir)
+            with open(os.path.join(out_dir, f"demodulated_attempt_{attempt}.bin"), "wb") as f:
+                f.write(blob)
+        except OSError:
+            pass
+
     # Hypothesis 1.0 first, through the FULL single-capture receiver
     # (including FSK MLSE refinement, which the batched throughput path
     # skips) — retry must never decode worse than a plain decode.
     try:
-        raw0 = _post(demodulate(mode, pad_to_bucket(samples), symbol_rate))
-        frames = parse_frames(raw0)
+        raw0 = demodulate(mode, pad_to_bucket(samples), symbol_rate)
+        _dump(1, raw0)
+        frames = parse_frames(_post(raw0))
         if frames:
             saved = save_decoded_files(frames, recv_dir, registry)
             if saved:
-                if dump_attempts:
-                    try:
-                        out_dir = _ensure_recv_dir(recv_dir)
-                        with open(
-                            os.path.join(out_dir, "demodulated_attempt_1.bin"), "wb"
-                        ) as f:
-                            f.write(raw0)
-                    except OSError:
-                        pass
                 return saved
     except Exception:
         logger.exception("nominal decode attempt failed; trying drift hypotheses")
@@ -325,13 +330,7 @@ def decode_with_retry(
 
     for i, raw in enumerate(raws):
         attempt = i + 2  # attempt 1 was the nominal full decode above
-        if dump_attempts:
-            try:
-                out_dir = _ensure_recv_dir(recv_dir)
-                with open(os.path.join(out_dir, f"demodulated_attempt_{attempt}.bin"), "wb") as f:
-                    f.write(raw)
-            except OSError:
-                pass
+        _dump(attempt, raw)
         frames = parse_frames(_post(raw))
         if frames:
             saved = save_decoded_files(frames, recv_dir, registry)

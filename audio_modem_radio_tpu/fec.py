@@ -307,12 +307,32 @@ def stream_fec_decode(raw: bytes, max_bits: int = 1 << 22) -> bytes:
     leading garbage) and the phase whose output contains the frame magic
     wins. Returns the decoded byte stream for the ordinary frame parser.
     """
+    # The coded stream leads with a plaintext sync magic per transmission
+    # (see encode). A capture can hold SEVERAL back-to-back transmissions
+    # (e.g. multi-part recordings), so decode each marker-delimited segment
+    # independently and concatenate — running the Viterbi across a segment
+    # boundary would corrupt the next frame's head during resync. (A random
+    # plaintext 'FBPC' inside coded bytes would split a segment; at
+    # ~len/2^32 per capture that is negligible.)
+    marks = []
+    j = raw.find(b"FBPC")
+    while j >= 0:
+        marks.append(j)
+        j = raw.find(b"FBPC", j + 4)
+    if len(marks) > 1 or (len(marks) == 1 and marks[0] > 0):
+        out = b""
+        bounds = marks + [len(raw)]
+        for a, b in zip(marks, bounds[1:]):
+            out += _stream_fec_decode_segment(raw[a + 4 : b], max_bits)
+        return out
+    if marks:
+        raw = raw[4:]
+    return _stream_fec_decode_segment(raw, max_bits)
+
+
+def _stream_fec_decode_segment(raw: bytes, max_bits: int) -> bytes:
+    """Viterbi-decode one coded segment (both pair phases, bit-aligned)."""
     magic = np.unpackbits(np.frombuffer(b"FBPC", np.uint8))
-    # The coded stream leads with a plaintext sync magic (see encode); skip
-    # past it when present so the Viterbi starts on code symbols.
-    i = raw.find(b"FBPC")
-    if i >= 0:
-        raw = raw[i + 4 :]
     bits = np.unpackbits(np.frombuffer(raw[: (max_bits // 8)], np.uint8))
     best = b""
     for phase in (0, 1):

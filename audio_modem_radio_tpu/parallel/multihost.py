@@ -108,23 +108,24 @@ def decode_wav_batch_multihost(
     if not gather_manifest or jax.process_count() == 1:
         return saved_local
 
-    # One tiny control-plane all-gather: fixed-width encoded names, padded to
-    # the global max count (DCN traffic ~KB; the captures never cross hosts).
+    # One tiny control-plane all-gather: each host's manifest as JSON bytes,
+    # zero-padded to the global max length (no per-path truncation — paths
+    # can be long or multibyte). DCN traffic ~KB; captures never cross hosts.
+    import json
+
     from jax.experimental import multihost_utils
 
-    encoded = [p.encode("utf-8")[:255] for p in saved_local]
-    max_count = int(
-        multihost_utils.process_allgather(np.asarray([len(encoded)], np.int32)).max()
+    blob = json.dumps(saved_local).encode("utf-8")
+    max_len = int(
+        multihost_utils.process_allgather(np.asarray([len(blob)], np.int32)).max()
     )
-    buf = np.zeros((max_count, 256), np.uint8)
-    for i, e in enumerate(encoded):
-        buf[i, 0] = len(e)
-        buf[i, 1 : 1 + len(e)] = np.frombuffer(e, np.uint8)
-    gathered = multihost_utils.process_allgather(buf)  # (n_proc, max_count, 256)
+    buf = np.zeros(max_len + 4, np.uint8)
+    buf[:4] = np.frombuffer(np.int32(len(blob)).tobytes(), np.uint8)
+    buf[4 : 4 + len(blob)] = np.frombuffer(blob, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)  # (n_proc, max_len+4)
     out: List[str] = []
-    for host_rows in gathered:
-        for row in host_rows:
-            n = int(row[0])
-            if n:
-                out.append(bytes(row[1 : 1 + n]).decode("utf-8", "ignore"))
+    for row in np.asarray(gathered):
+        n = int(np.frombuffer(bytes(row[:4]), np.int32)[0])
+        if n:
+            out.extend(json.loads(bytes(row[4 : 4 + n]).decode("utf-8")))
     return out

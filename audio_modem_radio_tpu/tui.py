@@ -35,6 +35,7 @@ TABS = ("Encode", "Decode", "Player", "Analysis")
 @dataclass
 class AppState:
     tab: int = 0
+    sel: int = 0  # player selection cursor
     mode: str = "QPSK"
     symbol_rate: int = 9600
     compress: bool = True
@@ -51,6 +52,8 @@ class AppState:
     stats: dict = field(default_factory=dict)
     assemblies: List[dict] = field(default_factory=list)
     host: dict = field(default_factory=dict)
+    channel: dict = field(default_factory=dict)  # analysis results (own field:
+    # the 2 s stats refresh replaces st.stats and must not race these)
 
     def logline(self, msg: str) -> None:
         self.log.append(f"[{time.strftime('%H:%M:%S')}] {msg}")
@@ -113,7 +116,8 @@ def render_player_tab(st: AppState, width: int = 80) -> List[str]:
             mark = "*"  # played (reference: green)
         else:
             mark = " "  # pending (reference: red)
-        lines.append(f" {mark} [{i}] {p}"[:width])
+        cursor = "->" if i == st.sel else "  "
+        lines.append(f"{cursor}{mark} [{i}] {p}"[:width])
     lines.append("")
     lines.append(f"PTT: {st.ptt_port or 'off'}")
     return lines
@@ -125,9 +129,9 @@ def render_analysis_tab(st: AppState, width: int = 80) -> List[str]:
         lines.append(
             "host: " + "  ".join(f"{k}={v}" for k, v in st.host.items())
         )
-    snr = st.stats.get("channel_snr_db")
+    snr = st.channel.get("snr_db")
     if snr is not None:
-        lines.append(f"channel SNR: {snr:.1f} dB -> recommended {st.stats.get('recommended')}")
+        lines.append(f"channel SNR: {snr:.1f} dB -> recommended {st.channel.get('recommended')}")
     return lines
 
 
@@ -174,6 +178,9 @@ def main() -> int:  # pragma: no cover - requires a terminal
     results: "queue.Queue[str]" = queue.Queue()
     analytics = AnalyticsStore()
     monitor = PerformanceMonitor()
+    from .audio_io import AudioPlayer
+
+    tx_player = AudioPlayer()  # shared so 's' can actually stop playback
 
     # Share playlist persistence with the console app.
     from .app import ConsoleApp
@@ -187,11 +194,15 @@ def main() -> int:  # pragma: no cover - requires a terminal
 
     def prompt(scr, text: str) -> str:
         curses.echo()
+        scr.nodelay(False)  # getstr must BLOCK; the main loop is non-blocking
         h, w = scr.getmaxyx()
         scr.addstr(h - 1, 0, (text + ": ").ljust(w - 1)[: w - 1])
         scr.refresh()
-        s = scr.getstr(h - 1, len(text) + 2, 200).decode("utf-8", "ignore").strip()
-        curses.noecho()
+        try:
+            s = scr.getstr(h - 1, len(text) + 2, 200).decode("utf-8", "ignore").strip()
+        finally:
+            scr.nodelay(True)
+            curses.noecho()
         return s
 
     def do_encode(scr):
@@ -264,19 +275,13 @@ def main() -> int:  # pragma: no cover - requires a terminal
     def tui(scr):
         curses.curs_set(0)
         scr.nodelay(True)
-        sel = 0
         last_stats = 0.0
         while True:
             now = time.time()
             if now - last_stats > 2.0:
                 from .decoder import get_assembly_status, get_reception_stats
 
-                fresh = dict(get_reception_stats())
-                # Keep the Analysis tab's channel results across refreshes.
-                for k in ("channel_snr_db", "recommended"):
-                    if k in st.stats:
-                        fresh[k] = st.stats[k]
-                st.stats = fresh
+                st.stats = dict(get_reception_stats())
                 st.assemblies = get_assembly_status()
                 st.host = monitor.sample()
                 last_stats = now
@@ -339,15 +344,18 @@ def main() -> int:  # pragma: no cover - requires a terminal
                 elif key == "t":
                     st.ptt_port = prompt(scr, "PTT port (empty=off)") or None
                 elif key == "p" and st.playlist:
-                    sel = min(sel, len(st.playlist) - 1)
-                    target = st.playlist[sel]
+                    st.sel = min(st.sel, len(st.playlist) - 1)
+                    target = st.playlist[st.sel]
 
                     def job(target=target):
-                        from .audio_io import AudioPlayer, transmit
+                        from .audio_io import transmit
 
                         st.playing = target
                         try:
-                            transmit(target, st.ptt_port, "RTS", AudioPlayer())
+                            # Shared player: the 's' key calls tx_player.stop(),
+                            # which ends transmit()'s is_busy() wait and drops
+                            # PTT via the context exit.
+                            transmit(target, st.ptt_port, "RTS", tx_player)
                         finally:
                             st.playing = None
                             st.played.add(target)
@@ -355,11 +363,15 @@ def main() -> int:  # pragma: no cover - requires a terminal
 
                     _worker(st, results, job, f"playing {os.path.basename(target)}")
                 elif key == "s":
+                    try:
+                        tx_player.stop()
+                    except Exception:
+                        pass
                     st.playing = None
                 elif ch == curses.KEY_DOWN:
-                    sel = min(sel + 1, max(0, len(st.playlist) - 1))
+                    st.sel = min(st.sel + 1, max(0, len(st.playlist) - 1))
                 elif ch == curses.KEY_UP:
-                    sel = max(sel - 1, 0)
+                    st.sel = max(st.sel - 1, 0)
             elif st.tab == 3:
                 if key == "n":
                     p = prompt(scr, "WAV to analyze (empty = ambient)")
@@ -373,9 +385,11 @@ def main() -> int:  # pragma: no cover - requires a terminal
 
                             samples, _ = read_wav(p)
                         cond = analyze_channel(samples)
-                        st.stats["channel_snr_db"] = cond["snr_db"]
-                        st.stats["recommended"] = get_recommended_mode(cond)
-                        return f"SNR {cond['snr_db']:.1f} dB -> {st.stats['recommended']}"
+                        st.channel = {
+                            "snr_db": cond["snr_db"],
+                            "recommended": get_recommended_mode(cond),
+                        }
+                        return f"SNR {cond['snr_db']:.1f} dB -> {st.channel['recommended']}"
 
                     _worker(st, results, job, "analyzing channel")
                 elif key == "g":

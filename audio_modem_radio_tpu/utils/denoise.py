@@ -41,7 +41,12 @@ def _gate(x: jnp.ndarray, reduction_db: float = 12.0) -> jnp.ndarray:
     n = x.shape[0]
     n_frames = n // _HOP - 1
     idx = jnp.arange(_FRAME)[None, :] + (jnp.arange(n_frames) * _HOP)[:, None]
-    frames = x[idx] * jnp.hanning(_FRAME)
+    # sqrt-Hann analysis AND synthesis: their product is Hann, which at 50%
+    # hop satisfies COLA with constant EXACTLY 1.0 — unity-gain bands come
+    # back sample-exact (hann^2 at this hop does NOT: its OLA sum ripples
+    # 0.5-1.0, imposing periodic AM on the signal).
+    win = jnp.sqrt(jnp.hanning(_FRAME))
+    frames = x[idx] * win
     spec = jnp.fft.rfft(frames, axis=-1)
     mag = jnp.abs(spec)
 
@@ -50,12 +55,11 @@ def _gate(x: jnp.ndarray, reduction_db: float = 12.0) -> jnp.ndarray:
     gain_min = 10.0 ** (-reduction_db / 20.0)
     # Unity for bins well above the floor, attenuated at/below it.
     gain = jnp.clip(bin_med / (3.0 * floor) - 1.0, 0.0, 1.0) * (1.0 - gain_min) + gain_min
-    out_frames = jnp.fft.irfft(spec * gain[None, :], _FRAME, axis=-1) * jnp.hanning(_FRAME)
+    out_frames = jnp.fft.irfft(spec * gain[None, :], _FRAME, axis=-1) * win
 
-    # Overlap-add (Hann with 50% hop sums to a constant 1.5 window gain).
     out = jnp.zeros(n, x.dtype)
     out = out.at[idx.reshape(-1)].add(out_frames.reshape(-1))
-    return out / 1.5
+    return out
 
 
 def spectral_gate(samples: np.ndarray, reduction_db: float = 12.0) -> np.ndarray:

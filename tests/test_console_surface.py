@@ -125,7 +125,8 @@ def test_tui_render_functions():
     st.playlist = ["a.wav", "b.wav"]
     st.played = {"a.wav"}
     st.playing = "b.wav"
-    st.stats = {"total_files": 2, "channel_snr_db": 17.5, "recommended": "QPSK"}
+    st.stats = {"total_files": 2}
+    st.channel = {"snr_db": 17.5, "recommended": "QPSK"}
     st.assemblies = [{"filename": "big.bin", "received": 2, "total": 3}]
     st.host = {"cpu": 10}
     st.volume = 0.5
@@ -140,9 +141,10 @@ def test_tui_render_functions():
         assert any("hello" in ln for ln in lines)
 
     st.tab = 2
+    st.sel = 1
     txt = "\n".join(render_screen(st, 80))
     assert "* [0] a.wav" in txt  # played
-    assert "> [1] b.wav" in txt  # playing
+    assert "->> [1] b.wav" in txt  # playing + selection cursor
     st.tab = 1
     txt = "\n".join(render_screen(st, 80))
     assert "level [" in txt and "big.bin 2/3" in txt

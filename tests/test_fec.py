@@ -222,3 +222,20 @@ def test_stream_fec_with_leading_noise(tmp_path, monkeypatch, rng):
     saved = decode_from_buffer(rx, "QPSK", 4800, registry=AssemblyRegistry(),
                                sample_rate=sr, stream_fec=True)
     assert saved and open(saved[0], "rb").read() == data
+
+
+def test_stream_fec_multi_segment_capture(rng):
+    """Two back-to-back stream-FEC transmissions in ONE capture both decode
+    (segments are delimited by their plaintext sync magics and Viterbi-
+    decoded independently)."""
+    from audio_modem_radio_tpu.fec import stream_fec_decode, stream_fec_encode
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+
+    payloads = [rng.integers(0, 256, 700, dtype=np.uint8).tobytes() for _ in range(2)]
+    coded = b"".join(
+        stream_fec_encode(pack_frame(f"p{i}.bin", p, i, 2, 1400, crc32(b"".join(payloads))))
+        for i, p in enumerate(payloads)
+    )
+    frames = parse_frames(stream_fec_decode(coded))
+    assert len(frames) == 2
+    assert frames[0].data == payloads[0] and frames[1].data == payloads[1]

@@ -34,11 +34,13 @@ _CHILD = textwrap.dedent(
             data = bytes(f"multi host file {{i}} ".encode() * 25)
             open(f"m{{i}}.bin", "wb").write(data)
             wavs.append(encode_file(f"m{{i}}.bin", mode="QPSK", symbol_rate=4800))
-        json.dump(wavs, open("wavs.json", "w"))
+        # Atomic publish: write to a temp name, then rename — the peer polls
+        # for existence and must never see a half-written JSON.
+        json.dump(wavs, open("wavs.json.tmp", "w"))
+        os.rename("wavs.json.tmp", "wavs.json")
     else:
         while not os.path.exists("wavs.json"):
             time.sleep(0.3)
-        time.sleep(0.5)
     wavs = json.load(open("wavs.json"))
     saved = multihost.decode_wav_batch_multihost(
         wavs, "QPSK", 4800, registry=AssemblyRegistry(), recv_dir=f"recv{{pid}}"
