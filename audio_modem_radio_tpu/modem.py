@@ -327,6 +327,17 @@ MODES: Dict[str, ModeSpec] = {
         lambda x, r: neural_mode_demodulate(x, r),
         lambda r: SAMPLE_RATE / (8 * _neural_chip_len(r)),
     ),
+    "SLOW_HELL": _spec(
+        # Listed in the reference's ANALOG_MODES catalog with no
+        # implementation (filebeep_advanced_v2.py:87); here it is real:
+        # Hellschreiber glyphs at half the pixel rate (doubled dwell per
+        # pixel — the slow-Hell robustness trade).
+        "SLOW_HELL",
+        lambda d, r: hellschreiber_modulate(d.decode("utf-8", "ignore"), baud=61.25),
+        lambda x, r: hellschreiber_demodulate(x, baud=61.25).encode("utf-8"),
+        lambda r: 7,
+        fixed_baud=61.25,
+    ),
     "SSTV": _spec(
         # The reference GUI lists SSTV but ships no SSTV modulator; payloads
         # prepared by prepare_sstv_like ride a DQPSK carrier here.
@@ -349,7 +360,7 @@ DIGITAL_MODES = [
     "DMR", "DSTAR", "NXDN", "P25", "YSF", "TETRA", "OLIVIA", "THOR", "MT63",
     "FSQ", "ALE", "CLOVER", "CHIRP", "COFDM", "LRPT", "DVB_S2", "LORA",
 ]
-ANALOG_MODES = ["SSTV", "HELLSCHREIBER", "FELD_HELL", "SLOW_HELL"]
+ANALOG_MODES = ["SSTV", "HELLSCHREIBER", "FELD_HELL", "SLOW_HELL"]  # all real here
 
 
 def modulate(mode: str, framed: bytes, symbol_rate: int) -> np.ndarray:

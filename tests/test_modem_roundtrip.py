@@ -100,7 +100,7 @@ def test_int16_quantization_roundtrip():
 
 # --- full mode registry -------------------------------------------------------
 
-ALL_BYTE_MODES = [m for m in MODES if m not in ("HELLSCHREIBER", "FELD_HELL")]
+ALL_BYTE_MODES = [m for m in MODES if m not in ("HELLSCHREIBER", "FELD_HELL", "SLOW_HELL")]
 
 
 @pytest.mark.parametrize("mode", ALL_BYTE_MODES)
@@ -205,3 +205,16 @@ def test_fsk9600_long_capture_blocked_mlse(rng):
     assert len(wave) // 10 > (1 << 18)  # beyond the old gate
     frames = parse_frames(fsk_demodulate(wave, 9600))
     assert frames and frames[0].data == payload
+
+
+def test_slow_hell_roundtrip():
+    """SLOW_HELL — a reference catalog label with no implementation there —
+    is a real mode here: Hellschreiber glyphs at half pixel rate."""
+    from audio_modem_radio_tpu.modem import MODES, demodulate, modulate
+
+    assert "SLOW_HELL" in MODES
+    wave = modulate("SLOW_HELL", b"SLOW HELL 42", 0)
+    assert demodulate("SLOW_HELL", wave, 0) == b"SLOW HELL 42"
+    # Half the pixel rate => twice the FELD_HELL duration for the same text.
+    fast = modulate("FELD_HELL", b"SLOW HELL 42", 0)
+    assert abs(len(wave) / len(fast) - 2.0) < 0.05
