@@ -162,6 +162,27 @@ def save_decoded_files(
     return saved
 
 
+def _stream_fec_soft(samples: np.ndarray, mode: str, symbol_rate: int):
+    """Soft-decision stream-FEC decode for PSK-family modes, else None."""
+    try:
+        from .parallel.batch import resolve_demod_plan
+
+        kind, params = resolve_demod_plan(mode, symbol_rate)
+        if kind not in ("psk2", "psk4"):
+            return None
+        from .fec import stream_fec_decode_soft
+        from .ops.psk import psk_soft_bits
+
+        baud, carrier = params
+        soft = psk_soft_bits(
+            pad_to_bucket(samples), baud, carrier, SAMPLE_RATE, 2 if kind == "psk2" else 4
+        )
+        return stream_fec_decode_soft(soft)
+    except Exception:
+        logger.exception("soft stream-FEC decode failed")
+        return None
+
+
 def decode_from_buffer(
     data: np.ndarray,
     mode: str,
@@ -203,6 +224,12 @@ def decode_from_buffer(
             from .fec import stream_fec_decode
 
             raw = stream_fec_decode(raw)
+            if not raw.startswith(b"FBPC"):
+                # Low-SNR escalation for the PSK family: soft-decision
+                # Viterbi (~2 dB better than the hard byte path).
+                soft_raw = _stream_fec_soft(samples, mode, symbol_rate)
+                if soft_raw is not None and soft_raw.startswith(b"FBPC"):
+                    raw = soft_raw
         frames, damaged = parse_frames_detailed(raw)
         logger.info(
             "demodulated %d bytes -> %d valid / %d damaged frames",

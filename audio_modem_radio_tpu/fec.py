@@ -330,10 +330,38 @@ def stream_fec_decode(raw: bytes, max_bits: int = 1 << 22) -> bytes:
     return _stream_fec_decode_segment(raw, max_bits)
 
 
+def stream_fec_decode_soft(soft_bits: np.ndarray, max_bits: int = 1 << 22) -> bytes:
+    """Soft-decision stream FEC decode from a [0,1] soft bit stream.
+
+    ~2 dB better than hard decisions at the same SNR (the Viterbi's L1
+    branch metric uses the confidence directly). The stream is located by
+    hard-thresholding a copy and finding the plaintext sync magic at the bit
+    level; the SOFT values from there feed the decoder. Single-segment: the
+    decoder's hard byte path remains the multi-segment workhorse, with this
+    as the low-SNR escalation.
+    """
+    soft = np.asarray(soft_bits, np.float32)[:max_bits]
+    hard = (soft > 0.5).astype(np.uint8)
+    magic = np.unpackbits(np.frombuffer(b"FBPC", np.uint8))
+    start = 0
+    if len(hard) > len(magic):
+        win = np.lib.stride_tricks.sliding_window_view(hard, len(magic))
+        hits = np.nonzero((win == magic).all(axis=1))[0]
+        if len(hits):
+            start = int(hits[0]) + len(magic)  # skip the plaintext sync
+    return _decode_bit_stream(soft[start:], max_bits)
+
+
 def _stream_fec_decode_segment(raw: bytes, max_bits: int) -> bytes:
     """Viterbi-decode one coded segment (both pair phases, bit-aligned)."""
-    magic = np.unpackbits(np.frombuffer(b"FBPC", np.uint8))
     bits = np.unpackbits(np.frombuffer(raw[: (max_bits // 8)], np.uint8))
+    return _decode_bit_stream(bits, max_bits)
+
+
+def _decode_bit_stream(bits: np.ndarray, max_bits: int) -> bytes:
+    """Shared hard/soft segment decoder: both pair phases, free boundaries,
+    bit-level frame-magic alignment in the decoded output."""
+    magic = np.unpackbits(np.frombuffer(b"FBPC", np.uint8))
     best = b""
     for phase in (0, 1):
         usable = bits[phase:]

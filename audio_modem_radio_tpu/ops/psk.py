@@ -602,6 +602,36 @@ def _psk_bytes_cfo(
     return dibit_sync_and_pack_rotations(hi, lo, pattern)
 
 
+def psk_soft_bits(
+    samples: np.ndarray, baud: float, carrier: float, samp_rate: int, n_psk: int
+) -> np.ndarray:
+    """Soft bit stream in [0, 1] (P(bit=1)-ish) from capture start.
+
+    For DQPSK the diagonal rotation trick makes both Gray bits INDEPENDENT
+    signs: with diff phasor (u, v), hi = sign(-(u+v)) and lo = sign(v-u)
+    (sector boundaries at odd π/4 become the axes of (u+v, v-u)), so each
+    bit's soft value is a linear scaling of its own component — a proper
+    input for the soft Viterbi (fec.stream_fec_decode soft path). DBPSK
+    uses -d_re directly. CFO derotation applies as in the hard path (the
+    k·π/2 ambiguity is the stream-FEC caller's problem: coded streams carry
+    no sector meaning, so only k=0 matters after derotation).
+    """
+    d_re, d_im, _ = psk_demod_streams(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(samp_rate)
+    )
+    d_re, d_im = derotate(d_re, d_im, estimate_common_rotation(d_re, d_im))
+    d_re, d_im = np.asarray(d_re), np.asarray(d_im)
+    scale = np.mean(np.abs(d_re) + np.abs(d_im)) + 1e-9
+    if n_psk == 2:
+        return np.clip(0.5 - d_re / scale, 0.0, 1.0).astype(np.float32)
+    a = d_re + d_im  # hi = 1 when a < 0
+    b = d_im - d_re  # lo = 1 when b > 0
+    soft = np.empty(2 * len(a), np.float32)
+    soft[0::2] = np.clip(0.5 - a / scale, 0.0, 1.0)
+    soft[1::2] = np.clip(0.5 + b / scale, 0.0, 1.0)
+    return soft
+
+
 def _demod_to_bytes(samples: np.ndarray, baud, carrier, samp_rate, n_psk, pattern) -> bytes:
     from ..framing import MAGIC_BIT_PATTERN
 

@@ -239,3 +239,75 @@ def test_stream_fec_multi_segment_capture(rng):
     frames = parse_frames(stream_fec_decode(coded))
     assert len(frames) == 2
     assert frames[0].data == payloads[0] and frames[1].data == payloads[1]
+
+
+def test_soft_stream_fec_beats_hard(tmp_path, monkeypatch, rng):
+    """Soft-decision stream FEC decodes ~2 dB deeper than hard decisions
+    (measured: hard dies below -1 dB full-band SNR on this config, soft
+    holds to -3 dB)."""
+    monkeypatch.chdir(tmp_path)
+    from audio_modem_radio_tpu.decoder import pad_to_bucket
+    from audio_modem_radio_tpu.encoder import encode_file
+    from audio_modem_radio_tpu.fec import stream_fec_decode, stream_fec_decode_soft
+    from audio_modem_radio_tpu.framing import parse_frames
+    from audio_modem_radio_tpu.modem import demodulate
+    from audio_modem_radio_tpu.ops.psk import psk_soft_bits
+    from audio_modem_radio_tpu.utils.compression import intelligent_decompress
+    from audio_modem_radio_tpu.utils.wavio import read_wav
+
+    data = rng.integers(0, 256, 1200, dtype=np.uint8).tobytes()
+    src = tmp_path / "s.bin"
+    src.write_bytes(data)
+    wav = encode_file(str(src), mode="QPSK", symbol_rate=4800, use_fec=True,
+                      fec_type="stream")
+    s, sr = read_wav(wav)
+    p = float(np.mean(s.astype(np.float64) ** 2))
+    noise_rng = np.random.default_rng(77)
+
+    def ok(out):
+        frames = parse_frames(out)
+        if not frames:
+            return False
+        try:
+            return intelligent_decompress(frames[0].data) == data
+        except Exception:
+            return False
+
+    hard_wins = soft_wins = 0
+    for _ in range(3):
+        noisy = (s + noise_rng.normal(0, np.sqrt(p / 10**-0.2), len(s))).astype(
+            np.float32
+        )  # -2 dB
+        raw = demodulate("QPSK", pad_to_bucket(noisy), 4800)
+        hard_wins += ok(stream_fec_decode(raw))
+        soft = psk_soft_bits(pad_to_bucket(noisy), 4800.0, 3000.0, 96000, 4)
+        soft_wins += ok(stream_fec_decode_soft(soft))
+    assert soft_wins >= 2, f"soft path too weak: {soft_wins}/3"
+    assert soft_wins > hard_wins or hard_wins == 3
+
+
+def test_stream_fec_soft_escalation_in_decoder(tmp_path, monkeypatch, rng):
+    """decode_from_buffer(stream_fec=True) escalates to the soft path when
+    the hard decode yields nothing."""
+    monkeypatch.chdir(tmp_path)
+    from audio_modem_radio_tpu.assembly import AssemblyRegistry
+    from audio_modem_radio_tpu.decoder import decode_from_buffer
+    from audio_modem_radio_tpu.encoder import encode_file
+    from audio_modem_radio_tpu.utils.wavio import read_wav
+
+    data = rng.integers(0, 256, 1200, dtype=np.uint8).tobytes()
+    src = tmp_path / "s.bin"
+    src.write_bytes(data)
+    wav = encode_file(str(src), mode="QPSK", symbol_rate=4800, use_fec=True,
+                      fec_type="stream")
+    s, sr = read_wav(wav)
+    p = float(np.mean(s.astype(np.float64) ** 2))
+    noise_rng = np.random.default_rng(3)
+    recovered = 0
+    for _ in range(3):
+        noisy = (s + noise_rng.normal(0, np.sqrt(p / 10**-0.2), len(s))).astype(np.float32)
+        saved = decode_from_buffer(noisy, "QPSK", 4800, registry=AssemblyRegistry(),
+                                   sample_rate=sr, stream_fec=True,
+                                   recv_dir=str(tmp_path / "r"))
+        recovered += bool(saved and open(saved[0], "rb").read() == data)
+    assert recovered >= 2
