@@ -181,30 +181,16 @@ def _trellis_tables() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     return p0.astype(np.int32), p1.astype(np.int32), exp0.astype(np.float32), exp1.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("known_boundaries",))
-def viterbi_decode_bits(
-    pairs: jnp.ndarray, known_boundaries: bool = True
-) -> jnp.ndarray:
-    """Maximum-likelihood decode of (T, 2) received bit pairs -> (T,) bits.
+# Block-parallel Viterbi geometry: blocks of CORE trellis steps decode
+# independently (vmapped) with OV-step warmup/cooldown on each side; K=7
+# survivor paths merge within ~5K steps, so 512 is a deep safety margin.
+_VIT_CORE = 1 << 13
+_VIT_OV = 512
 
-    ``pairs`` may be hard bits {0,1} or soft values in [0,1]; the branch
-    metric is the L1 distance to each transition's expected output. The
-    forward pass is a ``lax.scan`` of vectorized add-compare-select over all
-    64 states; the traceback is a reverse scan over the stored decisions.
 
-    ``known_boundaries=True`` assumes the encoder starts and (after flushing)
-    ends in state 0 — the framed-container case. ``False`` uses a uniform
-    start metric and tracebacks from the best end state, for decoding a
-    coded segment embedded mid-stream (stream FEC): the Viterbi
-    self-synchronizes within a few constraint lengths on each side.
-    """
+def _viterbi_block(pairs: jnp.ndarray, pm0: jnp.ndarray, from_best_end: bool) -> jnp.ndarray:
+    """One sequential Viterbi pass: (T, 2) pairs + start metrics -> (T,) bits."""
     p0, p1, exp0, exp1 = (jnp.asarray(t) for t in _trellis_tables())
-    T = pairs.shape[0]
-    big = jnp.float32(1e9)
-    if known_boundaries:
-        pm0 = jnp.full((N_STATES,), big).at[0].set(0.0)
-    else:
-        pm0 = jnp.zeros((N_STATES,))
 
     def step(pm, r):
         bm0 = jnp.abs(r[None, :] - exp0).sum(axis=1)  # (64,)
@@ -223,9 +209,62 @@ def viterbi_decode_bits(
         pred = jnp.where(choice_t[state], (state >> 1) | (N_STATES >> 1), state >> 1)
         return pred, bit
 
-    end_state = jnp.int32(0) if known_boundaries else jnp.argmin(pm).astype(jnp.int32)
+    end_state = jnp.argmin(pm).astype(jnp.int32) if from_best_end else jnp.int32(0)
     _, bits_rev = jax.lax.scan(back, end_state, decisions, reverse=True)
     return bits_rev.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("known_boundaries",))
+def viterbi_decode_bits(
+    pairs: jnp.ndarray, known_boundaries: bool = True
+) -> jnp.ndarray:
+    """Maximum-likelihood decode of (T, 2) received bit pairs -> (T,) bits.
+
+    ``pairs`` may be hard bits {0,1} or soft values in [0,1]; the branch
+    metric is the L1 distance to each transition's expected output. The
+    forward pass is a ``lax.scan`` of vectorized add-compare-select over all
+    64 states; the traceback is a reverse scan over the stored decisions.
+
+    ``known_boundaries=True`` assumes the encoder starts and (after flushing)
+    ends in state 0 — the framed-container case. ``False`` uses a uniform
+    start metric and tracebacks from the best end state, for decoding a
+    coded segment embedded mid-stream (stream FEC): the Viterbi
+    self-synchronizes within a few constraint lengths on each side.
+
+    Long streams (> ~9k steps — e.g. stream-FEC captures, where T is the
+    whole capture's bit count) run BLOCK-PARALLEL: overlapping blocks decode
+    independently under ``vmap`` (warmup/cooldown of ``_VIT_OV`` steps on
+    each side, uninformative 0.5 padding outside the stream) and only the
+    converged cores are kept — the scan length drops from T to
+    ``_VIT_CORE + 2*_VIT_OV`` regardless of capture size.
+    """
+    T = pairs.shape[0]
+    if T <= _VIT_CORE + 2 * _VIT_OV:
+        big = jnp.float32(1e9)
+        if known_boundaries:
+            pm0 = jnp.full((N_STATES,), big).at[0].set(0.0)
+        else:
+            pm0 = jnp.zeros((N_STATES,))
+        return _viterbi_block(pairs, pm0, from_best_end=not known_boundaries)
+
+    core, ov = _VIT_CORE, _VIT_OV
+    n_blocks = -(-T // core)
+    # 0.5 is the uninformative soft value: every branch metric equals 1, so
+    # pad steps leave path ordering unchanged (all paths gain equally).
+    padded = jnp.pad(
+        pairs.astype(jnp.float32),
+        ((ov, n_blocks * core - T + ov), (0, 0)),
+        constant_values=0.5,
+    )
+    blocks = jnp.stack(
+        [
+            jax.lax.dynamic_slice(padded, (i * core, 0), (core + 2 * ov, 2))
+            for i in range(n_blocks)
+        ]
+    )  # (n_blocks, core+2ov, 2)
+    pm0 = jnp.zeros((N_STATES,))
+    bits_blocks = jax.vmap(lambda p: _viterbi_block(p, pm0, from_best_end=True))(blocks)
+    return bits_blocks[:, ov : ov + core].reshape(-1)[:T]
 
 
 class ViterbiDecoder:

@@ -48,7 +48,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import analytic_bandpass, bit_sync_and_pack, bytes_to_bits
+from .common import (
+    _analytic_fir_taps,
+    analytic_bandpass,
+    analytic_bandpass_fir,
+    bit_sync_and_pack,
+    bytes_to_bits,
+)
+
+# FIR front-end length for the analytic-signal paths (overlap-save blocked
+# FFTs instead of one whole-capture FFT — ~2x on the FSK9600 path, PERF.md).
+_FIR_TAPS = 1025
 
 FSK_PREAMBLE = b"\xAA\xAA\xAA\xAA"
 
@@ -388,17 +398,84 @@ def _mlse_refine(
     return bits_blocks[:, ov : ov + core].reshape(-1)[:n_bits]
 
 
+def _discriminator_decimation(spb: int, band_hi: float, sample_rate: int) -> int:
+    """Largest power-of-2 decimation the discriminator geometry allows:
+    the band must fit the decimated rate and each bit must keep >= 2
+    decimated samples (so the per-bit boxcar still averages something)."""
+    d = 1
+    while (
+        2 * d <= 8
+        and band_hi < sample_rate / (2 * d)
+        and 2 * (2 * d) <= spb
+    ):
+        d *= 2
+    return d
+
+
+def _fsk_geometry_dec(spb: int, dec: int) -> Tuple[int, int, int]:
+    """(symbols_per_row, row_lanes, overlap_lanes) on the DECIMATED grid.
+
+    ``row = spr*spb/dec`` decimated samples must be integral and a multiple
+    of 128 lanes; ``spb/dec`` may be fractional (bit windows round inside the
+    boxcar templates). ``dec=1`` reproduces :func:`_fsk_geometry`.
+    """
+    g = math.gcd(spb, 128 * dec)
+    unit = (128 * dec) // g
+    lanes_per_bit = spb / dec
+    spr = unit * max(1, math.ceil(1024 / (unit * lanes_per_bit)))
+    row = spr * spb // dec
+    ov = 128 * max(1, math.ceil(2 * lanes_per_bit / 128))
+    return spr, row, ov
+
+
+# Discriminator per-bit averaging window as (lo, hi) fractions of the bit.
+# The FULL bit window measured ~35% lower BER than the historical central
+# (0.2, 0.8) core at 12-15 dB on FSK9600 (controlled 6-trial comparison,
+# shared noise realizations): the extra boundary phasors carry mostly
+# neighbor-bit ISI, which the calibrated equalizer undoes, while their noise
+# averaging is free.
+_CORE_FRAC = (0.0, 1.0)
+
+
+def _core_bounds(spb: int) -> Tuple[int, int]:
+    lo = int(spb * _CORE_FRAC[0])
+    hi = max(lo + 2, int(np.ceil(spb * _CORE_FRAC[1])))
+    return lo, hi
+
+
 @functools.lru_cache(maxsize=64)
-def _fsk_boxcar_templates(spb: int, n_offsets: int) -> np.ndarray:
-    """(n_offsets, row+ov, spr) central-window boxcars for the discriminator."""
-    spr, row, ov = _fsk_geometry(spb)
-    core_lo, core_hi = max(1, int(spb * 0.2)), max(2, int(np.ceil(spb * 0.8)))
+def _fsk_boxcar_templates_dec(spb: int, n_offsets: int, dec: int) -> np.ndarray:
+    """(n_offsets, row+ov, spr) per-bit boxcars for the discriminator, on the
+    decimated grid. Bit s's window [s*spb+o+core_lo, s*spb+o+core_hi)
+    (full-rate samples) rounds inward to decimated samples; at least one tap
+    is always kept."""
+    spr, row, ov = _fsk_geometry_dec(spb, dec)
+    core_lo, core_hi = _core_bounds(spb)
     W = np.zeros((n_offsets, row + ov, spr), dtype=np.float32)
     for i in range(n_offsets):
         o = i * spb // n_offsets
         for s in range(spr):
-            W[i, s * spb + o + core_lo : s * spb + o + core_hi, s] = 1.0
+            a = -(-(s * spb + o + core_lo) // dec)
+            b = max((s * spb + o + core_hi) // dec, a + 1)
+            W[i, a:b, s] = 1.0
     return W
+
+
+def fsk_blocked_row_shape(
+    n_samples: int, baud: float, mark: float, space: float, sample_rate: int
+):
+    """Host helper: (r, row, ov) for pre-overlapping a capture's rows for
+    :func:`fsk_demod_bits`, or None when the config doesn't run the dual-tone
+    blocked path (close tones / too short). Rows are ``x[i*row : i*row+row+ov]``
+    — build them with cheap numpy slicing and pass a (r, row+ov) array."""
+    if _separation_cycles(baud, mark, space, sample_rate) < 0.8:
+        return None
+    spb = _samples_per_bit(sample_rate, baud)
+    n_bits = n_samples // spb
+    if n_bits < 2:
+        return None
+    spr, row, ov = _fsk_geometry(spb)
+    return -(-n_bits // spr), row, ov
 
 
 def _rows_with_overlap(x: jnp.ndarray, n_used: int, r: int, row: int, ov: int) -> jnp.ndarray:
@@ -414,27 +491,44 @@ _EQ_TAPS = 9  # calibrated discriminator equalizer length (per-bit taps)
 
 def _np_vector_bit_freqs(
     wave: np.ndarray, band_lo: float, band_hi: float, sr: int, spb: int,
-    core_lo: int, core_hi: int, n_bits: int,
+    core_lo: int, core_hi: int, n_bits: int, fir_taps: int = 0, dec: int = 1,
 ) -> np.ndarray:
     """Host-side reference of the discriminator front end, for calibration:
     per-bit frequency = angle of the vector sum of z[n+1]*conj(z[n]) over the
-    central bit window (amplitude-weighted frequency averaging)."""
-    spec = np.fft.fft(wave.astype(np.float64))
-    freqs = np.fft.fftfreq(len(wave), d=1.0 / sr)
-    spec *= 2.0 * ((freqs >= band_lo) & (freqs <= band_hi))
-    z = np.fft.ifft(spec)
+    central bit window (amplitude-weighted frequency averaging).
+
+    ``fir_taps`` > 0 applies the FIR analytic filter (the production front
+    end, :func:`analytic_bandpass_fir`'s kernel) instead of the brick-wall
+    FFT mask — the equalizer must be calibrated against the exact front end
+    it will undo."""
+    n = len(wave)
+    if fir_taps:
+        h = _analytic_fir_taps(band_lo, band_hi, sr, fir_taps)
+        c = (fir_taps - 1) // 2
+        m = 1 << int(np.ceil(np.log2(n + fir_taps)))
+        z = np.fft.ifft(np.fft.fft(wave.astype(np.float64), m) * np.fft.fft(h, m))
+        z = z[c : c + n]
+    else:
+        spec = np.fft.fft(wave.astype(np.float64))
+        freqs = np.fft.fftfreq(len(wave), d=1.0 / sr)
+        spec *= 2.0 * ((freqs >= band_lo) & (freqs <= band_hi))
+        z = np.fft.ifft(spec)
+    if dec > 1:
+        z = z[::dec]  # exact mirror of analytic_bandpass(decimate=dec)
     p = z[1:] * np.conj(z[:-1])
     out = np.empty(n_bits)
     for k in range(n_bits):
-        w = p[k * spb + core_lo : k * spb + core_hi]
-        out[k] = np.angle(w.sum()) * sr / (2 * np.pi) if len(w) else 0.0
+        a = -(-(k * spb + core_lo) // dec)
+        b = max((k * spb + core_hi) // dec, a + 1)
+        w = p[a:b]
+        out[k] = np.angle(w.sum()) * sr / dec / (2 * np.pi) if len(w) else 0.0
     return out
 
 
 @functools.lru_cache(maxsize=64)
 def _discriminator_calibration(
     spb: int, baud: float, mark: float, space: float, sample_rate: int,
-    band_lo: float, band_hi: float,
+    band_lo: float, band_hi: float, fir_taps: int = 0, dec: int = 1,
 ) -> np.ndarray:
     """Fit a per-bit FIR equalizer mapping measured bit frequencies to tones.
 
@@ -470,9 +564,10 @@ def _discriminator_calibration(
         2 * np.pi * (tones * t[None, :] + phase0[:, None] / sample_rate)
     ).reshape(-1)
     f_true = np.where(bits == 1, mark, space)
-    core_lo, core_hi = max(1, int(spb * 0.2)), max(2, int(np.ceil(spb * 0.8)))
+    core_lo, core_hi = _core_bounds(spb)
     means = _np_vector_bit_freqs(
-        wave, band_lo, band_hi, sample_rate, spb, core_lo, core_hi, len(bits)
+        wave, band_lo, band_hi, sample_rate, spb, core_lo, core_hi, len(bits),
+        fir_taps=fir_taps, dec=dec,
     )
     pad = _EQ_TAPS // 2
     fm = np.pad(means, pad, mode="edge")
@@ -485,7 +580,9 @@ def _discriminator_calibration(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("baud", "mark", "space", "sample_rate", "n_offsets", "mlse"),
+    static_argnames=(
+        "baud", "mark", "space", "sample_rate", "n_offsets", "mlse", "fir_frontend"
+    ),
 )
 def fsk_demod_bits(
     samples: jnp.ndarray,
@@ -495,6 +592,7 @@ def fsk_demod_bits(
     sample_rate: int,
     n_offsets: int = 8,
     mlse: bool = True,
+    fir_frontend: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Demodulate CPFSK to a bit array; returns ``(bits, best_offset_score)``.
 
@@ -511,21 +609,35 @@ def fsk_demod_bits(
       per-config ISI equalizer.
     """
     spb = _samples_per_bit(sample_rate, baud)
-    n = samples.shape[-1]
-    n_bits = n // spb
-    if n_bits < 2:
-        raise ValueError("signal shorter than two bit periods")
     spr, row, ov = _fsk_geometry(spb)
-    r = -(-n_bits // spr)
-    x = samples.astype(jnp.float32)
-
     sep = _separation_cycles(baud, mark, space, sample_rate)
+    pre_shaped = samples.ndim == 2
+    if pre_shaped:
+        # (r, row+ov) host-overlapped rows (see fsk_blocked_row_shape):
+        # skips the device-side pad+reshape+lane-concat whose tiled-layout
+        # shuffle costs more than the projection matmul (same finding as the
+        # PSK host row shaping, PERF.md). Dual-tone path only; trailing pad
+        # bits are garbage the sync/parse stage ignores.
+        if sep < 0.8 or samples.shape[1] != row + ov:
+            raise ValueError("pre-shaped rows require a dual-tone config and row+ov columns")
+        r = samples.shape[0]
+        n_bits = r * spr
+        xov = samples.astype(jnp.float32)
+    else:
+        n = samples.shape[-1]
+        n_bits = n // spb
+        if n_bits < 2:
+            raise ValueError("signal shorter than two bit periods")
+        r = -(-n_bits // spr)
+        x = samples.astype(jnp.float32)
+
     if sep >= 0.8:
         # Well-separated tones: raw-sample LS subspace detector (no FFT).
         W = jnp.asarray(
             _fsk_blocked_templates(spb, float(mark), float(space), sample_rate, n_offsets)
         )
-        xov = _rows_with_overlap(x, n_bits * spb, r, row, ov)
+        if not pre_shaped:
+            xov = _rows_with_overlap(x, n_bits * spb, r, row, ov)
 
         # Pass 1: offset margins on up to 3 row windows.
         wr = min(32, r)
@@ -551,9 +663,15 @@ def fsk_demod_bits(
         # negative-frequency image, plain quadrature correlation is the
         # noise-optimal noncoherent detector.
         lo_f, hi_f = min(mark, space), max(mark, space)
-        z = analytic_bandpass(
-            x, max(lo_f - baud, 10.0), min(hi_f + baud, sample_rate / 2 - 10.0), sample_rate
-        )
+        # Overlap-save FIR (fir_frontend=True) measured ~15% SLOWER than the
+        # whole-capture FFT on v5e (benchmarks/fsk_frontend_ab.py) — the path
+        # is not FFT-flop-bound — so the brick-wall FFT stays the default.
+        b_lo = max(lo_f - baud, 10.0)
+        b_hi = min(hi_f + baud, sample_rate / 2 - 10.0)
+        if fir_frontend:
+            z = analytic_bandpass_fir(x, b_lo, b_hi, sample_rate, taps=_FIR_TAPS)
+        else:
+            z = analytic_bandpass(x, b_lo, b_hi, sample_rate)
         zr = jnp.real(z).astype(jnp.float32)
         zi = jnp.imag(z).astype(jnp.float32)
         W = jnp.asarray(
@@ -588,44 +706,57 @@ def fsk_demod_bits(
         bits = (margin > 0).astype(jnp.uint8).reshape(-1)
         return bits[: max(n_bits, 1)], score[best]
 
-    # Discriminator path.
+    # Discriminator path. The analytic signal is DECIMATED by the largest
+    # power of two the band and bit geometry allow (exact — the brick-wall
+    # spectrum fits in 1/dec of the FFT, see analytic_bandpass): the inverse
+    # FFT, the phasor products, the row shaping and the boxcar matmuls all
+    # shrink by dec. Bit windows land on fractional decimated-sample
+    # boundaries, which the host-built boxcar templates simply round per bit.
     lo_f, hi_f = min(mark, space), max(mark, space)
     band_lo = max(lo_f - baud, 10.0)
     band_hi = min(hi_f + baud, sample_rate / 2 - 10.0)
-    z = analytic_bandpass(x, band_lo, band_hi, sample_rate)
+    dec = 1 if fir_frontend else _discriminator_decimation(spb, band_hi, sample_rate)
+    if fir_frontend:
+        z = analytic_bandpass_fir(x, band_lo, band_hi, sample_rate, taps=_FIR_TAPS)
+    else:
+        z = analytic_bandpass(x, band_lo, band_hi, sample_rate, decimate=dec)
+    spr_d, row_d, ov_d = _fsk_geometry_dec(spb, dec)
+    r_d = -(-n_bits // spr_d)
     zr, zi = jnp.real(z).astype(jnp.float32), jnp.imag(z).astype(jnp.float32)
     # Phasor product p[n] = z[n+1] * conj(z[n]) as two real 1-D streams.
     p_re = jnp.concatenate([zr[1:] * zr[:-1] + zi[1:] * zi[:-1], jnp.zeros((1,))])
     p_im = jnp.concatenate([zi[1:] * zr[:-1] - zr[1:] * zi[:-1], jnp.zeros((1,))])
 
-    Wb = jnp.asarray(_fsk_boxcar_templates(spb, n_offsets))
-    pr = _rows_with_overlap(p_re, n_bits * spb, r, row, ov)
-    pi = _rows_with_overlap(p_im, n_bits * spb, r, row, ov)
+    Wb = jnp.asarray(_fsk_boxcar_templates_dec(spb, n_offsets, dec))
+    n_used_d = min(int(p_re.shape[-1]), -(-(n_bits * spb) // dec))
+    pr = _rows_with_overlap(p_re, n_used_d, r_d, row_d, ov_d)
+    pi = _rows_with_overlap(p_im, n_used_d, r_d, row_d, ov_d)
 
     # Pass 1: offset margins on row windows (vector-averaged frequencies).
-    wr = min(32, r)
-    starts = sorted({0, max(0, r // 2 - wr // 2), max(0, r - wr)})
+    wr = min(32, r_d)
+    starts = sorted({0, max(0, r_d // 2 - wr // 2), max(0, r_d - wr)})
     mid = (mark + space) / 2.0
-    scale = sample_rate / (2 * jnp.pi)
-    Wb_all = Wb.transpose(1, 0, 2).reshape(row + ov, -1)
+    scale = sample_rate / dec / (2 * jnp.pi)
+    Wb_all = Wb.transpose(1, 0, 2).reshape(row_d + ov_d, -1)
     wins_r = jnp.concatenate([pr[s : s + wr] for s in starts], axis=0) @ Wb_all
     wins_i = jnp.concatenate([pi[s : s + wr] for s in starts], axis=0) @ Wb_all
     f_win = jnp.arctan2(wins_i, wins_r) * scale
     score = jnp.sum(
-        jnp.abs(f_win - mid).reshape(-1, n_offsets, spr), axis=(0, 2)
+        jnp.abs(f_win - mid).reshape(-1, n_offsets, spr_d), axis=(0, 2)
     )
     best = jnp.argmax(score)
 
     # Pass 2: full-signal vector frequencies at the winning offset.
-    sr_sum = pr @ Wb[best]  # (r, spr)
+    sr_sum = pr @ Wb[best]  # (r_d, spr_d)
     si_sum = pi @ Wb[best]
-    f = (jnp.arctan2(si_sum, sr_sum) * scale).reshape(-1)  # (r*spr,)
+    f = (jnp.arctan2(si_sum, sr_sum) * scale).reshape(-1)  # (r_d*spr_d,)
 
     # Undo neighbor-bit ISI with the statically calibrated per-config
     # equalizer (static 1-D shifts are cheap lane slices).
     coef = _discriminator_calibration(
         spb, float(baud), float(mark), float(space), sample_rate,
         float(band_lo), float(band_hi),
+        fir_taps=_FIR_TAPS if fir_frontend else 0, dec=dec,
     )
     pad = _EQ_TAPS // 2
     fm = jnp.concatenate([jnp.repeat(f[:1], pad), f, jnp.repeat(f[-1:], pad)])

@@ -262,6 +262,23 @@ def decode_sample_batch(
             keep = min(batch.shape[1], r * row)
             shaped[:, :keep] = batch[:, :keep]
             batch = shaped.reshape(b, r, row)
+    elif kind == "fsk":
+        from ..ops.fsk import fsk_blocked_row_shape
+
+        baud, mark, space = params
+        shape = fsk_blocked_row_shape(batch.shape[1], baud, mark, space, SAMPLE_RATE)
+        if shape is not None:
+            # Dual-tone path: pre-overlapped (r, row+ov) rows built with two
+            # numpy strided views — the device-side pad+reshape+lane-concat
+            # this replaces cost ~half the dual-tone pipeline (PERF.md).
+            r, row, ov = shape
+            flat = np.zeros((b, (r + 1) * row), dtype=np.float32)
+            keep = min(batch.shape[1], r * row + ov)
+            flat[:, :keep] = batch[:, :keep]
+            shaped = np.empty((b, r, row + ov), dtype=np.float32)
+            shaped[:, :, :row] = flat[:, : r * row].reshape(b, r, row)
+            shaped[:, :, row:] = flat[:, row : (r + 1) * row].reshape(b, r, row)[:, :, :ov]
+            batch = shaped
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = get_mesh()
