@@ -33,11 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 _BLOCK_SYM = 128  # symbols per lane row (matches ops.psk)
 
 
-def _kernel(x_ref, xn_ref, w_ref, dre_ref, dim_ref):
-    """One row-block: overlap build + projection matmul + differential."""
+def _project_diff_body(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared tile math: overlap build + projection matmul + differential.
+
+    Returns the (blk, 128) differential (d_re, d_im) tiles in registers/VMEM.
+    """
     x = x_ref[:]  # (blk, ROW)
     blk = x.shape[0]
-    ov = w_ref.shape[0] - x.shape[1]
+    ov = w2d.shape[0] - x.shape[1]
 
     # Rows r+1 for every row in the tile: roll the (blk+8)-row extended tile
     # up by one and keep the first blk rows.
@@ -46,10 +49,10 @@ def _kernel(x_ref, xn_ref, w_ref, dre_ref, dim_ref):
     xov = jnp.concatenate([x, nxt_rows[:, :ov]], axis=1)  # (blk, ROW+OV)
 
     # (blk, ROW+OV) @ (ROW+OV, 256) -> (blk, 256); cols [re x128 | im x128].
-    out = jnp.dot(xov, w_ref[:], preferred_element_type=jnp.float32)
+    out = jnp.dot(xov, w2d, preferred_element_type=jnp.float32)
     # The next tile's first row, projected (for the cross-tile differential).
     xov_n = jnp.concatenate([xn_ref[0:1], xn_ref[1:2, :ov]], axis=1)
-    nxt = jnp.dot(xov_n, w_ref[:], preferred_element_type=jnp.float32)  # (1, 256)
+    nxt = jnp.dot(xov_n, w2d, preferred_element_type=jnp.float32)  # (1, 256)
 
     re = out[:, :_BLOCK_SYM]
     im = out[:, _BLOCK_SYM:]
@@ -67,8 +70,14 @@ def _kernel(x_ref, xn_ref, w_ref, dre_ref, dim_ref):
     r0, i0 = re, im
     r1 = successor(re, nxt[:, :_BLOCK_SYM])
     i1 = successor(im, nxt[:, _BLOCK_SYM:])
-    dre_ref[:] = r1 * r0 + i1 * i0
-    dim_ref[:] = i1 * r0 - r1 * i0
+    return r1 * r0 + i1 * i0, i1 * r0 - r1 * i0
+
+
+def _kernel(x_ref, xn_ref, w_ref, dre_ref, dim_ref):
+    """One row-block: overlap build + projection matmul + differential."""
+    dre, dim = _project_diff_body(x_ref, xn_ref, w_ref[:])
+    dre_ref[:] = dre
+    dim_ref[:] = dim
 
 
 def _kernel_batched(best_ref, x_ref, xn_ref, w_ref, dre_ref, dim_ref):
@@ -205,6 +214,116 @@ def psk_project_diff(
         ],
         interpret=interpret,
     )(xpad, xpad, w)
+
+
+def _kernel_decide(
+    best_ref, rot_ref, x_ref, xn_ref, w_ref, hi_ref, lo_ref, *, steps_per_capture, n_psk
+):
+    """Projection + differential + per-capture derotation + bit decision.
+
+    Emits uint8 decision lanes directly — the float differential streams
+    never reach HBM (4x fewer output bytes than the float kernel, and the
+    separate derotate and Gray-decision passes disappear). ``rot_ref`` holds
+    (cosθ, sinθ) per capture from the pass-1 blind CFO estimate; the
+    identity rotation makes this the plain (cfo-off) pipeline.
+    """
+    del best_ref  # consumed by the template index_map
+    dre, dim = _project_diff_body(x_ref, xn_ref, w_ref[0])
+    cap = pl.program_id(0) // steps_per_capture
+    c = rot_ref[cap, 0]
+    s = rot_ref[cap, 1]
+    dr = dre * c + dim * s
+    di = dim * c - dre * s
+    if n_psk == 4:
+        # Gray sectors, boundaries at odd 45 degrees: sign/compare only.
+        # Select FLOATS, not bools — a bool-valued where lowers to an
+        # i8->i1 vector truncation Mosaic rejects.
+        swap = jnp.abs(di) > jnp.abs(dr)
+        neg = (jnp.where(swap, di, dr) < 0).astype(jnp.uint8)
+        hi_ref[:] = neg
+        lo_ref[:] = neg ^ swap.astype(jnp.uint8)
+    else:
+        hi_ref[:] = (dr < 0).astype(jnp.uint8)
+        lo_ref[:] = (di < 0).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows_per_capture", "n_psk", "block_rows", "interpret"),
+)
+def psk_project_decide_batch(
+    x3d: jnp.ndarray,
+    w_all: jnp.ndarray,
+    best: jnp.ndarray,
+    rot: jnp.ndarray,
+    rows_per_capture: int,
+    n_psk: int = 4,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-batch fused projection+differential+derotate+decide kernel.
+
+    Like :func:`psk_project_diff_batch` but the outputs are uint8 decision
+    streams: Gray (hi, lo) dibit lanes for ``n_psk=4``, sign bits of the
+    (re, im) differential for ``n_psk=2``.
+
+    Args:
+      x3d: (B, R, ROW) sample rows (R = rows_per_capture, multiple of
+        block_rows).
+      w_all: (n_offsets, ROW+OV, 256) stacked templates.
+      best: (B,) int32 winning timing offset per capture.
+      rot: (B, 2) float32 per-capture (cosθ, sinθ) derotation.
+    Returns (hi, lo) uint8 of shape (B, R, 128); capture-tail entries are
+    garbage (pad rows), which sync/parse ignores.
+    """
+    b, r, row = x3d.shape
+    if r != rows_per_capture or r % block_rows:
+        raise ValueError("rows_per_capture mismatch or not a multiple of block_rows")
+    c = w_all.shape[1]
+    steps_per_capture = r // block_rows
+    grid = (b * steps_per_capture,)
+    x2d = x3d.reshape(b * r, row)
+    last_block8 = b * r // 8 - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, row), lambda i, best_ref, rot_ref: (i, 0)),
+            pl.BlockSpec(
+                (8, row),
+                lambda i, best_ref, rot_ref: (
+                    jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8),
+                    0,
+                ),
+            ),
+            pl.BlockSpec(
+                (1, c, 2 * _BLOCK_SYM),
+                lambda i, best_ref, rot_ref, spc=steps_per_capture: (
+                    best_ref[i // spc],
+                    0,
+                    0,
+                ),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, best_ref, rot_ref: (i, 0)),
+            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, best_ref, rot_ref: (i, 0)),
+        ],
+    )
+    kern = functools.partial(
+        _kernel_decide, steps_per_capture=steps_per_capture, n_psk=n_psk
+    )
+    hi, lo = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * r, _BLOCK_SYM), jnp.uint8),
+            jax.ShapeDtypeStruct((b * r, _BLOCK_SYM), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(best.astype(jnp.int32), rot.astype(jnp.float32), x2d, x2d, w_all)
+    return hi.reshape(b, r, _BLOCK_SYM), lo.reshape(b, r, _BLOCK_SYM)
 
 
 # --- fused rotation-hypothesis magic match -------------------------------------

@@ -411,6 +411,67 @@ def quarter_turn(d_re: jnp.ndarray, d_im: jnp.ndarray, k: int) -> Tuple[jnp.ndar
     return -d_im, d_re
 
 
+def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets, r_pre):
+    """Shared batched pass 1: build the blocked row tensor, score every
+    timing offset on up to 3 row windows, and blind-estimate each capture's
+    common differential rotation (the CFO signature) from the winning
+    offset's window differentials — the full diff stream is never read for
+    the estimate.
+
+    Returns ``(x3d, r, best, theta)`` with best (B,) int32 and theta (B,).
+    """
+    W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
+    row = _BLOCK_SYM * spsym
+    c = W8.shape[1]
+    ov = c - row
+    blk = 256
+    if x3d is None:
+        r0 = n_frames // _BLOCK_SYM
+        r = max(blk, -(-r0 // blk) * blk)
+        x = samples.astype(jnp.float32)
+        x_pad = jnp.pad(x[:, : n_frames * spsym], ((0, 0), (0, r * row - n_frames * spsym)))
+        x3d = x_pad.reshape(b, r, row)
+    else:
+        r = r0 = r_pre
+        if r % blk:
+            raise ValueError(f"pre-shaped rows {r} must be a multiple of {blk}")
+
+    # Slice the windows FIRST, then build their overlap tails: constructing
+    # the overlap for every row of the full batch profiled at ~12% of the
+    # pipeline while pass 1 only reads ~1.5% of the rows.
+    wr = min(64, r0) if r0 >= 1 else 1
+    starts = sorted({0, max(0, r0 // 2 - wr // 2), max(0, r0 - wr)})
+    mains = [x3d[:, s : s + wr] for s in starts]
+    # Next-row heads; dynamic_slice_in_dim clamps at the array edge (the last
+    # window shifts by one row there — irrelevant for scoring).
+    nexts = [
+        jax.lax.dynamic_slice_in_dim(x3d, min(s + 1, r0 - wr + 1 if r0 >= wr else 0), wr, axis=1)[
+            :, :, :ov
+        ]
+        for s in starts
+    ]
+    wins = jnp.concatenate(
+        [jnp.concatenate([m, nx], axis=2) for m, nx in zip(mains, nexts)], axis=1
+    )  # (B, len(starts)*wr, row+ov)
+    W_all = jnp.concatenate([W8[i] for i in range(n_offsets)], axis=1)  # (c, K*256)
+    proj = wins.reshape(b, -1, c) @ W_all  # (B, nw, K*256)
+    proj = proj.reshape(b, -1, n_offsets, 2, _BLOCK_SYM)
+    re, im = proj[:, :, :, 0], proj[:, :, :, 1]  # (B, nw, K, 128)
+    # In-row differentials (127 per row) are plenty for scoring.
+    dr = re[..., 1:] * re[..., :-1] + im[..., 1:] * im[..., :-1]
+    di = im[..., 1:] * re[..., :-1] - re[..., 1:] * im[..., :-1]
+    score = _coherence_score(dr, di, axis=(1, 3))  # (B, K)
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)
+
+    # Per-capture blind rotation estimate from the winning offset's windows
+    # (converges within a few thousand symbols; these windows hold ~24k).
+    idx = best[:, None, None, None]
+    dr_b = jnp.take_along_axis(dr, idx, axis=2)[:, :, 0]  # (B, nw, 127)
+    di_b = jnp.take_along_axis(di, idx, axis=2)[:, :, 0]
+    theta = estimate_common_rotation(dr_b.reshape(b, -1), di_b.reshape(b, -1))
+    return x3d, r, best, theta
+
+
 @functools.partial(
     jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_offsets")
 )
@@ -446,7 +507,6 @@ def psk_demod_streams_batch(
             raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
         n_frames = r * _BLOCK_SYM
         x3d = samples.astype(jnp.float32)
-        r0 = r
     else:
         b, n = samples.shape
         n_frames = n // spsym
@@ -457,47 +517,14 @@ def psk_demod_streams_batch(
             return d_re, d_im
         x3d = None
 
+    x3d, r, best, _theta = _batch_pass1(
+        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets,
+        r if x3d is not None else 0,
+    )
     W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
     row = _BLOCK_SYM * spsym
-    c = W8.shape[1]
-    ov = c - row
+    ov = W8.shape[1] - row
     blk = 256
-    if x3d is None:
-        r0 = n_frames // _BLOCK_SYM
-        r = max(blk, -(-r0 // blk) * blk)
-        x = samples.astype(jnp.float32)
-        x_pad = jnp.pad(x[:, : n_frames * spsym], ((0, 0), (0, r * row - n_frames * spsym)))
-        x3d = x_pad.reshape(b, r, row)
-    elif r % blk:
-        raise ValueError(f"pre-shaped rows {r} must be a multiple of {blk}")
-
-    # --- pass 1: blocked offset scoring on up to 3 row windows ---------------
-    # Slice the windows FIRST, then build their overlap tails: constructing
-    # the overlap for every row of the full batch profiled at ~12% of the
-    # pipeline while pass 1 only reads ~1.5% of the rows.
-    wr = min(64, r0) if r0 >= 1 else 1
-    starts = sorted({0, max(0, r0 // 2 - wr // 2), max(0, r0 - wr)})
-    mains = [x3d[:, s : s + wr] for s in starts]
-    # Next-row heads; dynamic_slice_in_dim clamps at the array edge (the last
-    # window shifts by one row there — irrelevant for scoring).
-    nexts = [
-        jax.lax.dynamic_slice_in_dim(x3d, min(s + 1, r0 - wr + 1 if r0 >= wr else 0), wr, axis=1)[
-            :, :, :ov
-        ]
-        for s in starts
-    ]
-    wins = jnp.concatenate(
-        [jnp.concatenate([m, nx], axis=2) for m, nx in zip(mains, nexts)], axis=1
-    )  # (B, len(starts)*wr, row+ov)
-    W_all = jnp.concatenate([W8[i] for i in range(n_offsets)], axis=1)  # (c, K*256)
-    proj = wins.reshape(b, -1, c) @ W_all  # (B, nw, K*256)
-    proj = proj.reshape(b, -1, n_offsets, 2, _BLOCK_SYM)
-    re, im = proj[:, :, :, 0], proj[:, :, :, 1]  # (B, nw, K, 128)
-    # In-row differentials (127 per row) are plenty for scoring.
-    dr = re[..., 1:] * re[..., :-1] + im[..., 1:] * im[..., :-1]
-    di = im[..., 1:] * re[..., :-1] - re[..., 1:] * im[..., :-1]
-    score = _coherence_score(dr, di, axis=(1, 3))  # (B, K)
-    best = jnp.argmax(score, axis=1).astype(jnp.int32)
 
     # --- pass 2 ---------------------------------------------------------------
     if jax.default_backend() == "tpu":
@@ -514,6 +541,95 @@ def psk_demod_streams_batch(
     d_re = re_f[:, 1:] * re_f[:, :-1] + im_f[:, 1:] * im_f[:, :-1]
     d_im = im_f[:, 1:] * re_f[:, :-1] - re_f[:, 1:] * im_f[:, :-1]
     return d_re, d_im
+
+
+def _decide_streams(d_re, d_im, n_psk: int):
+    """Float differential streams -> uint8 decision streams (XLA path)."""
+    if n_psk == 4:
+        return qpsk_gray_streams(d_re, d_im)
+    return (d_re < 0).astype(jnp.uint8), (d_im < 0).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "carrier", "sample_rate", "n_psk", "cfo", "n_offsets"),
+)
+def psk_decision_streams_batch(
+    samples: jnp.ndarray,
+    baud: float,
+    carrier: float,
+    sample_rate: int,
+    n_psk: int = 4,
+    cfo: bool = True,
+    n_offsets: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched decision streams — the production receive hot path.
+
+    Returns uint8 ``(hi, lo)`` Gray dibit lanes (``n_psk=4``) or the sign
+    bits of the (re, im) differential (``n_psk=2``), shape (B, n_out).
+
+    On TPU this is ONE fused Pallas kernel for pass 2: projection matmul,
+    differential, per-capture blind derotation (``cfo=True``; the θ estimate
+    comes from the pass-1 scoring windows, so the full float diff stream is
+    never materialized in HBM) and the bit decision. Compared with the float
+    pipeline (:func:`psk_demod_streams_batch` + derotate + Gray pass) this
+    writes 4x fewer output bytes and eliminates two full-stream passes
+    (measurements in PERF.md).
+
+    Falls back to the float path + XLA decisions off-TPU or for large
+    symbols.
+    """
+    spsym = _samples_per_symbol(sample_rate, baud)
+    if samples.ndim == 3:
+        b, r, row = samples.shape
+        if row != _BLOCK_SYM * spsym:
+            raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
+        n_frames = r * _BLOCK_SYM
+        x3d = samples.astype(jnp.float32)
+    else:
+        b, n = samples.shape
+        n_frames = n // spsym
+        if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
+            d_re, d_im = psk_demod_streams_batch(
+                samples, baud, carrier, sample_rate, n_offsets
+            )
+            if cfo:
+                theta = estimate_common_rotation_windows(d_re, d_im)
+                d_re, d_im = derotate(d_re, d_im, theta)
+            return jax.vmap(lambda a, c: _decide_streams(a, c, n_psk))(d_re, d_im)
+        x3d = None
+
+    x3d, r, best, theta = _batch_pass1(
+        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets,
+        r if x3d is not None else 0,
+    )
+    W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
+    row = _BLOCK_SYM * spsym
+    ov = W8.shape[1] - row
+    blk = 256
+    if cfo:
+        rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+    else:
+        rot = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (b, 1))
+
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import psk_project_decide_batch
+
+        hi, lo = psk_project_decide_batch(
+            x3d, W8, best, rot, rows_per_capture=r, n_psk=n_psk, block_rows=blk
+        )
+        return hi.reshape(b, -1), lo.reshape(b, -1)
+
+    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
+    xov_rows = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
+    out = jnp.einsum("brc,bck->brk", xov_rows, W8[best])  # (B, r, 256)
+    re_f = out[:, :, :_BLOCK_SYM].reshape(b, -1)
+    im_f = out[:, :, _BLOCK_SYM:].reshape(b, -1)
+    d_re = re_f[:, 1:] * re_f[:, :-1] + im_f[:, 1:] * im_f[:, :-1]
+    d_im = im_f[:, 1:] * re_f[:, :-1] - re_f[:, 1:] * im_f[:, :-1]
+    if cfo:
+        d_re, d_im = derotate(d_re, d_im, theta)
+    return jax.vmap(lambda a, c: _decide_streams(a, c, n_psk))(d_re, d_im)
 
 
 def blocked_row_shape(n_samples: int, baud: float, sample_rate: int) -> Optional[Tuple[int, int]]:
@@ -600,6 +716,51 @@ def _psk_bytes_cfo(
         return bit_sync_and_pack_rotations(bits_re, bits_im, pattern)
     hi, lo = qpsk_gray_streams(d_re, d_im)
     return dibit_sync_and_pack_rotations(hi, lo, pattern)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_psk")
+)
+def _psk_bytes_nosync(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int, n_psk: int
+):
+    """Demod to bytes with NO magic sync: derotate blind, pack from offset 0.
+
+    The synced paths discard everything before the first 16-bit magic match
+    — correct when the magic survived, catastrophic when it took bit errors
+    (a spurious match truncates the head of the capture, frame included).
+    This is the header-tolerant recovery front end: the full bit stream,
+    byte-packed from offset 0 under rotation k=0; the decoder's rescue sweep
+    (decoder.recover_header_damaged) then searches all bit shifts and
+    quarter-turn relabelings of it. Returns a list of (packed, n_valid)
+    pairs: one stream for DQPSK, the (re, im) pair for DBPSK.
+    """
+    from .common import pack_bits_from
+
+    d_re, d_im, _ = psk_demod_streams(samples, baud, carrier, sample_rate)
+    d_re, d_im = derotate(d_re, d_im, estimate_common_rotation(d_re, d_im))
+    if n_psk == 2:
+        out = []
+        for comp in ((d_re < 0), (d_im < 0)):
+            packed, n_valid = pack_bits_from(comp.astype(jnp.uint8), jnp.int32(0))
+            out.append((packed, n_valid))
+        return out
+    from .common import relabel_shift_pack
+
+    hi, lo = qpsk_gray_streams(d_re, d_im)
+    packed, n_valid = relabel_shift_pack(hi, lo, jnp.int32(0), jnp.int32(0))
+    return [(packed, n_valid)]
+
+
+def psk_nosync_streams(
+    samples: np.ndarray, baud: float, carrier: float, samp_rate: int, n_psk: int
+) -> list:
+    """Host wrapper for :func:`_psk_bytes_nosync`: list of full byte streams."""
+    pairs = _psk_bytes_nosync(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(samp_rate), int(n_psk),
+    )
+    return [bytes(np.asarray(p)[: int(n)]) for p, n in pairs]
 
 
 def psk_soft_bits(

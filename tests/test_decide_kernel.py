@@ -1,0 +1,99 @@
+"""Tests for the fused projection+derotate+decide Pallas kernel and its
+batched orchestration (psk_decision_streams_batch)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+from audio_modem_radio_tpu.modem import modulate
+
+
+def _make_batch(mode, rate, n_captures=2, seed=0):
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, 1024, dtype=np.uint8).tobytes()
+    framed = pack_frame("k.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate(mode, framed, rate), np.float32)
+    n = 1 << int(np.ceil(np.log2(len(wave))))
+    batch = np.zeros((n_captures, n), np.float32)
+    batch[:, : len(wave)] = wave
+    return batch, payload
+
+
+@pytest.mark.parametrize("n_psk", [2, 4])
+def test_decide_kernel_interpret_matches_xla(n_psk, rng):
+    """psk_project_decide_batch (interpreter mode) == XLA decide path."""
+    from audio_modem_radio_tpu.ops.psk import (
+        _BLOCK_SYM,
+        _batch_pass1,
+        _blocked_templates,
+        _decide_streams,
+        _samples_per_symbol,
+        derotate,
+    )
+    from audio_modem_radio_tpu.ops.pallas_kernels import psk_project_decide_batch
+
+    baud, carrier, sr = 9600.0, 3000.0, 96000
+    spsym = _samples_per_symbol(sr, baud)
+    mode = "QPSK" if n_psk == 4 else "BPSK"
+    batch, _ = _make_batch(mode, int(baud), n_captures=2, seed=n_psk)
+    b, n = batch.shape
+    n_frames = n // spsym
+    samples = jnp.asarray(batch)
+    x3d, r, best, theta = _batch_pass1(
+        samples, None, b, n_frames, spsym, carrier, sr, 8, 0
+    )
+    W8 = jnp.asarray(_blocked_templates(spsym, carrier, sr, 8))
+    rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+
+    hi_k, lo_k = psk_project_decide_batch(
+        x3d, W8, best, rot, rows_per_capture=r, n_psk=n_psk, block_rows=256,
+        interpret=True,
+    )
+    hi_k = np.asarray(hi_k.reshape(b, -1))
+    lo_k = np.asarray(lo_k.reshape(b, -1))
+
+    # XLA reference: einsum projection + differential + derotate + decide.
+    row = _BLOCK_SYM * spsym
+    ov = W8.shape[1] - row
+    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
+    xov = jnp.concatenate([x3d, x_next], axis=2)
+    out = jnp.einsum("brc,bck->brk", xov, W8[best])
+    re_f = out[:, :, :_BLOCK_SYM].reshape(b, -1)
+    im_f = out[:, :, _BLOCK_SYM:].reshape(b, -1)
+    d_re = re_f[:, 1:] * re_f[:, :-1] + im_f[:, 1:] * im_f[:, :-1]
+    d_im = im_f[:, 1:] * re_f[:, :-1] - re_f[:, 1:] * im_f[:, :-1]
+    d_re, d_im = derotate(d_re, d_im, theta)
+    hi_x, lo_x = jax.vmap(lambda a, c: _decide_streams(a, c, n_psk))(d_re, d_im)
+    hi_x, lo_x = np.asarray(hi_x), np.asarray(lo_x)
+
+    # Compare the signal region (the capture tail is pad garbage in both,
+    # and the XLA stream is one diff shorter by construction). Decisions at
+    # near-zero differentials (pad boundary) may tie-break differently;
+    # restrict to the modulated span.
+    n_sym_sig = n // spsym - 2
+    assert np.array_equal(hi_k[:, :n_sym_sig], hi_x[:, :n_sym_sig])
+    assert np.array_equal(lo_k[:, :n_sym_sig], lo_x[:, :n_sym_sig])
+
+
+@pytest.mark.parametrize("cfo", [True, False])
+def test_decision_streams_batch_decodes(cfo):
+    """decode via psk_decision_streams_batch end to end (XLA path on CPU)."""
+    from audio_modem_radio_tpu.framing import MAGIC_BIT_PATTERN
+    from audio_modem_radio_tpu.ops.common import (
+        dibit_sync_and_pack,
+        dibit_sync_and_pack_rotations,
+    )
+    from audio_modem_radio_tpu.ops.psk import psk_decision_streams_batch
+
+    batch, payload = _make_batch("QPSK", 9600, n_captures=3, seed=7)
+    hi, lo = psk_decision_streams_batch(jnp.asarray(batch), 9600.0, 3000.0, 96000, 4, cfo)
+    sync = dibit_sync_and_pack_rotations if cfo else dibit_sync_and_pack
+    packed, n_valid, found = jax.vmap(lambda h, l: sync(h, l, MAGIC_BIT_PATTERN))(hi, lo)
+    assert bool(np.asarray(found).all())
+    for i in range(batch.shape[0]):
+        raw = np.asarray(packed[i])[: int(n_valid[i])].tobytes()
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == payload
