@@ -32,7 +32,7 @@ import numpy as np
 from .assembly import AssemblyRegistry, registry as default_registry
 from .config import CONFIG
 from .fec import unwrap_fec
-from .framing import Frame, parse_frames, parse_frames_detailed
+from .framing import Frame, crc32, parse_frames, parse_frames_detailed, scan_frame_candidates
 from .modem import SAMPLE_RATE, demodulate
 from .utils.compression import intelligent_decompress
 from .utils.wavio import read_wav, resample
@@ -86,6 +86,147 @@ def _defec(payload: bytes) -> bytes:
     """Transparently unwrap a tagged FEC container, if present."""
     decoded = unwrap_fec(payload)
     return payload if decoded is None else decoded
+
+
+def recover_header_damaged(
+    raw: bytes, already: List[Frame], stats: Optional[dict] = None
+) -> List[Frame]:
+    """Recover frames whose HEADER carries bit errors — the strict parser's
+    blind spot.
+
+    Payload FEC (the tagged FECV/FECP containers) heals payload bit errors,
+    but a single flipped bit in the ~30 plaintext header bytes hides the
+    frame from the magic scan entirely; at 5 dB that killed about half the
+    otherwise-recoverable frames. ``framing.scan_frame_candidates`` proposes
+    candidates under fuzzy magic / FEC-tag anchors / CRC-recovered lengths;
+    this function promotes a candidate ONLY on an exact integrity proof:
+
+    1. as-read payload CRC matches (pure magic corruption; payload intact);
+    2. Viterbi decode re-ENCODES to exactly the header's payload CRC (the
+       convolutional encoder is deterministic, so a correct decode must
+       reproduce the transmitted container byte-for-byte);
+    3. parity-container CRC trailer verifies; or
+    4. single-part frames: a self-terminating decompress of the FEC output
+       matches the header's whole-file CRC (rescues a corrupt ``pcrc``).
+
+    False candidates therefore cost microseconds and never surface as files.
+    The reference has no analog — its parser needs byte-perfect headers
+    (/root/reference/decoder.py:142-208).
+
+    ``already`` is the strict parser's VALID frames: their (name, part) keys
+    are never re-emitted. Damaged frames are NOT passed here — a validated
+    recovery is strictly better than a damaged-path guess, so callers drop
+    the matching damaged entries instead (see decode_from_buffer).
+
+    When the stream contains no valid frames and no byte-aligned recovery,
+    all 7 nonzero BIT shifts of the stream are scanned too: corruption of
+    the first 16 magic bits defeats the demodulator's bit sync, which then
+    packs from offset 0 — leaving the whole capture bit-misaligned. The
+    fuzzy scan at the true shift re-finds the frame.
+    """
+    from .fec import (
+        TAG_PARITY,
+        TAG_VITERBI,
+        ConvolutionalEncoder,
+        ReedSolomonFEC,
+        ViterbiDecoder,
+    )
+    from .utils.compression import TAG_RAW, decompress_prefix
+
+    seen = {(f.name, f.part_number) for f in already}
+    out: List[Frame] = []
+
+    def emit(frame: Frame, how: str) -> None:
+        key = (frame.name, frame.part_number)
+        if key in seen:
+            return
+        seen.add(key)
+        out.append(frame)
+        if stats is not None:
+            stats["header_recoveries"] = stats.get("header_recoveries", 0) + 1
+            if how != "pcrc":  # the recovery ran (and was proven by) the FEC
+                stats["fec_recovery_attempts"] = stats.get("fec_recovery_attempts", 0) + 1
+        logger.info("header-tolerant recovery (%s): %s part %d/%d",
+                    how, frame.name, frame.part_number + 1, frame.total_parts)
+
+    def scan_one(stream: bytes) -> None:
+        for cand in scan_frame_candidates(stream):
+            f = cand.frame
+            payload = f.data
+            try:
+                # 1. Payload intact under the as-read pcrc: only the header
+                #    (magic / name_len / dlen) was corrupt.
+                if crc32(payload) == cand.pcrc:
+                    emit(f, "pcrc")
+                    continue
+                if payload[:4] == TAG_VITERBI:
+                    decoded = ViterbiDecoder().decode(payload[4:])
+                    if not decoded:
+                        continue
+                    rewrap = TAG_VITERBI + ConvolutionalEncoder().encode(decoded)
+                    # 2. Deterministic re-encode reproduces the TX container.
+                    if crc32(rewrap) == cand.pcrc:
+                        emit(Frame(f.name, rewrap, f.part_number, f.total_parts,
+                                   f.file_size, f.file_crc), "fec-reencode")
+                        continue
+                elif payload[:4] == TAG_PARITY:
+                    rs = ReedSolomonFEC()
+                    decoded = rs.decode(payload[4:])
+                    # 3. The parity container carries its own CRC32 trailer.
+                    if getattr(rs, "last_crc_ok", False):
+                        emit(Frame(f.name, TAG_PARITY + rs.encode(decoded),
+                                   f.part_number, f.total_parts,
+                                   f.file_size, f.file_crc), "fec-crc")
+                        continue
+                else:
+                    continue
+                # 4. pcrc corrupt too: self-terminating decompress of the FEC
+                #    output (LZMA/zlib stop at stream end, ignoring the
+                #    guessed span's garbage tail) checked against the
+                #    whole-file CRC.
+                if f.is_multipart or not f.file_crc:
+                    continue
+                final = decompress_prefix(decoded, f.file_size)
+                if final is not None and crc32(final) == f.file_crc:
+                    emit(Frame(f.name, TAG_RAW + final, f.part_number,
+                               f.total_parts, f.file_size, f.file_crc), "fcrc")
+            except Exception:
+                logger.debug("candidate validation failed", exc_info=True)
+
+    scan_one(raw)
+    if not out and not already and len(raw) > 8:
+        # Sync-failure rescue. The demodulator aligns bits AND resolves the
+        # k·π/2 differential-rotation ambiguity by matching the magic's
+        # first 16 bits; when those bits are corrupt, it packs from offset 0
+        # under rotation 0. The true frame then sits at some BIT SHIFT of
+        # the stream, possibly with every Gray dibit relabeled by a constant
+        # quarter-turn (QPSK) or complemented (BPSK k=2). Sweep the variants
+        # cheapest-first until one validates — pure numpy passes, run only
+        # when the capture yielded nothing at all.
+        bits = np.unpackbits(np.frombuffer(raw, np.uint8))
+        for k in range(4):
+            for shift in range(8):
+                if k == 0 and shift == 0:
+                    continue  # the as-is stream, scanned above
+                sh = bits[shift:]
+                if k:
+                    m = len(sh) // 2
+                    hi, lo = sh[0 : 2 * m : 2], sh[1 : 2 * m : 2]
+                    sector = 2 * hi + (hi ^ lo)  # inverse Gray
+                    s2 = (sector - k) % 4
+                    pair = np.empty((m, 2), np.uint8)
+                    pair[:, 0] = s2 >= 2
+                    pair[:, 1] = (s2 == 1) | (s2 == 2)
+                    sh = pair.reshape(-1)
+                scan_one(np.packbits(sh[: len(sh) & ~7]).tobytes())
+                if out:
+                    return out
+        for shift in range(8):  # BPSK k=2: complemented bit stream
+            sh = 1 - bits[shift:]
+            scan_one(np.packbits(sh[: len(sh) & ~7]).tobytes())
+            if out:
+                return out
+    return out
 
 
 def save_decoded_files(
@@ -162,6 +303,26 @@ def save_decoded_files(
     return saved
 
 
+def _nosync_streams(samples: np.ndarray, mode: str, symbol_rate: int) -> List[bytes]:
+    """Full no-sync byte streams for header-tolerant rescue (PSK family)."""
+    try:
+        from .parallel.batch import resolve_demod_plan
+
+        kind, params = resolve_demod_plan(mode, symbol_rate)
+        if kind not in ("psk2", "psk4"):
+            return []
+        from .ops.psk import psk_nosync_streams
+
+        baud, carrier = params
+        return psk_nosync_streams(
+            pad_to_bucket(samples), baud, carrier, SAMPLE_RATE,
+            2 if kind == "psk2" else 4,
+        )
+    except Exception:
+        logger.exception("no-sync rescue demod failed")
+        return []
+
+
 def _stream_fec_soft(samples: np.ndarray, mode: str, symbol_rate: int):
     """Soft-decision stream-FEC decode for PSK-family modes, else None."""
     try:
@@ -231,11 +392,28 @@ def decode_from_buffer(
                 if soft_raw is not None and soft_raw.startswith(b"FBPC"):
                     raw = soft_raw
         frames, damaged = parse_frames_detailed(raw)
+        # Header-tolerant pass: frames the strict parser missed because the
+        # HEADER (not the payload) took bit errors. Exact-validation only —
+        # see recover_header_damaged. A validated recovery supersedes any
+        # damaged-path guess for the same (name, part).
+        reg = registry or default_registry
+        recovered = recover_header_damaged(raw, frames, stats=reg.stats)
+        if not frames and not damaged and not recovered:
+            # Total loss can mean the demodulator's magic SYNC failed (its
+            # 16 sync bits took errors): a spurious match truncates the
+            # stream head, frame included. Re-pack the full stream with no
+            # sync and sweep shifts/rotations over it (PSK family only).
+            for raw2 in _nosync_streams(samples, mode, symbol_rate):
+                recovered = recover_header_damaged(raw2, [], stats=reg.stats)
+                if recovered:
+                    break
+        rec_keys = {(f.name, f.part_number) for f in recovered}
+        damaged = [d for d in damaged if (d.name, d.part_number) not in rec_keys]
         logger.info(
-            "demodulated %d bytes -> %d valid / %d damaged frames",
-            len(raw), len(frames), len(damaged),
+            "demodulated %d bytes -> %d valid / %d damaged / %d header-recovered frames",
+            len(raw), len(frames), len(damaged), len(recovered),
         )
-        return save_decoded_files(frames, recv_dir, registry, damaged=damaged)
+        return save_decoded_files(frames + recovered, recv_dir, registry, damaged=damaged)
     except Exception:
         logger.exception("demodulation failed")
         return []

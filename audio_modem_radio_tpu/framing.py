@@ -22,7 +22,9 @@ from __future__ import annotations
 import binascii
 import struct
 from dataclasses import dataclass
-from typing import List
+from typing import List, Set, Tuple
+
+import numpy as np
 
 MAGIC = b"FBPC"
 # First 16 bits of the magic, used by the demodulators for bit alignment
@@ -135,3 +137,183 @@ def parse_frames_detailed(raw: bytes) -> tuple:
         else:
             damaged.append(frame)
     return frames, damaged
+
+
+# --- header-tolerant recovery scan --------------------------------------------
+#
+# The strict parser above requires an EXACT magic and a sane, as-read header.
+# At low SNR that is the weak link of payload FEC: the convolutional container
+# can heal a payload riddled with bit errors, but a single flipped bit in the
+# ~30 plaintext header bytes (magic, name_len, dlen...) makes the frame
+# invisible to the parser and the FEC never runs. (The reference has no
+# recovery story at all — its parser needs byte-perfect headers AND payloads,
+# /root/reference/decoder.py:142-208.) The scan below finds frame CANDIDATES
+# under header corruption; the decoder validates each candidate by actually
+# running the FEC and checking an exact integrity proof (fec re-encode CRC /
+# container CRC / whole-file CRC), so false candidates cost microseconds and
+# never produce output files.
+
+_POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint8)
+_FEC_TAGS = (b"FECP", b"FECV")
+
+
+def fuzzy_magic_positions(raw: bytes, max_bit_errors: int = 2) -> np.ndarray:
+    """Offsets whose 4-byte window is within ``max_bit_errors`` bits of FBPC.
+
+    Vectorized: XOR every window with the magic and popcount via table
+    lookup — one pass over the stream, no Python loop.
+    """
+    n = len(raw)
+    if n < len(MAGIC):
+        return np.empty(0, np.int64)
+    arr = np.frombuffer(raw, np.uint8)
+    magic = np.frombuffer(MAGIC, np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, len(MAGIC))
+    dist = _POPCOUNT[win ^ magic].sum(axis=1, dtype=np.uint8)  # max 32 < 256
+    return np.nonzero(dist <= max_bit_errors)[0]
+
+
+@dataclass(frozen=True)
+class FrameCandidate:
+    """A header-damaged frame candidate awaiting FEC validation.
+
+    ``pcrc`` is the as-read payload CRC field (itself possibly corrupt);
+    ``exact_magic`` records whether the magic matched byte-exact.
+    """
+
+    frame: Frame
+    pcrc: int
+    exact_magic: bool
+
+
+_CRC_SCAN_CAP = 4 << 20  # bound the per-candidate prefix-CRC scan
+
+
+def _find_dlen_by_crc(raw: bytes, payload_start: int, pcrc: int, span: int) -> int:
+    """Recover a corrupt ``dlen`` from an intact ``pcrc``: the payload is the
+    unique prefix of the span whose CRC32 equals the header's payload CRC.
+    One incremental pass (CRC32 is a running update); returns 0 if no prefix
+    matches within the (capped) span."""
+    end = payload_start + min(span, _CRC_SCAN_CAP)
+    view = memoryview(raw)
+    crc = 0
+    for i in range(payload_start, end):
+        crc = binascii.crc32(view[i : i + 1], crc)
+        if crc == pcrc:
+            return i + 1 - payload_start
+    return 0
+
+
+def _sane_geometry(raw: bytes, start: int, name_len: int, dlen: int) -> bool:
+    n = len(raw)
+    if name_len == 0 or dlen == 0 or dlen > MAX_PAYLOAD:
+        return False
+    payload_start = start + 5 + name_len + _META.size
+    return payload_start + dlen <= n
+
+
+def scan_frame_candidates(
+    raw: bytes, max_bit_errors: int = 2, limit: int = 256
+) -> List[FrameCandidate]:
+    """Scan for frames whose header may carry bit errors.
+
+    Two independent anchors locate each candidate:
+
+    1. **Fuzzy magic** — any 4-byte window within ``max_bit_errors`` of FBPC.
+    2. **FEC-container tag** — when the payload is FEC-wrapped, its first 4
+       bytes are the known plaintext ``FECP``/``FECV``. An exact tag at
+       offset ``p`` pins the header geometry (``meta`` ends at ``p``), which
+       rescues candidates whose ``name_len`` byte is corrupt: the implied
+       ``name_len`` is recomputed from the tag position instead of trusted
+       from the wire.
+
+    For each anchor the payload length is tried as (a) the as-read ``dlen``
+    when sane, and (b) the span to the next candidate magic / end of stream
+    (rescues a corrupt ``dlen``). Candidates that the strict parser already
+    emits (exact magic + sane as-read geometry) are skipped. Inconsistent
+    part indices are healed to single-part rather than rejected — validation
+    downstream is cryptographic, not heuristic. At most ``limit`` candidates
+    are returned (a garbage stream can otherwise explode combinatorially).
+    """
+    n = len(raw)
+    out: List[FrameCandidate] = []
+    seen: Set[Tuple[int, int, int]] = set()
+    mpos = fuzzy_magic_positions(raw, max_bit_errors)
+    mpos_list = [int(p) for p in mpos]
+    exact_set = {p for p in mpos_list if raw[p : p + 4] == MAGIC}
+
+    # FEC-tag anchors: implied (start, name_len) for every tag position and
+    # plausible name length such that a fuzzy magic sits at the implied start.
+    tag_anchor: dict = {}  # start -> implied name_len
+    mpos_set = set(mpos_list)
+    for tag in _FEC_TAGS:
+        t = raw.find(tag)
+        while t != -1:
+            for nl in range(1, 256):
+                s = t - _META.size - nl - 5
+                if s < 0:
+                    break
+                if s in mpos_set:
+                    tag_anchor.setdefault(s, nl)
+            t = raw.find(tag, t + 1)
+
+    def add(start: int, name_len: int, dlen: int) -> None:
+        if len(out) >= limit or not _sane_geometry(raw, start, name_len, dlen):
+            return
+        key = (start, name_len, dlen)
+        if key in seen:
+            return
+        seen.add(key)
+        name_start = start + 5
+        meta_start = name_start + name_len
+        name = raw[name_start:meta_start].decode("utf-8", "ignore")
+        part, total, fsize, fcrc, _dlen_raw, pcrc = _META.unpack(
+            raw[meta_start : meta_start + _META.size]
+        )
+        if total == 0 or part >= total:
+            part, total = 0, 1  # heal — downstream validation is exact
+        payload = raw[meta_start + _META.size : meta_start + _META.size + dlen]
+        out.append(
+            FrameCandidate(
+                Frame(name, payload, part, total, fsize, fcrc),
+                pcrc,
+                start in exact_set,
+            )
+        )
+
+    for start in mpos_list:
+        if start + 5 + _META.size >= n:
+            continue
+        exact = start in exact_set
+        nl_read = raw[start + 4]
+        nl_implied = tag_anchor.get(start)
+        for nl in {nl_read, nl_implied} - {None, 0}:
+            meta_start = start + 5 + nl
+            if meta_start + _META.size > n:
+                continue
+            dlen_read = _META.unpack(raw[meta_start : meta_start + _META.size])[4]
+            # As-read geometry; the strict parser already handled the
+            # exact-magic + as-read-name_len variant of it.
+            if not (exact and nl == nl_read):
+                add(start, nl, dlen_read)
+            # Corrupt-dlen rescue. The payload can only extend to the next
+            # frame start (back-to-back multi-part streams) or end of stream.
+            payload_start = meta_start + _META.size
+            nxt = [p for p in mpos_list if p > payload_start]
+            boundary = nxt[0] if nxt else n
+            dlen_span = boundary - payload_start
+            if dlen_span <= 0:
+                continue
+            # When the pcrc field survived, the true dlen is recoverable
+            # EXACTLY: the payload is the unique span prefix whose CRC32
+            # matches it (one incremental pass).
+            pcrc = _META.unpack(raw[meta_start : meta_start + _META.size])[5]
+            if not (0 < dlen_read <= dlen_span and crc32(raw[payload_start : payload_start + dlen_read]) == pcrc):
+                dlen_crc = _find_dlen_by_crc(raw, payload_start, pcrc, dlen_span)
+                if dlen_crc and dlen_crc != dlen_read:
+                    add(start, nl, dlen_crc)
+            # Last resort (pcrc corrupt too): hand the whole span to the
+            # decoder's self-terminating validation ladder.
+            if dlen_span != dlen_read:
+                add(start, nl, dlen_span)
+    return out

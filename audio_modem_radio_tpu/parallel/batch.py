@@ -38,12 +38,7 @@ from ..ops.common import (
 )
 from ..ops.fsk import fsk_demod_bits
 from ..ops.ofdm import ofdm_demod_bits
-from ..ops.psk import (
-    derotate,
-    estimate_common_rotation_windows,
-    psk_demod_streams_batch,
-    qpsk_gray_streams,
-)
+from ..ops.psk import psk_decision_streams_batch
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
 
@@ -134,20 +129,21 @@ def demod_pack_batch(
 
     if kind in ("psk4", "psk2"):
         baud, carrier = params
-        d_re, d_im = psk_demod_streams_batch(samples, baud, carrier, SAMPLE_RATE)
-        # CFO handling (ops/psk.py): blind 4th-power derotation per capture,
-        # then the residual k·π/2 sector ambiguity is resolved by matching
-        # the frame magic under all four quarter-turn relabelings (pattern
-        # transformed on the host — cheap boolean scans) and byte-packing
-        # ONCE on the winning rotation (ops/common.py rotation sync).
-        # The CFO machinery costs ~25% of pipeline throughput; channels known
-        # to be carrier-exact (e.g. digital loopback farms) can pass
-        # cfo_retry=False (decode_sample_batch plumbs CONFIG modem.cfo_retry).
-        if cfo_retry:
-            theta = estimate_common_rotation_windows(d_re, d_im)
-            d_re, d_im = derotate(d_re, d_im, theta)
+        # Fused decision streams (ops/psk.py): projection + differential +
+        # blind per-capture derotation + Gray/sign decision in ONE Pallas
+        # kernel on TPU — the float differential streams never reach HBM.
+        # The residual k·π/2 sector ambiguity of the blind CFO estimate is
+        # resolved by matching the frame magic under all four quarter-turn
+        # relabelings and byte-packing ONCE on the winning rotation
+        # (ops/common.py rotation sync / the Pallas rotation matcher below).
+        # Channels known to be carrier-exact (e.g. digital loopback farms)
+        # can pass cfo_retry=False (decode_sample_batch plumbs CONFIG
+        # modem.cfo_retry) to skip the rotation machinery.
+        n_psk = 4 if kind == "psk4" else 2
+        hi, lo = psk_decision_streams_batch(
+            samples, baud, carrier, SAMPLE_RATE, n_psk=n_psk, cfo=cfo_retry
+        )
         if kind == "psk4":
-            hi, lo = jax.vmap(qpsk_gray_streams)(d_re, d_im)
             if not cfo_retry:
                 return jax.vmap(
                     lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
@@ -179,19 +175,18 @@ def demod_pack_batch(
             return jax.vmap(
                 lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)
             )(hi, lo)
-        bits_re = (d_re < 0).astype(jnp.uint8)
+        # psk2: (hi, lo) are the (re, im) sign-bit streams.
         if cfo_retry:
-            bits_im = (d_im < 0).astype(jnp.uint8)
             return jax.vmap(
                 lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN)
-            )(bits_re, bits_im)
+            )(hi, lo)
 
         def sync_pack_one(bb):
             start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)
             packed, n_valid = pack_bits_from(bb, start)
             return packed, n_valid, found
 
-        return jax.vmap(sync_pack_one)(bits_re)
+        return jax.vmap(sync_pack_one)(hi)
 
     # Batched FSK skips MLSE refinement by default (fsk_mlse=False): the
     # trellis scan costs ~3x pipeline throughput and the equalizer's ~1.5e-5
@@ -366,5 +361,18 @@ def decode_wav_batch(
             # FEC recovery can run — identical to the single-file path
             # (decoder.py decode behavior).
             frames, damaged = parse_frames_detailed(raw)
-        out.append(save_decoded_files(frames, recv_dir, registry, damaged=damaged or None))
+        # Header-tolerant pass, identical to the single-file path
+        # (decoder.recover_header_damaged): exact-validated recovery of
+        # frames whose header bits were corrupted; a recovery supersedes
+        # any damaged-path guess for the same (name, part).
+        from ..decoder import recover_header_damaged
+
+        recovered = recover_header_damaged(
+            raw, list(frames), stats=(registry.stats if registry is not None else None)
+        )
+        rec_keys = {(f.name, f.part_number) for f in recovered}
+        damaged = [d for d in damaged if (d.name, d.part_number) not in rec_keys]
+        out.append(save_decoded_files(
+            list(frames) + recovered, recv_dir, registry, damaged=damaged or None
+        ))
     return out

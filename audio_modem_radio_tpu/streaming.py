@@ -94,6 +94,19 @@ class StreamingDecoder:
     def _decode_window(self, window_samples: np.ndarray) -> List[str]:
         raw = demodulate(self.mode, window_samples, self.symbol_rate)
         frames, damaged = parse_frames_detailed(raw)
+        # Header-tolerant pass (decoder.recover_header_damaged): rescues
+        # frames whose header bits took errors. Cheap when nothing matches
+        # (one vectorized scan); validated recoveries join the normal dedup
+        # and supersede damaged-path guesses for the same (name, part).
+        from .decoder import recover_header_damaged
+
+        recovered = recover_header_damaged(
+            raw, list(frames),
+            stats=(self.registry.stats if self.registry is not None else None),
+        )
+        rec_keys = {(f.name, f.part_number) for f in recovered}
+        damaged = [d for d in damaged if (d.name, d.part_number) not in rec_keys]
+        frames = list(frames) + recovered
         fresh = []
         for f in frames:
             key = (f.name, f.part_number, crc32(f.data))

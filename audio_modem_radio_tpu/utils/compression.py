@@ -158,6 +158,33 @@ def intelligent_decompress(blob: bytes) -> bytes:
         return blob
 
 
+def decompress_prefix(blob: bytes, file_size: int = 0):
+    """Decompress a tagged container that may carry TRAILING GARBAGE.
+
+    Used by header-tolerant frame recovery (framing.scan_frame_candidates):
+    when the frame's ``dlen`` field is corrupt, the payload span is a guess
+    that usually overshoots into trailing channel noise. LZMA and zlib
+    streams are self-terminating, so a streaming decompressor recovers the
+    original bytes exactly and ignores the junk tail; RAW payloads are
+    bounded by the header's ``file_size``. Returns None when no
+    self-terminating decode succeeds (unlike :func:`intelligent_decompress`,
+    which falls back to returning the blob — wrong for a guessed span).
+    """
+    try:
+        if blob.startswith(TAG_LZMA):
+            return lzma.LZMADecompressor().decompress(blob[4:])
+        if blob.startswith(TAG_DLZM):
+            return delta_decompress(lzma.LZMADecompressor().decompress(blob[4:]))
+        if blob.startswith(TAG_ZLIB):
+            return zlib.decompressobj().decompress(blob[4:])
+        if blob.startswith(TAG_RAW):
+            body = blob[3:]
+            return body[:file_size] if 0 < file_size <= len(body) else body
+        return zlib.decompressobj().decompress(blob)
+    except Exception:
+        return None
+
+
 def super_compress_enhanced(data: bytes) -> bytes:
     """Analysis-driven tagged compression (reference compression.py:127-137)."""
     rec = IntelligentCompressor().analyze_data_pattern(data)["recommended"]
