@@ -236,18 +236,22 @@ def relabel_shift_pack(
     shift to bit offset ``s`` and byte-pack. The shared tail of the XLA and
     Pallas rotation-sync paths."""
     m = hi.shape[0]
-    sector = (2 * hi + (hi ^ lo)).astype(jnp.int32)  # inverse Gray, per dibit
-    s2 = (sector - ksel) % 4
+    # Stay in uint8 until the pack matmuls: the dynamic-slice shifts
+    # materialize their output, so shifting f32 (the old order) moved 4-byte
+    # streams where 1-byte ones suffice, and XLA fuses the relabel
+    # arithmetic and the final cast into the matmul reads.
+    sector = 2 * hi + (hi ^ lo)  # inverse Gray, per dibit (uint8, values 0..3)
+    s2 = (sector + (4 - ksel).astype(jnp.uint8)) & 3
     rh = (s2 >= 2).astype(jnp.uint8)
     rl = ((s2 == 1) | (s2 == 2)).astype(jnp.uint8)
 
     k0 = s >> 1
     parity = (s & 1).astype(bool)
-    fh = _shift_left(rh, k0).astype(jnp.float32)
-    fl = _shift_left(rl, k0).astype(jnp.float32)
-    fh_next = jnp.concatenate([fh[1:], jnp.zeros((1,), jnp.float32)])
-    a = jnp.where(parity, fl, fh)
-    b = jnp.where(parity, fh_next, fl)
+    fh = _shift_left(rh, k0)
+    fl = _shift_left(rl, k0)
+    fh_next = jnp.concatenate([fh[1:], jnp.zeros((1,), jnp.uint8)])
+    a = jnp.where(parity, fl, fh).astype(jnp.float32)
+    b = jnp.where(parity, fh_next, fl).astype(jnp.float32)
     packed = _pack_stream(a, 4, (128, 32, 8, 2)) + _pack_stream(b, 4, (64, 16, 4, 1))
     n_valid = (2 * m - s) // 8
     return packed, n_valid
