@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -324,6 +325,160 @@ def psk_project_decide_batch(
         interpret=interpret,
     )(best.astype(jnp.int32), rot.astype(jnp.float32), x2d, x2d, w_all)
     return hi.reshape(b, r, _BLOCK_SYM), lo.reshape(b, r, _BLOCK_SYM)
+
+
+# --- fused relabel + byte pack -------------------------------------------------
+
+def _shift_flat(v: jnp.ndarray, vn: jnp.ndarray, k: int, blk: int) -> jnp.ndarray:
+    """Element at flat row-major index +k (static k, 0 <= k <= 128): 2-D ops
+    only — lane-roll within the row, patched with the next row's head."""
+    if k == 0:
+        return v[:blk]
+    ext = jnp.concatenate([v, vn], axis=0)
+    rolled_same = pltpu.roll(ext, _BLOCK_SYM - k, axis=1)
+    nxt = pltpu.roll(ext, ext.shape[0] - 1, axis=0)
+    rolled_next = pltpu.roll(nxt, _BLOCK_SYM - k, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk, _BLOCK_SYM), 1)
+    return jnp.where(lane < _BLOCK_SYM - k, rolled_same[:blk], rolled_next[:blk])
+
+
+def _select_shift(v, vn, d, blk, max_k):
+    """shift_flat(v, k=d) for a TRACED scalar d in [0, max_k]: compute the
+    static variants and select — VMEM-resident VPU work, no HBM traffic."""
+    out = _shift_flat(v, vn, 0, blk)
+    for k in range(1, max_k + 1):
+        out = jnp.where(d == k, _shift_flat(v, vn, k, blk), out)
+    return out
+
+
+def _kernel_relabel_pack(
+    sc_ref, hi_ref, hin_ref, lo_ref, lon_ref, wa_ref, wb_ref, out_ref,
+    *, steps_per_capture
+):
+    """Rotation relabel + sub-byte alignment + byte pack, one VMEM pass.
+
+    ``sc_ref`` rows are (ksel, dibit_shift 0..3, parity) per capture. The
+    byte-granular part of the sync shift is NOT applied — the frame parser
+    scans for the magic anyway, so only the mod-8 bit alignment matters and
+    that is exactly 2*dibit_shift + parity. Avoiding the byte-granular shift
+    is what removes every dynamic full-stream copy from the sync tail.
+    """
+    blk = out_ref.shape[0]
+    cap = pl.program_id(0) // steps_per_capture
+    k = sc_ref[cap, 0]
+    d = sc_ref[cap, 1]
+    parity = sc_ref[cap, 2]
+
+    def relab(h8, l8):
+        h = h8.astype(jnp.int32)
+        l = l8.astype(jnp.int32)
+        s2 = (2 * h + (h ^ l) + 4 - k) & 3  # inverse Gray, rotate back
+        rh = (s2 >= 2).astype(jnp.float32)
+        rl = ((s2 == 1) | (s2 == 2)).astype(jnp.float32)
+        return rh, rl
+
+    rh, rl = relab(hi_ref[:], lo_ref[:])
+    rh_n, rl_n = relab(hin_ref[:], lon_ref[:])
+    rh_d = _select_shift(rh, rh_n, d, blk, 3)
+    rl_d = _select_shift(rl, rl_n, d, blk, 3)
+    rh_d1 = _select_shift(rh, rh_n, d + 1, blk, 4)
+    pf = parity.astype(jnp.float32)
+    a = pf * rl_d + (1.0 - pf) * rh_d
+    b = pf * rh_d1 + (1.0 - pf) * rl_d
+    acc = jnp.dot(a, wa_ref[:], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(b, wb_ref[:], preferred_element_type=jnp.float32)
+    # Mosaic has no f32->u8 cast; go through i32 (sums are exact, < 256).
+    out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=2)
+def _pack_weights() -> Tuple[np.ndarray, np.ndarray]:
+    """(128, 32) byte-assembly weights: byte c sums dibit lanes 4c..4c+3."""
+    wa = np.zeros((128, 32), np.float32)
+    wb = np.zeros((128, 32), np.float32)
+    for j in range(128):
+        wa[j, j // 4] = (128, 32, 8, 2)[j % 4]
+        wb[j, j // 4] = (64, 16, 4, 1)[j % 4]
+    return wa, wb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_capture", "block_rows", "interpret")
+)
+def relabel_pack_batch(
+    hi3: jnp.ndarray,
+    lo3: jnp.ndarray,
+    s: jnp.ndarray,
+    ksel: jnp.ndarray,
+    rows_per_capture: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused rotation-relabel + byte pack (Pallas).
+
+    Replaces ``vmap(relabel_shift_pack)``: instead of relabel passes, two
+    dynamic full-stream shift copies and two pack matmuls in XLA, ONE kernel
+    reads the uint8 dibit lanes and writes packed bytes. The sync shift is
+    applied only mod 8 bits (static lane rolls selected by a per-capture
+    scalar); the byte-granular remainder is left to the frame parser's magic
+    scan, so the frame starts at byte ``s // 8`` of the returned stream
+    (callers that previously assumed byte 0 must not — both the Python and
+    native parsers scan).
+
+    Args:
+      hi3, lo3: (B, R, 128) uint8 dibit lanes (R = rows_per_capture,
+        multiple of block_rows).
+      s: (B,) int32 winning bit offset from the rotation match.
+      ksel: (B,) int32 winning rotation.
+    Returns packed uint8 of shape (B, R*32); the last byte of each capture
+    may read into the next capture's head (harmless tail garbage).
+    """
+    b, r, _ = hi3.shape
+    if r != rows_per_capture or r % block_rows:
+        raise ValueError("rows_per_capture mismatch or not a multiple of block_rows")
+    steps_per_capture = r // block_rows
+    grid = (b * steps_per_capture,)
+    hi2 = hi3.reshape(b * r, _BLOCK_SYM)
+    lo2 = lo3.reshape(b * r, _BLOCK_SYM)
+    scal = jnp.stack(
+        [ksel.astype(jnp.int32), (s >> 1) & 3, s & 1], axis=1
+    ).astype(jnp.int32)
+    wa, wb = _pack_weights()
+    last_block32 = b * r // 32 - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
+            pl.BlockSpec(
+                (32, _BLOCK_SYM),
+                lambda i, sc: (
+                    jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
+                    0,
+                ),
+            ),
+            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
+            pl.BlockSpec(
+                (32, _BLOCK_SYM),
+                lambda i, sc: (
+                    jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
+                    0,
+                ),
+            ),
+            pl.BlockSpec((128, 32), lambda i, sc: (0, 0)),
+            pl.BlockSpec((128, 32), lambda i, sc: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, 32), lambda i, sc: (i, 0)),
+    )
+    kern = functools.partial(_kernel_relabel_pack, steps_per_capture=steps_per_capture)
+    packed = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * r, 32), jnp.uint8),
+        interpret=interpret,
+    )(scal, hi2, hi2, lo2, lo2, jnp.asarray(wa), jnp.asarray(wb))
+    return packed.reshape(b, r * 32)
 
 
 # --- fused rotation-hypothesis magic match -------------------------------------

@@ -153,7 +153,6 @@ def demod_pack_batch(
                 # Pallas matcher: one VMEM sweep computes all 8 rotation/
                 # parity magic hypotheses — this match was the entire CFO
                 # robustness tax (~30%) as XLA slice scans.
-                from ..ops.common import relabel_shift_pack
                 from ..ops.pallas_kernels import rotation_match_batch
 
                 r_dib = n_dib // 128
@@ -170,7 +169,18 @@ def demod_pack_batch(
                 ksel = jnp.argmax(found_k, axis=1)
                 s = jnp.take_along_axis(s_k, ksel[:, None], 1)[:, 0]
                 found = jnp.take_along_axis(found_k, ksel[:, None], 1)[:, 0]
-                packed, n_valid = jax.vmap(relabel_shift_pack)(hi, lo, s, ksel)
+                # Fused Pallas relabel+pack: one VMEM pass instead of the
+                # XLA relabel passes + two dynamic full-stream shifts + pack
+                # matmuls. The stream is aligned only mod 8 bits — the frame
+                # sits at byte s//8, which the parsers' magic scan absorbs.
+                # (r_dib % 256 == 0 is implied by the n_dib gate above.)
+                from ..ops.pallas_kernels import relabel_pack_batch
+
+                packed = relabel_pack_batch(
+                    hi.reshape(-1, r_dib, 128), lo.reshape(-1, r_dib, 128),
+                    s, ksel, rows_per_capture=r_dib,
+                )
+                n_valid = (2 * jnp.int32(n_dib) - (s & 7)) // 8
                 return packed, n_valid, found
             return jax.vmap(
                 lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)

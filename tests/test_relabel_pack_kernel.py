@@ -1,0 +1,109 @@
+"""Fused relabel+pack Pallas kernel vs the XLA relabel_shift_pack path.
+
+The kernel applies the sync shift only mod 8 bits (the parser's magic scan
+absorbs the byte-granular remainder), so its byte stream equals the XLA
+stream offset by s // 8 bytes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_modem_radio_tpu.ops.common import relabel_shift_pack
+from audio_modem_radio_tpu.ops.pallas_kernels import relabel_pack_batch
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_relabel_pack_matches_xla(seed, rng):
+    b, r = 3, 256  # (B, rows) -> 256*128 dibits per capture
+    m = r * 128
+    rng = np.random.default_rng(seed)
+    hi = rng.integers(0, 2, (b, r, 128), dtype=np.uint8)
+    lo = rng.integers(0, 2, (b, r, 128), dtype=np.uint8)
+    # Exercise every dibit shift, both parities, all rotations.
+    s = np.asarray([seed * 7 + 1, 8 + 2 * seed, 1027], np.int32)
+    ksel = np.asarray([seed, (seed + 1) % 4, 3], np.int32)
+
+    packed = np.asarray(
+        relabel_pack_batch(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(s), jnp.asarray(ksel),
+            rows_per_capture=r, interpret=True,
+        )
+    )  # (b, r*32)
+
+    for i in range(b):
+        ref, n_valid = relabel_shift_pack(
+            jnp.asarray(hi[i].reshape(-1)), jnp.asarray(lo[i].reshape(-1)),
+            jnp.asarray(s[i]), jnp.asarray(ksel[i]),
+        )
+        ref = np.asarray(ref)[: int(n_valid)]
+        off = int(s[i]) // 8
+        got = packed[i][off : off + len(ref)]
+        # The last byte of the kernel stream may read past the capture
+        # (clamped next-block); compare the overlap minus one byte of slack.
+        L = min(len(ref), len(got)) - 1
+        assert L > 1000
+        assert np.array_equal(got[:L], ref[:L]), f"capture {i}"
+
+
+def test_relabel_pack_decodes_frame(rng):
+    """End-to-end: decision lanes -> match -> kernel pack -> parse."""
+    from audio_modem_radio_tpu.framing import (
+        MAGIC_BIT_PATTERN, crc32, pack_frame, parse_frames,
+    )
+    from audio_modem_radio_tpu.modem import modulate
+    from audio_modem_radio_tpu.ops.psk import psk_decision_streams_batch
+
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    framed = pack_frame("k.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate("QPSK", framed, 9600), np.float32)
+    n = 1 << int(np.ceil(np.log2(len(wave))))
+    batch = np.zeros((2, n), np.float32)
+    batch[:, : len(wave)] = wave
+
+    hi, lo = psk_decision_streams_batch(jnp.asarray(batch), 9600.0, 3000.0, 96000, 4, True)
+    b = hi.shape[0]
+    n_dib = hi.shape[1]
+    target = -(-n_dib // (128 * 256)) * (128 * 256)
+    if target != n_dib:
+        hi = jnp.pad(hi, ((0, 0), (0, target - n_dib)))
+        lo = jnp.pad(lo, ((0, 0), (0, target - n_dib)))
+    r_dib = target // 128
+    # Reference sync for (s, ksel): the XLA rotation matcher.
+    from audio_modem_radio_tpu.ops.common import dibit_sync_and_pack_rotations
+
+    _, _, found = jax.vmap(
+        lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)
+    )(hi, lo)
+    assert bool(np.asarray(found).all())
+    # Recompute (s, ksel) the way the production matcher tail does.
+    from audio_modem_radio_tpu.ops.common import _rotate_dibit_pattern, find_bit_pattern
+
+    ss, ks = [], []
+    for i in range(b):
+        got = None
+        for k in range(4):
+            pat = _rotate_dibit_pattern(MAGIC_BIT_PATTERN, k)
+            inter = np.empty(2 * hi.shape[1], np.uint8)
+            inter[0::2] = np.asarray(hi[i])
+            inter[1::2] = np.asarray(lo[i])
+            idx, fnd = find_bit_pattern(jnp.asarray(inter), pat)
+            if bool(fnd):
+                got = (int(idx), k)
+                break
+        assert got is not None
+        ss.append(got[0])
+        ks.append(got[1])
+
+    packed = relabel_pack_batch(
+        hi.reshape(b, r_dib, 128), lo.reshape(b, r_dib, 128),
+        jnp.asarray(ss, jnp.int32), jnp.asarray(ks, jnp.int32),
+        rows_per_capture=r_dib, interpret=True,
+    )
+    for i in range(b):
+        raw = np.asarray(packed[i]).tobytes()
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == payload
