@@ -144,15 +144,15 @@ def demod_pack_batch(
             samples, baud, carrier, SAMPLE_RATE, n_psk=n_psk, cfo=cfo_retry
         )
         if kind == "psk4":
-            if not cfo_retry:
-                return jax.vmap(
-                    lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
-                )(hi, lo)
             n_dib = hi.shape[1]
             if jax.default_backend() == "tpu" and n_dib % (128 * 256) == 0:
                 # Pallas matcher: one VMEM sweep computes all 8 rotation/
                 # parity magic hypotheses — this match was the entire CFO
-                # robustness tax (~30%) as XLA slice scans.
+                # robustness tax (~30%) as XLA slice scans. With cfo_retry
+                # off only the k=0 hypothesis is accepted (a rotated stream
+                # must NOT silently decode — the knob promises carrier-exact
+                # semantics), but the kernels are the same, so the "fast"
+                # path is no longer slower than the robust one.
                 from ..ops.pallas_kernels import rotation_match_batch
 
                 r_dib = n_dib // 128
@@ -164,6 +164,9 @@ def demod_pack_batch(
                 )
                 fe, fo = found8[:, :4], found8[:, 4:]
                 se, so = 2 * first[:, :4], 2 * first[:, 4:] + 1
+                if not cfo_retry:
+                    fe = fe.at[:, 1:].set(False)
+                    fo = fo.at[:, 1:].set(False)
                 s_k = jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0))
                 found_k = fe | fo
                 ksel = jnp.argmax(found_k, axis=1)
@@ -182,6 +185,10 @@ def demod_pack_batch(
                 )
                 n_valid = (2 * jnp.int32(n_dib) - (s & 7)) // 8
                 return packed, n_valid, found
+            if not cfo_retry:
+                return jax.vmap(
+                    lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
+                )(hi, lo)
             return jax.vmap(
                 lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)
             )(hi, lo)

@@ -70,8 +70,15 @@ def _bench_tpu(batch: int, n_samples: int, baud: int, reps: int = 3, cfo_retry: 
     return batch * n_samples / dt / 1e6
 
 
-def _bench_reference_cpu(n_samples: int, baud: int) -> float:
-    """Msamples/s of the reference's QPSK receive chain (scipy, this host)."""
+def _bench_reference_cpu(n_samples: int, baud: int, trials: int = 3) -> float:
+    """Msamples/s of the reference's QPSK receive chain (scipy, this host).
+
+    Best of ``trials``: the bench host is shared, and a single timing under
+    contention once read 21x slow, inflating vs_baseline nonsensically."""
+    return max(_bench_reference_cpu_once(n_samples, baud) for _ in range(trials))
+
+
+def _bench_reference_cpu_once(n_samples: int, baud: int) -> float:
     from scipy import signal as sig
 
     sr = 96000
@@ -106,7 +113,7 @@ def main() -> None:
     value = _bench_tpu(batch, n_samples, baud)
     # Equal-capability comparison point vs earlier rounds (which had no CFO
     # machinery): the same pipeline with cfo_retry off.
-    value_fast = _bench_tpu(batch, n_samples, baud, reps=2, cfo_retry=False)
+    value_fast = _bench_tpu(batch, n_samples, baud, reps=3, cfo_retry=False)
     baseline = _bench_reference_cpu(1 << 21, baud)
 
     import jax
