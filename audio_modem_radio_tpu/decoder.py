@@ -492,17 +492,30 @@ def decode_with_retry(
         except OSError:
             pass
 
+    def _parse_and_save(raw_bytes: bytes) -> List[str]:
+        """Full robustness ladder per attempt: strict parse + damaged-frame
+        FEC + header-tolerant recovery — identical to decode_from_buffer's
+        policy, so a retry decode is never weaker than a plain decode."""
+        frames, damaged = parse_frames_detailed(raw_bytes)
+        reg = registry or default_registry
+        recovered = recover_header_damaged(raw_bytes, frames, stats=reg.stats)
+        rec_keys = {(f.name, f.part_number) for f in recovered}
+        damaged = [d for d in damaged if (d.name, d.part_number) not in rec_keys]
+        if not frames and not recovered and not damaged:
+            return []
+        return save_decoded_files(
+            frames + recovered, recv_dir, registry, damaged=damaged or None
+        )
+
     # Hypothesis 1.0 first, through the FULL single-capture receiver
     # (including FSK MLSE refinement, which the batched throughput path
     # skips) — retry must never decode worse than a plain decode.
     try:
         raw0 = demodulate(mode, pad_to_bucket(samples), symbol_rate)
         _dump(1, raw0)
-        frames = parse_frames(_post(raw0))
-        if frames:
-            saved = save_decoded_files(frames, recv_dir, registry)
-            if saved:
-                return saved
+        saved = _parse_and_save(_post(raw0))
+        if saved:
+            return saved
     except Exception:
         logger.exception("nominal decode attempt failed; trying drift hypotheses")
 
@@ -536,16 +549,14 @@ def decode_with_retry(
     for i, raw in enumerate(raws):
         attempt = i + 2  # attempt 1 was the nominal full decode above
         _dump(attempt, raw)
-        frames = parse_frames(_post(raw))
-        if frames:
-            saved = save_decoded_files(frames, recv_dir, registry)
-            if saved:
-                logger.info(
-                    "retry hypothesis %d (clock factor %.2f) succeeded",
-                    attempt,
-                    drift[i],
-                )
-                return saved
+        saved = _parse_and_save(_post(raw))
+        if saved:
+            logger.info(
+                "retry hypothesis %d (clock factor %.2f) succeeded",
+                attempt,
+                drift[i],
+            )
+            return saved
     logger.warning("all %d decode hypotheses failed", len(raws) + 1)
     return []
 

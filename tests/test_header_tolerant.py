@@ -131,6 +131,19 @@ def test_candidate_scan_caps():
     assert len(scan_frame_candidates(raw, limit=64)) <= 64
 
 
+def test_retry_path_uses_recovery(tmp_path):
+    """decode_with_retry applies the same recovery ladder per attempt."""
+    from audio_modem_radio_tpu.decoder import decode_with_retry
+
+    framed, data, payload = _make_framed(seed=9, n=400)
+    corrupted = _flip_bit(framed, 2, 1)  # magic byte 3 (outside sync bits)
+    wave = np.asarray(modulate("QPSK", corrupted, 4800), np.float32)
+    saved = decode_with_retry(wave, "QPSK", 4800, recv_dir=str(tmp_path))
+    assert len(saved) == 1
+    with open(saved[0], "rb") as f:
+        assert f.read() == data
+
+
 def test_e2e_header_corruption_through_audio(tmp_path):
     """Corrupted-header frame modulated to audio round-trips to the original
     file through decode_from_buffer."""
