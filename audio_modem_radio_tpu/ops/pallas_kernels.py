@@ -481,6 +481,112 @@ def relabel_pack_batch(
     return packed.reshape(b, r * 32)
 
 
+def _kernel_bit_select_pack(
+    sc_ref, re_ref, ren_ref, im_ref, imn_ref, wp_ref, out_ref, *, steps_per_capture
+):
+    """DBPSK tail: stream select (re/im) + complement + mod-8 bit alignment
+    + byte pack in one VMEM pass. ``sc_ref`` rows are (ksel, bit_shift 0..7)
+    per capture; ksel follows bpsk_match_conditions order (0=re, 1=im,
+    2=re inverted, 3=im inverted)."""
+    blk = out_ref.shape[0]
+    cap = pl.program_id(0) // steps_per_capture
+    ksel = sc_ref[cap, 0]
+    d = sc_ref[cap, 1]
+    use_im = (ksel & 1).astype(jnp.float32)
+    inv = (ksel >= 2).astype(jnp.float32)
+    # Mosaic has no u8->f32 cast; go through i32.
+    to_f = lambda v: v.astype(jnp.int32).astype(jnp.float32)
+    re_d = _select_shift(to_f(re_ref[:]), to_f(ren_ref[:]), d, blk, 7)
+    im_d = _select_shift(to_f(im_ref[:]), to_f(imn_ref[:]), d, blk, 7)
+    v = use_im * im_d + (1.0 - use_im) * re_d
+    v = inv + (1.0 - 2.0 * inv) * v  # complement when inverted hypothesis won
+    acc = jnp.dot(v, wp_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=2)
+def _bit_pack_weights() -> np.ndarray:
+    """(128, 16) MSB-first byte-assembly weights: byte c sums bit lanes
+    8c..8c+7."""
+    wp = np.zeros((128, 16), np.float32)
+    for j in range(128):
+        wp[j, j // 8] = 1 << (7 - j % 8)
+    return wp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_capture", "block_rows", "interpret")
+)
+def bit_select_pack_batch(
+    re3: jnp.ndarray,
+    im3: jnp.ndarray,
+    s: jnp.ndarray,
+    ksel: jnp.ndarray,
+    rows_per_capture: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused DBPSK stream-select + complement + byte pack.
+
+    The BPSK analog of :func:`relabel_pack_batch`: the winning hypothesis
+    picks the re or im bit stream (possibly complemented), the sync shift is
+    applied mod 8 bits in-VMEM (static rolls selected by a prefetched
+    scalar), and bytes are assembled by one (128, 16) weight matmul. The
+    frame starts at byte ``s // 8`` of the returned stream — the parsers'
+    magic scan absorbs the byte-granular offset.
+
+    Args:
+      re3, im3: (B, R, 128) uint8 bit streams (sign bits of the re/im
+        differential).
+      s: (B,) int32 winning bit offset; ksel: (B,) int32 hypothesis index
+        in bpsk_match_conditions order.
+    Returns packed uint8 of shape (B, R*16).
+    """
+    b, r, _ = re3.shape
+    if r != rows_per_capture or r % block_rows:
+        raise ValueError("rows_per_capture mismatch or not a multiple of block_rows")
+    steps_per_capture = r // block_rows
+    grid = (b * steps_per_capture,)
+    re2 = re3.reshape(b * r, _BLOCK_SYM)
+    im2 = im3.reshape(b * r, _BLOCK_SYM)
+    scal = jnp.stack([ksel.astype(jnp.int32), s & 7], axis=1).astype(jnp.int32)
+    wp = _bit_pack_weights()
+    last_block32 = b * r // 32 - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
+            pl.BlockSpec(
+                (32, _BLOCK_SYM),
+                lambda i, sc: (
+                    jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
+                    0,
+                ),
+            ),
+            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
+            pl.BlockSpec(
+                (32, _BLOCK_SYM),
+                lambda i, sc: (
+                    jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
+                    0,
+                ),
+            ),
+            pl.BlockSpec((128, 16), lambda i, sc: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, 16), lambda i, sc: (i, 0)),
+    )
+    kern = functools.partial(_kernel_bit_select_pack, steps_per_capture=steps_per_capture)
+    packed = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * r, 16), jnp.uint8),
+        interpret=interpret,
+    )(scal, re2, re2, im2, im2, jnp.asarray(wp))
+    return packed.reshape(b, r * 16)
+
+
 # --- fused rotation-hypothesis magic match -------------------------------------
 
 def rotation_match_conditions(pattern: str):
@@ -522,6 +628,23 @@ def rotation_match_conditions(pattern: str):
                     c.append((sh, t + 1, bh))
             conds.append(tuple(c))
     return tuple(conds), n_dib
+
+
+def bpsk_match_conditions(pattern: str):
+    """The 4 DBPSK magic hypotheses as uniform (is_hi, offset, bitval) conds.
+
+    A k·π/2 differential rotation maps the BPSK decision streams as: k=0 the
+    real-axis bits, k=2 their complement, k=1/3 the imag-axis bits and their
+    complement. Matching order mirrors ops.common.bit_sync_and_pack_rotations:
+    h = [re+pat, im+pat, re+inv, im+inv]; positions are BIT indices in the
+    matched stream (``hi``/``lo`` here are the re/im bit streams).
+    """
+    p = [1 if c == "1" else 0 for c in pattern]
+    conds = []
+    for inv in (0, 1):
+        for is_hi in (True, False):
+            conds.append(tuple((is_hi, t, p[t] ^ inv) for t in range(len(p))))
+    return tuple(conds), len(p)
 
 
 def _rotmatch_kernel(h_ref, hn_ref, l_ref, ln_ref, out_ref, *, conds, blk):
@@ -569,7 +692,10 @@ def _rotmatch_kernel(h_ref, hn_ref, l_ref, ln_ref, out_ref, *, conds, blk):
     out_ref[0] = jnp.stack([jnp.full((_BLOCK_SYM,), f, jnp.int32) for f in firsts])
 
 
-@functools.partial(jax.jit, static_argnames=("pattern", "rows_per_capture", "block_rows", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("pattern", "rows_per_capture", "block_rows", "interpret", "family"),
+)
 def rotation_match_batch(
     hi: jnp.ndarray,
     lo: jnp.ndarray,
@@ -577,9 +703,12 @@ def rotation_match_batch(
     rows_per_capture: int,
     block_rows: int = 256,
     interpret: bool = False,
+    family: str = "qpsk",
 ):
-    """(B, R, 128) uint8 dibit streams -> per-capture (first_pos, found) for
-    the 8 rotation/parity hypotheses, shape (B, 8) each.
+    """(B, R, 128) uint8 streams -> per-capture (first_pos, found) for every
+    magic hypothesis: shape (B, 8) for ``family="qpsk"`` (rotation x parity,
+    positions in dibits) or (B, 4) for ``family="bpsk"`` (re/im x inverted,
+    positions in bits; ``hi``/``lo`` are the re/im bit streams).
 
     Tiles never straddle captures (R % block_rows == 0); windows reading past
     a capture's end only see its zero-pad tail, whose positions are larger
@@ -588,7 +717,11 @@ def rotation_match_batch(
     b, r, w = hi.shape
     if w != _BLOCK_SYM or r != rows_per_capture or r % block_rows:
         raise ValueError(f"bad shapes {hi.shape} for rows_per_capture={rows_per_capture}")
-    conds, _n_dib = rotation_match_conditions(pattern)  # _n_dib used below
+    if family == "qpsk":
+        conds, _n_pat = rotation_match_conditions(pattern)
+    else:
+        conds, _n_pat = bpsk_match_conditions(pattern)
+    n_hyp = len(conds)
     h2d = hi.reshape(b * r, w)
     l2d = lo.reshape(b * r, w)
     steps = (b * r) // block_rows
@@ -612,20 +745,20 @@ def rotation_match_batch(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, 8, _BLOCK_SYM), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((steps, 8, _BLOCK_SYM), jnp.int32),
+        out_specs=pl.BlockSpec((1, n_hyp, _BLOCK_SYM), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((steps, n_hyp, _BLOCK_SYM), jnp.int32),
         interpret=interpret,
     )(h2d, h2d, l2d, l2d)
 
-    first_all = out[:, :, 0].reshape(b, steps // b, 8)
-    first = jnp.min(first_all, axis=1)  # (B, 8) global dibit position per capture
+    first_all = out[:, :, 0].reshape(b, steps // b, n_hyp)
+    first = jnp.min(first_all, axis=1)  # (B, n_hyp) global position per capture
     # Positions are global over the flattened batch; make them capture-local.
     base = (jnp.arange(b) * r * _BLOCK_SYM)[:, None]
     local = first - base
     # The last tile's lookahead block reads the NEXT capture's head (and the
     # final capture's wraps onto itself), so windows starting in the last
-    # n_dib+1 dibits can false-match across the boundary. The XLA matcher
-    # scans only L = m - (n_dib+1) positions; enforce the same bound here.
-    limit = r * _BLOCK_SYM - (_n_dib + 1)
+    # n_pat+1 entries can false-match across the boundary. The XLA matcher
+    # scans only L = m - (n_pat+1) positions; enforce the same bound here.
+    limit = r * _BLOCK_SYM - (_n_pat + 1)
     found = (first < 2**30) & (local < limit)
     return jnp.where(found, local, 0), found

@@ -193,6 +193,31 @@ def demod_pack_batch(
                 lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)
             )(hi, lo)
         # psk2: (hi, lo) are the (re, im) sign-bit streams.
+        n_bits = hi.shape[1]
+        if jax.default_backend() == "tpu" and n_bits % (128 * 256) == 0:
+            # Same two-kernel sync tail as QPSK: the generic matcher with
+            # the 4 DBPSK hypotheses (re/im x inverted), then the fused
+            # select+complement+pack kernel. cfo_retry=False accepts only
+            # the k=0 (re, uninverted) hypothesis.
+            from ..ops.pallas_kernels import bit_select_pack_batch, rotation_match_batch
+
+            r_bit = n_bits // 128
+            first, found4 = rotation_match_batch(
+                hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
+                MAGIC_BIT_PATTERN, r_bit, family="bpsk",
+            )
+            if not cfo_retry:
+                found4 = found4.at[:, 1:].set(False)
+            ksel = jnp.argmax(found4, axis=1)
+            s = jnp.take_along_axis(first, ksel[:, None], 1)[:, 0]
+            found = jnp.take_along_axis(found4, ksel[:, None], 1)[:, 0]
+            s = jnp.where(found, s, 0)
+            packed = bit_select_pack_batch(
+                hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
+                s, ksel, rows_per_capture=r_bit,
+            )
+            n_valid = (jnp.int32(n_bits) - (s & 7)) // 8
+            return packed, n_valid, found
         if cfo_retry:
             return jax.vmap(
                 lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN)

@@ -48,6 +48,53 @@ def test_relabel_pack_matches_xla(seed, rng):
         assert np.array_equal(got[:L], ref[:L]), f"capture {i}"
 
 
+@pytest.mark.parametrize("hyp", [0, 1, 2, 3])
+def test_bpsk_match_and_pack(hyp, rng):
+    """BPSK family: matcher finds the winning hypothesis and the select+pack
+    kernel byte stream equals pack_bits_from on the recovered stream."""
+    from audio_modem_radio_tpu.framing import MAGIC_BIT_PATTERN
+    from audio_modem_radio_tpu.ops.common import pack_bits_from
+    from audio_modem_radio_tpu.ops.pallas_kernels import (
+        bit_select_pack_batch, rotation_match_batch,
+    )
+
+    r = 256
+    m = r * 128
+    rng = np.random.default_rng(40 + hyp)
+    true_bits = rng.integers(0, 2, m, dtype=np.uint8)
+    start = 1000 + hyp * 3  # embed the magic at a known position
+    pat = np.asarray([int(c) for c in MAGIC_BIT_PATTERN], np.uint8)
+    true_bits[start : start + len(pat)] = pat
+    # Build (re, im) so that hypothesis `hyp` recovers true_bits.
+    other = rng.integers(0, 2, m, dtype=np.uint8)
+    stream = true_bits if hyp < 2 else true_bits ^ 1
+    re = stream if hyp % 2 == 0 else other
+    im = stream if hyp % 2 == 1 else other
+    # Kill accidental magic in the decoy stream (and its complement).
+    for p in (pat, pat ^ 1):
+        win = np.lib.stride_tricks.sliding_window_view(other, len(p))
+        for idx in np.nonzero((win == p).all(axis=1))[0]:
+            other[idx] ^= 1
+
+    first, found = rotation_match_batch(
+        jnp.asarray(re.reshape(1, r, 128)), jnp.asarray(im.reshape(1, r, 128)),
+        MAGIC_BIT_PATTERN, r, family="bpsk", interpret=True,
+    )
+    assert bool(np.asarray(found)[0, hyp])
+    assert int(np.asarray(first)[0, hyp]) == start
+
+    packed = bit_select_pack_batch(
+        jnp.asarray(re.reshape(1, r, 128)), jnp.asarray(im.reshape(1, r, 128)),
+        jnp.asarray([start], np.int32), jnp.asarray([hyp], np.int32),
+        rows_per_capture=r, interpret=True,
+    )
+    ref, n_valid = pack_bits_from(jnp.asarray(true_bits), jnp.asarray(start))
+    ref = np.asarray(ref)[: int(n_valid)]
+    got = np.asarray(packed[0])[start // 8 :]
+    L = min(len(ref), len(got)) - 1
+    assert L > 1000 and np.array_equal(got[:L], ref[:L])
+
+
 def test_relabel_pack_decodes_frame(rng):
     """End-to-end: decision lanes -> match -> kernel pack -> parse."""
     from audio_modem_radio_tpu.framing import (
