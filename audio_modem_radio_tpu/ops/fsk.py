@@ -607,6 +607,83 @@ def _discriminator_calibration(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("baud", "mark", "space", "sample_rate", "n_offsets"),
+)
+def fsk_demod_bits_batch(
+    samples: jnp.ndarray,
+    baud: float,
+    mark: float,
+    space: float,
+    sample_rate: int,
+    n_offsets: int = 8,
+) -> jnp.ndarray:
+    """Batched dual-tone FSK demod — the FSK production receive hot path.
+
+    Fused-kernel counterpart of vmapping :func:`fsk_demod_bits`'s dual-tone
+    branch: pass 1 scores timing offsets on 3 small row windows (XLA), pass
+    2 runs ONE Pallas kernel over the whole batch (overlap build + tone
+    projection + energy decision, one HBM read of the samples — the vmapped
+    XLA path materialized the overlapped rows and re-read them for the
+    matmul, ~12.5 B/sample for a 4-MAC/sample projection). Requires a
+    dual-tone config (tone separation >= 0.8 cycles/bit). Returns uint8
+    bits of shape (B, n_bits).
+    """
+    spb = _samples_per_bit(sample_rate, baud)
+    if _separation_cycles(baud, mark, space, sample_rate) < 0.8:
+        raise ValueError("fsk_demod_bits_batch requires a dual-tone config")
+    spr, row, ov = _fsk_geometry(spb)
+    b, n = samples.shape
+    n_bits = n // spb
+    if n_bits < 2 * spr:
+        raise ValueError("signal shorter than two rows of bits")
+    blk = 256
+    r0 = -(-n_bits // spr)
+    r = max(blk, -(-r0 // blk) * blk)
+    x = samples.astype(jnp.float32)
+    x3d = jnp.pad(x[:, : n_bits * spb], ((0, 0), (0, r * row - n_bits * spb))).reshape(
+        b, r, row
+    )
+    W = jnp.asarray(
+        _fsk_blocked_templates(spb, float(mark), float(space), sample_rate, n_offsets)
+    )
+
+    # Pass 1: offset scoring on up to 3 small row windows per capture.
+    wr = min(32, r0)
+    starts = sorted({0, max(0, r0 // 2 - wr // 2), max(0, r0 - wr)})
+    mains = [x3d[:, s : s + wr] for s in starts]
+    nexts = [
+        jax.lax.dynamic_slice_in_dim(x3d, min(s + 1, r - wr), wr, axis=1)[:, :, :ov]
+        for s in starts
+    ]
+    wins = jnp.concatenate(
+        [jnp.concatenate([m, nx], axis=2) for m, nx in zip(mains, nexts)], axis=1
+    )  # (B, nw, row+ov)
+    W_all = W.transpose(1, 0, 2).reshape(row + ov, -1)
+    pj = (wins @ W_all).reshape(b, -1, n_offsets, 4, spr)
+    em = pj[..., 0, :] ** 2 + pj[..., 1, :] ** 2
+    es = pj[..., 2, :] ** 2 + pj[..., 3, :] ** 2
+    score = jnp.sum(jnp.abs(em - es), axis=(1, 3))  # (B, K)
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)
+
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import fsk_project_bits_batch
+
+        bits = fsk_project_bits_batch(x3d, W, best, rows_per_capture=r, spr=spr)
+    else:
+        x_next = jnp.concatenate(
+            [x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1
+        )
+        xov = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
+        pj2 = jnp.einsum("brc,bck->brk", xov, W[best]).reshape(b, r, 4, spr)
+        margin = (pj2[:, :, 0] ** 2 + pj2[:, :, 1] ** 2) - (
+            pj2[:, :, 2] ** 2 + pj2[:, :, 3] ** 2
+        )
+        bits = (margin > 0).astype(jnp.uint8).reshape(b, r * spr)
+    return bits[:, :n_bits]
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "baud", "mark", "space", "sample_rate", "n_offsets", "mlse", "fir_frontend"
     ),

@@ -327,6 +327,94 @@ def psk_project_decide_batch(
     return hi.reshape(b, r, _BLOCK_SYM), lo.reshape(b, r, _BLOCK_SYM)
 
 
+# --- fused dual-tone FSK projection + decision ---------------------------------
+
+def _kernel_fsk_decide(best_ref, x_ref, xn_ref, w_ref, bits_ref, *, spr):
+    """Overlap build + tone-energy projection + mark/space decision.
+
+    One read of the sample rows; the (blk, row+ov) overlap view, the
+    (row+ov, 4*spr) projection matmul and the energy compare all stay in
+    VMEM — the XLA path materialized the overlap rows AND re-read them for
+    the matmul (~12.5 B/sample of HBM traffic for a 4-MAC/sample
+    projection; this kernel reads the 4 B/sample once).
+    """
+    del best_ref  # consumed by the template index_map
+    x = x_ref[:]
+    blk = x.shape[0]
+    w2d = w_ref[0]
+    row = x.shape[1]
+    ov = w2d.shape[0] - row
+    ext_rows = jnp.concatenate([x, xn_ref[:]], axis=0)
+    nxt_rows = pltpu.roll(ext_rows, ext_rows.shape[0] - 1, axis=0)[:blk]
+    # Two dots instead of building the (blk, row+ov) overlap view: the
+    # lane-dim concat forces a full-tile relayout per step that costs more
+    # than the small second matmul.
+    pj = jnp.dot(x, w2d[:row], preferred_element_type=jnp.float32)
+    pj = pj + jnp.dot(nxt_rows[:, :ov], w2d[row:], preferred_element_type=jnp.float32)
+    em = pj[:, 0 * spr : 1 * spr] ** 2 + pj[:, 1 * spr : 2 * spr] ** 2
+    es = pj[:, 2 * spr : 3 * spr] ** 2 + pj[:, 3 * spr : 4 * spr] ** 2
+    bits_ref[:] = (em > es).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_capture", "spr", "block_rows", "interpret")
+)
+def fsk_project_bits_batch(
+    x3d: jnp.ndarray,
+    w_all: jnp.ndarray,
+    best: jnp.ndarray,
+    rows_per_capture: int,
+    spr: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused dual-tone FSK demod (pass 2).
+
+    Args:
+      x3d: (B, R, row) sample rows (R = rows_per_capture, multiple of
+        block_rows; zero-pad tails).
+      w_all: (n_offsets, row+ov, 4*spr) stacked tone-quadrature templates.
+      best: (B,) int32 winning timing offset per capture.
+    Returns uint8 bits of shape (B, R*spr); capture-tail entries are pad
+    garbage the sync/parse stage ignores.
+    """
+    b, r, row = x3d.shape
+    if r != rows_per_capture or r % block_rows:
+        raise ValueError("rows_per_capture mismatch or not a multiple of block_rows")
+    c = w_all.shape[1]
+    grid = (b * r // block_rows,)
+    x2d = x3d.reshape(b * r, row)
+    last_block8 = b * r // 8 - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, row), lambda i, best_ref: (i, 0)),
+            pl.BlockSpec(
+                (8, row),
+                lambda i, best_ref: (
+                    jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8),
+                    0,
+                ),
+            ),
+            pl.BlockSpec(
+                (1, c, w_all.shape[2]),
+                lambda i, best_ref, spc=r // block_rows: (best_ref[i // spc], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((block_rows, spr), lambda i, best_ref: (i, 0)),
+    )
+    kern = functools.partial(_kernel_fsk_decide, spr=spr)
+    bits = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * r, spr), jnp.uint8),
+        interpret=interpret,
+    )(best.astype(jnp.int32), x2d, x2d, w_all)
+    return bits.reshape(b, r * spr)
+
+
 # --- fused relabel + byte pack -------------------------------------------------
 
 def _shift_flat(v: jnp.ndarray, vn: jnp.ndarray, k: int, blk: int) -> jnp.ndarray:

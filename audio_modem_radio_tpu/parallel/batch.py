@@ -237,6 +237,10 @@ def demod_pack_batch(
     # verified fallback. fsk_mlse is a STATIC jit arg so the knob always
     # takes effect (decode_sample_batch plumbs CONFIG modem.batch_mlse).
 
+    # A fused Pallas dual-tone path exists (ops.fsk.fsk_demod_bits_batch) but
+    # measured SLOWER than this vmapped XLA pipeline at scale (10.5 vs 13.0
+    # GS/s, batch=64x2^23 on v5e — the (blk, spr=16) narrow-lane bit stores
+    # appear to serialize; PERF.md). XLA keeps the job for now.
     def to_bits(x):
         if kind == "ofdm":
             baud, carrier, n_sub = params

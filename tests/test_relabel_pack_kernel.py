@@ -95,6 +95,75 @@ def test_bpsk_match_and_pack(hyp, rng):
     assert L > 1000 and np.array_equal(got[:L], ref[:L])
 
 
+def test_fsk_batch_matches_vmap(rng):
+    """fsk_demod_bits_batch (XLA fallback) == vmapped single-capture bits,
+    and the Pallas kernel (interpret) == the XLA pass-2."""
+    from audio_modem_radio_tpu.framing import crc32, pack_frame
+    from audio_modem_radio_tpu.modem import modulate
+    from audio_modem_radio_tpu.ops.fsk import (
+        _fsk_blocked_templates, _fsk_geometry, _samples_per_bit,
+        fsk_demod_bits, fsk_demod_bits_batch,
+    )
+    from audio_modem_radio_tpu.ops.pallas_kernels import fsk_project_bits_batch
+
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+    framed = pack_frame("f.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate("FSK1200", framed, 1200), np.float32)
+    n = (len(wave) // 1280 + 2) * 1280
+    batch = np.zeros((2, n), np.float32)
+    batch[0, : len(wave)] = wave
+    batch[1, 777 : 777 + len(wave)] = wave  # shifted capture
+
+    bits_b = np.asarray(fsk_demod_bits_batch(jnp.asarray(batch), 1200.0, 1200.0, 2200.0, 96000))
+    bits_v = np.asarray(
+        jax.vmap(
+            lambda x: fsk_demod_bits(x, 1200.0, 1200.0, 2200.0, 96000, mlse=False)[0]
+        )(jnp.asarray(batch))
+    )
+    n_sig = len(wave) // _samples_per_bit(96000, 1200)
+    assert np.array_equal(bits_b[0, :n_sig], bits_v[0, :n_sig])
+    assert np.mean(bits_b[1, : bits_v.shape[1]] != bits_v[1]) < 0.01  # offset grid differs at pad tail
+
+    # Kernel (interpret) vs the XLA einsum pass-2 inside the batch path.
+    spb = _samples_per_bit(96000, 1200)
+    spr, row, ov = _fsk_geometry(spb)
+    n_bits = n // spb
+    r = max(256, -(-(-(-n_bits // spr)) // 256) * 256)
+    x3d = jnp.pad(
+        jnp.asarray(batch[:, : n_bits * spb]), ((0, 0), (0, r * row - n_bits * spb))
+    ).reshape(2, r, row)
+    W = jnp.asarray(_fsk_blocked_templates(spb, 1200.0, 2200.0, 96000, 8))
+    best = jnp.zeros((2,), jnp.int32)
+    bits_k = np.asarray(
+        fsk_project_bits_batch(x3d, W, best, rows_per_capture=r, spr=spr, interpret=True)
+    )
+    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((2, 1, ov), jnp.float32)], axis=1)
+    xov = jnp.concatenate([x3d, x_next], axis=2)
+    pj2 = jnp.einsum("brc,bck->brk", xov, W[best]).reshape(2, r, 4, spr)
+    margin = (pj2[:, :, 0] ** 2 + pj2[:, :, 1] ** 2) - (pj2[:, :, 2] ** 2 + pj2[:, :, 3] ** 2)
+    bits_x = np.asarray((margin > 0).astype(jnp.uint8).reshape(2, r * spr))
+    sig = n_bits - spr  # last row's overlap tail differs only in pad garbage
+    assert np.array_equal(bits_k[:, :sig], bits_x[:, :sig])
+
+
+def test_fsk_batch_e2e_decode(tmp_path, rng):
+    """decode_wav_batch FSK1200 through the batched path round-trips."""
+    from audio_modem_radio_tpu.assembly import AssemblyRegistry
+    from audio_modem_radio_tpu.encoder import encode_file
+    from audio_modem_radio_tpu.parallel.batch import decode_wav_batch
+
+    rng = np.random.default_rng(8)
+    payload = rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()
+    src = tmp_path / "x.bin"
+    src.write_bytes(payload)
+    wav = encode_file(str(src), mode="FSK1200", symbol_rate=1200)
+    reg = AssemblyRegistry()
+    res = decode_wav_batch([wav], "FSK1200", 1200, recv_dir=str(tmp_path / "recv"), registry=reg)
+    saved = [p for r in res for p in r]
+    assert saved and open(saved[0], "rb").read() == payload
+
+
 def test_relabel_pack_decodes_frame(rng):
     """End-to-end: decision lanes -> match -> kernel pack -> parse."""
     from audio_modem_radio_tpu.framing import (
