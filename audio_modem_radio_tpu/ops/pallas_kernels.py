@@ -50,9 +50,14 @@ def _project_diff_body(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
     xov = jnp.concatenate([x, nxt_rows[:, :ov]], axis=1)  # (blk, ROW+OV)
 
     # (blk, ROW+OV) @ (ROW+OV, 256) -> (blk, 256); cols [re x128 | im x128].
+    # The template dtype drives the matmul precision: bf16 templates run the
+    # MXU at 4x the f32 rate with f32 accumulation. Differential SIGN
+    # decisions tolerate the ~8-bit input mantissa easily — audio channels
+    # sit far below the ~58 dB effective SNR of a bf16 projection.
+    xov = xov.astype(w2d.dtype)
     out = jnp.dot(xov, w2d, preferred_element_type=jnp.float32)
     # The next tile's first row, projected (for the cross-tile differential).
-    xov_n = jnp.concatenate([xn_ref[0:1], xn_ref[1:2, :ov]], axis=1)
+    xov_n = jnp.concatenate([xn_ref[0:1], xn_ref[1:2, :ov]], axis=1).astype(w2d.dtype)
     nxt = jnp.dot(xov_n, w2d, preferred_element_type=jnp.float32)  # (1, 256)
 
     re = out[:, :_BLOCK_SYM]

@@ -615,6 +615,10 @@ def psk_decision_streams_batch(
     if jax.default_backend() == "tpu":
         from .pallas_kernels import psk_project_decide_batch
 
+        # f32 templates: bf16 was tried at kernel level (the template dtype
+        # drives the matmul precision) and measured IDENTICAL throughput —
+        # the kernel is DMA/VPU-bound, not MXU-bound — so there is no reason
+        # to carry the precision loss (PERF.md).
         hi, lo = psk_project_decide_batch(
             x3d, W8, best, rot, rows_per_capture=r, n_psk=n_psk, block_rows=blk
         )
