@@ -712,14 +712,62 @@ def _psk_bytes_cfo(
     four relabelings (cheap) and packs bytes once (ops/common.py)."""
     from .common import bit_sync_and_pack_rotations, dibit_sync_and_pack_rotations
 
-    d_re, d_im, _ = psk_demod_streams(samples, baud, carrier, sample_rate)
-    d_re, d_im = derotate(d_re, d_im, estimate_common_rotation(d_re, d_im))
+    from .common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
+
+    d_re0, d_im0, _ = psk_demod_streams(samples, baud, carrier, sample_rate)
+    d_re, d_im = derotate(d_re0, d_im0, estimate_common_rotation(d_re0, d_im0))
+
+    # A rotation-sync match is accepted only when the 16 bits FOLLOWING the
+    # matched pattern also look like the magic ("PC", Hamming <= 3): the
+    # 16-bit x 8-hypothesis match false-fires ~8x per noisy megadibit
+    # capture, and a false hypothesis RELABELS the whole stream (the
+    # reference's plain stream has no such failure mode — the BER-parity
+    # harness caught us 2-6x worse at junk SNR). Ladder: validated rotation
+    # sync on the derotated stream -> validated rotation sync underotated
+    # (junk blind theta on a carrier-exact capture) -> plain parity-only
+    # sync underotated, which at worst shifts the pack offset like the
+    # reference.
+    def _validated(res):
+        packed, _n, found = res
+        v = packed[2].astype(jnp.int32) * 256 + packed[3].astype(jnp.int32)
+        x = v ^ ((ord("P") << 8) | ord("C"))
+        cnt = jnp.zeros((), jnp.int32)
+        for i in range(16):
+            cnt = cnt + ((x >> i) & 1)
+        return found & (cnt <= 3)
+
     if n_psk == 2:
         bits_re = (d_re < 0).astype(jnp.uint8)
         bits_im = (d_im < 0).astype(jnp.uint8)
-        return bit_sync_and_pack_rotations(bits_re, bits_im, pattern)
+        b0_re = (d_re0 < 0).astype(jnp.uint8)
+        b0_im = (d_im0 < 0).astype(jnp.uint8)
+        res1 = bit_sync_and_pack_rotations(bits_re, bits_im, pattern)
+
+        def _fallback_bpsk():
+            res2 = bit_sync_and_pack_rotations(b0_re, b0_im, pattern)
+
+            def _plain():
+                start, found = find_bit_pattern(b0_re, pattern)
+                packed, n_valid = pack_bits_from(b0_re, start)
+                return packed, n_valid, found
+
+            return jax.lax.cond(_validated(res2), lambda: res2, _plain)
+
+        return jax.lax.cond(_validated(res1), lambda: res1, _fallback_bpsk)
+
     hi, lo = qpsk_gray_streams(d_re, d_im)
-    return dibit_sync_and_pack_rotations(hi, lo, pattern)
+    hi0, lo0 = qpsk_gray_streams(d_re0, d_im0)
+    res1 = dibit_sync_and_pack_rotations(hi, lo, pattern)
+
+    def _fallback_qpsk():
+        res2 = dibit_sync_and_pack_rotations(hi0, lo0, pattern)
+        return jax.lax.cond(
+            _validated(res2),
+            lambda: res2,
+            lambda: dibit_sync_and_pack(hi0, lo0, pattern),
+        )
+
+    return jax.lax.cond(_validated(res1), lambda: res1, _fallback_qpsk)
 
 
 @functools.partial(

@@ -44,21 +44,29 @@ def main() -> int:
 
     # One batch of distinct transmissions, reused every round (identical
     # compute per round; contents verified on the last round's results).
+    # Ship only the base waves and TILE ON DEVICE: the tunnel link moves
+    # ~4 MB/s, so staging the full 3.7 GB batch from the host took longer
+    # than the entire decode workload.
     rng = np.random.default_rng(0)
     print(f"synthesizing {b} distinct {args.minutes:.0f}-min captures...", flush=True)
     payloads = []
+    waves = []
     r, row = blocked_row_shape(n_samples, baud, sr)
-    shaped = np.zeros((b, r * row), np.float32)
     for i in range(b):
-        payload = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+        payload = rng.integers(0, 256, 8192, dtype=np.uint8).tobytes()
         framed = pack_frame(f"ns{i}.bin", payload, 0, 1, len(payload), crc32(payload))
-        wave = np.asarray(modulate("QPSK", framed, baud), np.float32)
-        reps = int(np.ceil(n_samples / len(wave)))
-        sig = np.tile(wave, reps)[:n_samples]
-        shaped[i, : min(n_samples, r * row)] = sig[: r * row]
+        waves.append(np.asarray(modulate("QPSK", framed, baud), np.float32))
         payloads.append(payload)
-    x = jnp.asarray(shaped.reshape(b, r, row))
-    del shaped
+    L = max(len(w) for w in waves)  # pad (never truncate) — frames stay whole
+    base = jnp.asarray(
+        np.stack([np.pad(w, (0, L - len(w))) for w in waves])
+    )  # (b, L) — the only h2d
+    reps_tile = -(-(r * row) // L)
+    x = jnp.tile(base, (1, reps_tile))[:, : r * row]
+    x = jnp.where(  # zero the tail beyond the 5-minute capture, like the host path
+        jnp.arange(r * row)[None, :] < n_samples, x, 0.0
+    ).reshape(b, r, row)
+    x = jax.block_until_ready(x)
 
     out = demod_pack_batch(x, "QPSK", baud)  # compile + warm
     jax.block_until_ready(out)
