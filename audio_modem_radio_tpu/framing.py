@@ -30,6 +30,10 @@ MAGIC = b"FBPC"
 # First 16 bits of the magic, used by the demodulators for bit alignment
 # (same pattern the reference searches for, /root/reference/modem.py:116-118).
 MAGIC_BIT_PATTERN = "0100011001000010"
+# The NEXT 16 magic bits ("PC"): sync validation — a candidate position
+# only counts when these also roughly follow (tolerant Hamming match), which
+# keeps random-data false sync fires from relabeling whole captures.
+MAGIC_BIT_PATTERN2 = "0101000001000011"
 MAX_PAYLOAD = 50_000_000  # parser sanity bound (reference decoder.py:184)
 _META = struct.Struct("<IIIIII")  # part, total, fsize, fcrc, dlen, pcrc
 

@@ -69,6 +69,30 @@ def find_bit_pattern(bits: jnp.ndarray, pattern: str) -> Tuple[jnp.ndarray, jnp.
     return jnp.where(found, first, 0), found
 
 
+def find_bit_pattern_validated(
+    bits: jnp.ndarray, pattern: str, pattern2: str = "", tol: int = 3
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`find_bit_pattern`, but a position only counts when the bits
+    FOLLOWING the exact match also agree with ``pattern2`` within ``tol``
+    mismatches — per-position, so a later true match survives an earlier
+    false one. Empty ``pattern2`` degrades to the plain finder."""
+    if not pattern2:
+        return find_bit_pattern(bits, pattern)
+    n1 = len(pattern)
+    n_all = n1 + len(pattern2)
+    L = bits.shape[0] - n_all + 1
+    match = jnp.ones((L,), dtype=bool)
+    for t, c in enumerate(pattern):
+        match &= bits[t : t + L] == (1 if c == "1" else 0)
+    miss = jnp.zeros((L,), jnp.int32)
+    for j, c in enumerate(pattern2):
+        miss = miss + (bits[n1 + j : n1 + j + L] != (1 if c == "1" else 0))
+    match &= miss <= tol
+    first = jnp.argmax(match).astype(jnp.int32)
+    found = match[first]
+    return jnp.where(found, first, 0), found
+
+
 @functools.lru_cache(maxsize=8)
 def _pack_matrix(bits_per_byte: int, weights: Tuple[int, ...]) -> np.ndarray:
     """Block-diagonal (128*bits_per_byte, 128) matrix: groups of
@@ -189,9 +213,10 @@ def _rotate_dibit_pattern(pattern: str, k: int) -> str:
     return "".join(out)
 
 
-@functools.partial(jax.jit, static_argnames=("pattern",))
+@functools.partial(jax.jit, static_argnames=("pattern", "pattern2", "tol"))
 def dibit_sync_and_pack_rotations(
-    hi: jnp.ndarray, lo: jnp.ndarray, pattern: str
+    hi: jnp.ndarray, lo: jnp.ndarray, pattern: str,
+    pattern2: str = "", tol: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sync + pack a dibit stream under the 4 quarter-turn CFO hypotheses.
 
@@ -199,20 +224,39 @@ def dibit_sync_and_pack_rotations(
     scans); shifting and byte packing (the matmuls, the expensive part) run
     ONCE on the winning rotation's relabeled stream. Preference order is
     k=0 first, so a clean channel takes the unrotated path.
+
+    ``pattern2`` (optional): bits that must FOLLOW the pattern within
+    ``tol`` mismatches for a position to count. Without it, the 16-bit x
+    8-hypothesis match false-fires ~n/8k times per capture on random data,
+    and a false hypothesis relabels the whole stream — the validated match
+    keeps the false-accept rate ~60x lower while a true match at decodable
+    SNR passes with ~0.999 probability.
     """
     m = hi.shape[0]
 
     starts, founds = [], []
     for k in range(4):
-        pat_k = _rotate_dibit_pattern(pattern, k)
-        # Match even/odd alignments exactly like dibit_sync_and_pack.
+        pat_k = _rotate_dibit_pattern(pattern + pattern2, k)
         pat = [1 if c == "1" else 0 for c in pat_k]
-        L = m - (len(pat) // 2 + 1)
+        n1 = len(pattern) // 2  # exact-match dibits
+        n_all = len(pat) // 2
+        L = m - (n_all + 1)
         match_e = jnp.ones((L,), dtype=bool)
         match_o = jnp.ones((L,), dtype=bool)
-        for t in range(len(pat) // 2):
-            match_e &= (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
-            match_o &= (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
+        miss_e = jnp.zeros((L,), jnp.int32)
+        miss_o = jnp.zeros((L,), jnp.int32)
+        for t in range(n_all):
+            ce = (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
+            co = (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
+            if t < n1:
+                match_e &= ce
+                match_o &= co
+            else:
+                miss_e = miss_e + (hi[t : t + L] != pat[2 * t]) + (lo[t : t + L] != pat[2 * t + 1])
+                miss_o = miss_o + (lo[t : t + L] != pat[2 * t]) + (hi[t + 1 : t + 1 + L] != pat[2 * t + 1])
+        if len(pattern2):
+            match_e &= miss_e <= tol
+            match_o &= miss_o <= tol
         ie = jnp.argmax(match_e).astype(jnp.int32)
         io = jnp.argmax(match_o).astype(jnp.int32)
         fe, fo = match_e[ie], match_o[io]
@@ -257,27 +301,29 @@ def relabel_shift_pack(
     return packed, n_valid
 
 
-@functools.partial(jax.jit, static_argnames=("pattern",))
+@functools.partial(jax.jit, static_argnames=("pattern", "pattern2", "tol"))
 def bit_sync_and_pack_rotations(
-    bits_re: jnp.ndarray, bits_im: jnp.ndarray, pattern: str
+    bits_re: jnp.ndarray, bits_im: jnp.ndarray, pattern: str,
+    pattern2: str = "", tol: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """DBPSK analog of :func:`dibit_sync_and_pack_rotations`.
 
     The 4 quarter-turn hypotheses for a BPSK diff constellation are: k=0 the
     real-axis bits, k=2 their complement, k=1/k=3 the imag-axis bits and
     their complement. Matching = 2 streams x {pattern, ~pattern}; packing
-    runs once on the winner.
+    runs once on the winner. ``pattern2``/``tol``: tolerant follow-up
+    validation, see dibit_sync_and_pack_rotations.
     """
-    inv_pattern = "".join("1" if c == "0" else "0" for c in pattern)
+    inv = lambda p: "".join("1" if c == "0" else "0" for c in p)
     cands = []
-    for bits, pat, inv in (
-        (bits_re, pattern, 0),
-        (bits_im, pattern, 0),
-        (bits_re, inv_pattern, 1),
-        (bits_im, inv_pattern, 1),
+    for bits, pat, pat2 in (
+        (bits_re, pattern, pattern2),
+        (bits_im, pattern, pattern2),
+        (bits_re, inv(pattern), inv(pattern2)),
+        (bits_im, inv(pattern), inv(pattern2)),
     ):
-        start, found = find_bit_pattern(bits, pat)
-        cands.append((start, found, inv))
+        start, found = find_bit_pattern_validated(bits, pat, pat2, tol)
+        cands.append((start, found))
     found4 = jnp.stack([c[1] for c in cands])
     start4 = jnp.stack([c[0] for c in cands])
     ksel = jnp.argmax(found4)

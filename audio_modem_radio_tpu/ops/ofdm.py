@@ -239,7 +239,7 @@ def ofdm_demodulate(
     samp_rate: int = SAMPLE_RATE,
 ) -> bytes:
     """OFDM receive chain: bits -> magic-aligned bytes."""
-    from ..framing import MAGIC_BIT_PATTERN
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
 
     bits, _score, _gains = ofdm_demod_bits(
         jnp.asarray(samples, jnp.float32),
@@ -254,7 +254,7 @@ def ofdm_demodulate(
     from .common import dibit_sync_and_pack_rotations
 
     packed, n_valid, _found = dibit_sync_and_pack_rotations(
-        bits[0::2], bits[1::2], MAGIC_BIT_PATTERN
+        bits[0::2], bits[1::2], MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
     )
     return bytes(np.asarray(packed)[: int(n_valid)])
 

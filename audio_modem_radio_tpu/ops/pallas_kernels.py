@@ -740,7 +740,7 @@ def bpsk_match_conditions(pattern: str):
     return tuple(conds), len(p)
 
 
-def _rotmatch_kernel(h_ref, hn_ref, l_ref, ln_ref, out_ref, *, conds, blk):
+def _rotmatch_kernel(h_ref, hn_ref, l_ref, ln_ref, out_ref, *, conds, blk, n_exact, tol):
     """Per-tile first-match position for all 8 rotation/parity hypotheses.
 
     One pass over the (blk, 128) hi/lo dibit tiles: builds the 9 lane-shifted
@@ -749,6 +749,8 @@ def _rotmatch_kernel(h_ref, hn_ref, l_ref, ln_ref, out_ref, *, conds, blk):
     a single VMEM-resident sweep — the whole CFO robustness tax lives here.
     """
     i = pl.program_id(0)
+    # i32 matching math: Mosaic rejects i8 vector adds and pltpu.roll
+    # requires 32-bit data, so narrower accumulators don't lower here.
     hi = h_ref[:].astype(jnp.int32)
     lo = l_ref[:].astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (blk, _BLOCK_SYM), 1)
@@ -777,17 +779,28 @@ def _rotmatch_kernel(h_ref, hn_ref, l_ref, ln_ref, out_ref, *, conds, blk):
     big = jnp.int32(2**30)
     firsts = []
     for c in conds:
-        acc = jnp.zeros((blk, _BLOCK_SYM), jnp.int32)
-        for is_hi, off, bit in c:
+        # First n_exact conditions must ALL hold; the rest (the tolerant
+        # follow-up validation) may miss up to ``tol`` — false 16-bit
+        # matches on random data would otherwise relabel whole captures.
+        acc1 = jnp.zeros((blk, _BLOCK_SYM), jnp.int32)
+        acc2 = jnp.zeros((blk, _BLOCK_SYM), jnp.int32)
+        for idx, (is_hi, off, bit) in enumerate(c):
             src = hs[off] if is_hi else ls[off]
-            acc = acc + (src ^ bit)
-        firsts.append(jnp.min(jnp.where(acc == 0, pos, big)))
+            if idx < n_exact:
+                acc1 = acc1 + (src ^ bit)
+            else:
+                acc2 = acc2 + (src ^ bit)
+        good = (acc1 == 0) & (acc2 <= tol)
+        firsts.append(jnp.min(jnp.where(good, pos, big)))
     out_ref[0] = jnp.stack([jnp.full((_BLOCK_SYM,), f, jnp.int32) for f in firsts])
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pattern", "rows_per_capture", "block_rows", "interpret", "family"),
+    static_argnames=(
+        "pattern", "rows_per_capture", "block_rows", "interpret", "family",
+        "pattern2", "tol",
+    ),
 )
 def rotation_match_batch(
     hi: jnp.ndarray,
@@ -797,6 +810,8 @@ def rotation_match_batch(
     block_rows: int = 256,
     interpret: bool = False,
     family: str = "qpsk",
+    pattern2: str = "",
+    tol: int = 3,
 ):
     """(B, R, 128) uint8 streams -> per-capture (first_pos, found) for every
     magic hypothesis: shape (B, 8) for ``family="qpsk"`` (rotation x parity,
@@ -811,16 +826,20 @@ def rotation_match_batch(
     if w != _BLOCK_SYM or r != rows_per_capture or r % block_rows:
         raise ValueError(f"bad shapes {hi.shape} for rows_per_capture={rows_per_capture}")
     if family == "qpsk":
-        conds, _n_pat = rotation_match_conditions(pattern)
+        conds, _n_pat = rotation_match_conditions(pattern + pattern2)
+        n_exact = len(pattern)  # 2 conds per dibit = len(pattern) entries
     else:
-        conds, _n_pat = bpsk_match_conditions(pattern)
+        conds, _n_pat = bpsk_match_conditions(pattern + pattern2)
+        n_exact = len(pattern)
     n_hyp = len(conds)
     h2d = hi.reshape(b * r, w)
     l2d = lo.reshape(b * r, w)
     steps = (b * r) // block_rows
     last_block8 = b * r // 8 - 1
 
-    kern = functools.partial(_rotmatch_kernel, conds=conds, blk=block_rows)
+    kern = functools.partial(
+        _rotmatch_kernel, conds=conds, blk=block_rows, n_exact=n_exact, tol=tol
+    )
     out = pl.pallas_call(
         kern,
         grid=(steps,),

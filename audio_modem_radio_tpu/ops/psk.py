@@ -699,10 +699,12 @@ def psk_demod_bits(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_psk", "pattern")
+    jax.jit,
+    static_argnames=("baud", "carrier", "sample_rate", "n_psk", "pattern", "pattern2"),
 )
 def _psk_bytes_cfo(
-    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int, n_psk: int, pattern: str
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int, n_psk: int,
+    pattern: str, pattern2: str = "",
 ):
     """CFO-robust demod to bytes: derotation + quarter-turn rotation sync.
 
@@ -741,10 +743,10 @@ def _psk_bytes_cfo(
         bits_im = (d_im < 0).astype(jnp.uint8)
         b0_re = (d_re0 < 0).astype(jnp.uint8)
         b0_im = (d_im0 < 0).astype(jnp.uint8)
-        res1 = bit_sync_and_pack_rotations(bits_re, bits_im, pattern)
+        res1 = bit_sync_and_pack_rotations(bits_re, bits_im, pattern, pattern2)
 
         def _fallback_bpsk():
-            res2 = bit_sync_and_pack_rotations(b0_re, b0_im, pattern)
+            res2 = bit_sync_and_pack_rotations(b0_re, b0_im, pattern, pattern2)
 
             def _plain():
                 start, found = find_bit_pattern(b0_re, pattern)
@@ -757,10 +759,10 @@ def _psk_bytes_cfo(
 
     hi, lo = qpsk_gray_streams(d_re, d_im)
     hi0, lo0 = qpsk_gray_streams(d_re0, d_im0)
-    res1 = dibit_sync_and_pack_rotations(hi, lo, pattern)
+    res1 = dibit_sync_and_pack_rotations(hi, lo, pattern, pattern2)
 
     def _fallback_qpsk():
-        res2 = dibit_sync_and_pack_rotations(hi0, lo0, pattern)
+        res2 = dibit_sync_and_pack_rotations(hi0, lo0, pattern, pattern2)
         return jax.lax.cond(
             _validated(res2),
             lambda: res2,
@@ -846,7 +848,7 @@ def psk_soft_bits(
 
 
 def _demod_to_bytes(samples: np.ndarray, baud, carrier, samp_rate, n_psk, pattern) -> bytes:
-    from ..framing import MAGIC_BIT_PATTERN
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
 
     # CFO handling needs no front-end correction on this wire format: a
     # carrier offset is exactly a constant differential rotation (see
@@ -858,6 +860,7 @@ def _demod_to_bytes(samples: np.ndarray, baud, carrier, samp_rate, n_psk, patter
         int(samp_rate),
         n_psk,
         pattern or MAGIC_BIT_PATTERN,
+        MAGIC_BIT_PATTERN2 if not pattern else "",
     )
     return bytes(np.asarray(packed)[: int(n_valid)])
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..assembly import AssemblyRegistry
-from ..framing import MAGIC_BIT_PATTERN, Frame, parse_frames, parse_frames_detailed
+from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, Frame, parse_frames, parse_frames_detailed
 from ..modem import MODES, SAMPLE_RATE
 from ..config import CONFIG
 from ..ops.common import (
@@ -161,6 +161,7 @@ def demod_pack_batch(
                     lo.reshape(-1, r_dib, 128),
                     MAGIC_BIT_PATTERN,
                     r_dib,
+                    pattern2=MAGIC_BIT_PATTERN2,
                 )
                 fe, fo = found8[:, :4], found8[:, 4:]
                 se, so = 2 * first[:, :4], 2 * first[:, 4:] + 1
@@ -190,7 +191,7 @@ def demod_pack_batch(
                     lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
                 )(hi, lo)
             return jax.vmap(
-                lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN)
+                lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2)
             )(hi, lo)
         # psk2: (hi, lo) are the (re, im) sign-bit streams.
         n_bits = hi.shape[1]
@@ -205,6 +206,7 @@ def demod_pack_batch(
             first, found4 = rotation_match_batch(
                 hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
                 MAGIC_BIT_PATTERN, r_bit, family="bpsk",
+                pattern2=MAGIC_BIT_PATTERN2,
             )
             if not cfo_retry:
                 found4 = found4.at[:, 1:].set(False)
@@ -220,7 +222,7 @@ def demod_pack_batch(
             return packed, n_valid, found
         if cfo_retry:
             return jax.vmap(
-                lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN)
+                lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2)
             )(hi, lo)
 
         def sync_pack_one(bb):
@@ -255,7 +257,7 @@ def demod_pack_batch(
         # blind CFO derotation inside ofdm_demod_bits via the rotation sync.
         return jax.vmap(
             lambda bb: dibit_sync_and_pack_rotations(
-                bb[0::2], bb[1::2], MAGIC_BIT_PATTERN
+                bb[0::2], bb[1::2], MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
             )
         )(bits)
 
