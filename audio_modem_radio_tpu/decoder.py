@@ -109,8 +109,10 @@ def recover_header_damaged(
     4. single-part frames: a self-terminating decompress of the FEC output
        matches the header's whole-file CRC (rescues a corrupt ``pcrc``).
 
-    False candidates therefore cost microseconds and never surface as files.
-    The reference has no analog — its parser needs byte-perfect headers
+    False candidates never surface as files; validation work is bounded (a
+    span cap plus a per-call budget on FEC decodes, and a total-bytes cap on
+    the prefix-CRC scans) so recovery can never stall a decode. The
+    reference has no analog — its parser needs byte-perfect headers
     (/root/reference/decoder.py:142-208).
 
     ``already`` is the strict parser's VALID frames: their (name, part) keys
@@ -135,6 +137,12 @@ def recover_header_damaged(
 
     seen = {(f.name, f.part_number) for f in already}
     out: List[Frame] = []
+    # Expensive-validation budget: Viterbi/RS decodes over guessed spans are
+    # seconds-scale each (a whole-capture span once measured 259 s through
+    # the block-parallel Viterbi); bound both the per-candidate span and the
+    # number of expensive attempts per call so a decode can never stall.
+    _MAX_FEC_VALIDATE = 1 << 19  # bytes of guessed span fed to a decoder
+    budget = [4]
 
     def emit(frame: Frame, how: str) -> None:
         key = (frame.name, frame.part_number)
@@ -144,8 +152,6 @@ def recover_header_damaged(
         out.append(frame)
         if stats is not None:
             stats["header_recoveries"] = stats.get("header_recoveries", 0) + 1
-            if how != "pcrc":  # the recovery ran (and was proven by) the FEC
-                stats["fec_recovery_attempts"] = stats.get("fec_recovery_attempts", 0) + 1
         logger.info("header-tolerant recovery (%s): %s part %d/%d",
                     how, frame.name, frame.part_number + 1, frame.total_parts)
 
@@ -153,12 +159,21 @@ def recover_header_damaged(
         for cand in scan_frame_candidates(stream):
             f = cand.frame
             payload = f.data
+            # Cheap rejections FIRST: a (name, part) the strict parser
+            # already validated must not re-run validation (the span-guess
+            # variant of a perfectly good frame once cost minutes of
+            # Viterbi), and exhausted budget stops expensive attempts.
+            if (f.name, f.part_number) in seen:
+                continue
             try:
                 # 1. Payload intact under the as-read pcrc: only the header
                 #    (magic / name_len / dlen) was corrupt.
                 if crc32(payload) == cand.pcrc:
                     emit(f, "pcrc")
                     continue
+                if len(payload) > _MAX_FEC_VALIDATE or budget[0] <= 0:
+                    continue
+                budget[0] -= 1
                 if payload[:4] == TAG_VITERBI:
                     decoded = ViterbiDecoder().decode(payload[4:])
                     if not decoded:
@@ -509,13 +524,22 @@ def decode_with_retry(
 
     # Hypothesis 1.0 first, through the FULL single-capture receiver
     # (including FSK MLSE refinement, which the batched throughput path
-    # skips) — retry must never decode worse than a plain decode.
+    # skips) — retry must never decode worse than a plain decode, so the
+    # nominal attempt also gets the no-sync rescue decode_from_buffer has.
     try:
         raw0 = demodulate(mode, pad_to_bucket(samples), symbol_rate)
         _dump(1, raw0)
         saved = _parse_and_save(_post(raw0))
         if saved:
             return saved
+        if not stream_fec:
+            for raw2 in _nosync_streams(samples, mode, symbol_rate):
+                reg = registry or default_registry
+                recovered = recover_header_damaged(raw2, [], stats=reg.stats)
+                if recovered:
+                    saved = save_decoded_files(recovered, recv_dir, registry)
+                    if saved:
+                        return saved
     except Exception:
         logger.exception("nominal decode attempt failed; trying drift hypotheses")
 

@@ -285,7 +285,14 @@ def scan_frame_candidates(
             )
         )
 
+    # Prefix-CRC scans are a per-byte Python loop (~0.3 us/byte); bound the
+    # TOTAL bytes scanned per call so damaged frames with long noise tails
+    # can't stall a decode (the scan only pays off when the dlen FIELD is
+    # corrupt but the payload+pcrc survived — a narrow case).
+    crc_budget = _CRC_SCAN_CAP
     for start in mpos_list:
+        if len(out) >= limit:
+            break
         if start + 5 + _META.size >= n:
             continue
         exact = start in exact_set
@@ -312,12 +319,26 @@ def scan_frame_candidates(
             # EXACTLY: the payload is the unique span prefix whose CRC32
             # matches it (one incremental pass).
             pcrc = _META.unpack(raw[meta_start : meta_start + _META.size])[5]
-            if not (0 < dlen_read <= dlen_span and crc32(raw[payload_start : payload_start + dlen_read]) == pcrc):
-                dlen_crc = _find_dlen_by_crc(raw, payload_start, pcrc, dlen_span)
+            if crc_budget > 0 and not (
+                0 < dlen_read <= dlen_span
+                and crc32(raw[payload_start : payload_start + dlen_read]) == pcrc
+            ):
+                span_scan = min(dlen_span, crc_budget)
+                crc_budget -= span_scan
+                dlen_crc = _find_dlen_by_crc(raw, payload_start, pcrc, span_scan)
                 if dlen_crc and dlen_crc != dlen_read:
                     add(start, nl, dlen_crc)
             # Last resort (pcrc corrupt too): hand the whole span to the
-            # decoder's self-terminating validation ladder.
-            if dlen_span != dlen_read:
+            # decoder's self-terminating validation ladder. For frames the
+            # strict parser already sees (exact magic, sane as-read
+            # geometry — the damaged-frame FEC path owns those), only try a
+            # span COMPARABLE to the read dlen: a slightly-corrupt length
+            # field stays rescuable, while a capture-long noise tail (span
+            # >> dlen) no longer feeds ~100 s of Viterbi per decode.
+            strict_saw_it = (
+                exact and nl == nl_read and _sane_geometry(raw, start, nl, dlen_read)
+            )
+            span_ok = not strict_saw_it or dlen_span <= max(2 * dlen_read, 1 << 16)
+            if dlen_span != dlen_read and span_ok:
                 add(start, nl, dlen_span)
     return out

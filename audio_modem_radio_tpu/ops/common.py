@@ -146,9 +146,10 @@ def pack_bits_from(bits: jnp.ndarray, start: jnp.ndarray) -> Tuple[jnp.ndarray, 
     return packed, n_valid
 
 
-@functools.partial(jax.jit, static_argnames=("pattern",))
+@functools.partial(jax.jit, static_argnames=("pattern", "pattern2", "tol"))
 def dibit_sync_and_pack(
-    hi: jnp.ndarray, lo: jnp.ndarray, pattern: str
+    hi: jnp.ndarray, lo: jnp.ndarray, pattern: str,
+    pattern2: str = "", tol: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sync + byte-pack a dibit stream given as separate (hi, lo) lanes.
 
@@ -156,20 +157,34 @@ def dibit_sync_and_pack(
     never materializes it (a (n, 2) interleave forces a 64x-padded layout on
     TPU). The magic search runs as two parity hypotheses over the component
     streams, and bytes are assembled by two weighted group-sum matmuls.
-    Returns ``(packed, n_valid, found)``.
+    Returns ``(packed, n_valid, found)``. Optional ``pattern2``/``tol``:
+    tolerant follow-up validation per position (see
+    dibit_sync_and_pack_rotations) — used so the plain sync accepts the
+    same matches as the validated kernels, backend-independent.
     """
     m = hi.shape[0]
-    pat = [1 if c == "1" else 0 for c in pattern]
-    L = m - (len(pat) // 2 + 1)
+    pat = [1 if c == "1" else 0 for c in pattern + pattern2]
+    n1 = len(pattern) // 2
+    n_all = len(pat) // 2
+    L = m - (n_all + 1)
 
     # Even alignment (bit index 2k): hi carries pattern[0::2], lo pattern[1::2].
     match_e = jnp.ones((L,), dtype=bool)
     # Odd alignment (bit index 2k+1): lo carries pattern[0::2] at k,
     # hi carries pattern[1::2] at k+1.
     match_o = jnp.ones((L,), dtype=bool)
-    for t in range(len(pat) // 2):
-        match_e &= (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
-        match_o &= (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
+    miss_e = jnp.zeros((L,), jnp.int32)
+    miss_o = jnp.zeros((L,), jnp.int32)
+    for t in range(n_all):
+        if t < n1:
+            match_e &= (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
+            match_o &= (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
+        else:
+            miss_e = miss_e + (hi[t : t + L] != pat[2 * t]) + (lo[t : t + L] != pat[2 * t + 1])
+            miss_o = miss_o + (lo[t : t + L] != pat[2 * t]) + (hi[t + 1 : t + 1 + L] != pat[2 * t + 1])
+    if pattern2:
+        match_e &= miss_e <= tol
+        match_o &= miss_o <= tol
     ie = jnp.argmax(match_e).astype(jnp.int32)
     io = jnp.argmax(match_o).astype(jnp.int32)
     fe, fo = match_e[ie], match_o[io]

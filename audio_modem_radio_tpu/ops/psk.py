@@ -719,24 +719,19 @@ def _psk_bytes_cfo(
     d_re0, d_im0, _ = psk_demod_streams(samples, baud, carrier, sample_rate)
     d_re, d_im = derotate(d_re0, d_im0, estimate_common_rotation(d_re0, d_im0))
 
-    # A rotation-sync match is accepted only when the 16 bits FOLLOWING the
-    # matched pattern also look like the magic ("PC", Hamming <= 3): the
-    # 16-bit x 8-hypothesis match false-fires ~8x per noisy megadibit
-    # capture, and a false hypothesis RELABELS the whole stream (the
-    # reference's plain stream has no such failure mode — the BER-parity
-    # harness caught us 2-6x worse at junk SNR). Ladder: validated rotation
-    # sync on the derotated stream -> validated rotation sync underotated
-    # (junk blind theta on a carrier-exact capture) -> plain parity-only
-    # sync underotated, which at worst shifts the pack offset like the
-    # reference.
+    # The rotation syncs validate their own matches when ``pattern2`` is
+    # given (the 16 bits following the pattern must also look like the
+    # magic): the 16-bit x 8-hypothesis match false-fires ~8x per noisy
+    # megadibit capture, and a false hypothesis RELABELS the whole stream
+    # (the reference's plain stream has no such failure mode — the
+    # BER-parity harness caught us 2-6x worse at junk SNR). Ladder:
+    # validated rotation sync on the derotated stream -> validated rotation
+    # sync underotated (junk blind theta on a carrier-exact capture) ->
+    # plain parity-only sync underotated, which at worst shifts the pack
+    # offset like the reference. Custom patterns (pattern2="") skip
+    # validation by design.
     def _validated(res):
-        packed, _n, found = res
-        v = packed[2].astype(jnp.int32) * 256 + packed[3].astype(jnp.int32)
-        x = v ^ ((ord("P") << 8) | ord("C"))
-        cnt = jnp.zeros((), jnp.int32)
-        for i in range(16):
-            cnt = cnt + ((x >> i) & 1)
-        return found & (cnt <= 3)
+        return res[2]
 
     if n_psk == 2:
         bits_re = (d_re < 0).astype(jnp.uint8)

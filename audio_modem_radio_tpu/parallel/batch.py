@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..assembly import AssemblyRegistry
-from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, Frame, parse_frames, parse_frames_detailed
+from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, parse_frames_detailed
 from ..modem import MODES, SAMPLE_RATE
 from ..config import CONFIG
 from ..ops.common import (
@@ -34,6 +34,7 @@ from ..ops.common import (
     dibit_sync_and_pack,
     dibit_sync_and_pack_rotations,
     find_bit_pattern,
+    find_bit_pattern_validated,
     pack_bits_from,
 )
 from ..ops.fsk import fsk_demod_bits
@@ -187,8 +188,13 @@ def demod_pack_batch(
                 n_valid = (2 * jnp.int32(n_dib) - (s & 7)) // 8
                 return packed, n_valid, found
             if not cfo_retry:
+                # Validated like the kernel path — same accept behavior on
+                # every backend; a match the validation rejects is the
+                # header-tolerant rescue's job.
                 return jax.vmap(
-                    lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
+                    lambda h, l: dibit_sync_and_pack(
+                        h, l, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+                    )
                 )(hi, lo)
             return jax.vmap(
                 lambda h, l: dibit_sync_and_pack_rotations(h, l, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2)
@@ -226,7 +232,9 @@ def demod_pack_batch(
             )(hi, lo)
 
         def sync_pack_one(bb):
-            start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)
+            start, found = find_bit_pattern_validated(
+                bb, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+            )
             packed, n_valid = pack_bits_from(bb, start)
             return packed, n_valid, found
 
