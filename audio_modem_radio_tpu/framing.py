@@ -197,8 +197,17 @@ def _find_dlen_by_crc(raw: bytes, payload_start: int, pcrc: int, span: int) -> i
     """Recover a corrupt ``dlen`` from an intact ``pcrc``: the payload is the
     unique prefix of the span whose CRC32 equals the header's payload CRC.
     One incremental pass (CRC32 is a running update); returns 0 if no prefix
-    matches within the (capped) span."""
+    matches within the (capped) span. The native runtime does the scan at
+    zlib speed (~100x the Python loop) when available."""
     end = payload_start + min(span, _CRC_SCAN_CAP)
+    try:
+        from .native import crc32_prefix_find
+
+        n = crc32_prefix_find(bytes(raw[payload_start:end]), pcrc)
+        if n is not None:
+            return n
+    except Exception:  # pragma: no cover - native layer optional
+        pass
     view = memoryview(raw)
     crc = 0
     for i in range(payload_start, end):

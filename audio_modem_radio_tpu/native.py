@@ -87,6 +87,12 @@ def _load():
             ctypes.POINTER(_FrameDesc),
             ctypes.c_int64,
         ]
+        lib.amr_crc32_prefix_find.restype = ctypes.c_int64
+        lib.amr_crc32_prefix_find.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+        ]
         lib.amr_load_wav_batch.restype = None
         lib.amr_load_wav_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -124,6 +130,16 @@ def scan_frames(raw: bytes, max_frames: int = 4096):
         frame = Frame(name, payload, d.part_number, d.total_parts, d.file_size, d.file_crc)
         (valid if d.crc_ok else damaged).append(frame)
     return valid, damaged
+
+
+def crc32_prefix_find(buf: bytes, target: int) -> Optional[int]:
+    """Length of the shortest prefix of ``buf`` whose CRC32 equals
+    ``target`` (0 = none), or None when the native library is unavailable
+    (caller falls back to the Python scan). ~100x the Python per-byte loop."""
+    lib = _load()
+    if not lib:
+        return None
+    return int(lib.amr_crc32_prefix_find(buf, len(buf), target & 0xFFFFFFFF))
 
 
 def load_wav_batch(

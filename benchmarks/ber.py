@@ -170,7 +170,9 @@ def main() -> int:
         results = cfo_sweep(
             [0, 15, 30, 60, 120, 240, 480], payload_len=args.payload, trials=args.trials
         )
-        out = args.out if args.out != "ber_results.json" else "cfo_results.json"
+        out = args.out if args.out != "ber_results.json" else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "cfo_results.json"
+        )
         with open(out, "w") as f:
             json.dump(results, f, indent=2)
         print(f"wrote {out}")

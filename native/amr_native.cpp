@@ -106,6 +106,22 @@ struct WavJob {
   int64_t* n_samples;
 };
 
+// Find the shortest prefix of buf[0..len) whose CRC32 equals `target`.
+// Returns the prefix length, or 0 if no prefix matches. Used by the
+// header-tolerant frame recovery: a frame's corrupt `dlen` field is
+// recoverable exactly when the payload CRC field survived — the payload is
+// the unique span prefix matching it. The Python per-byte loop costs
+// ~0.3 us/byte; this is the same incremental scan at zlib speed.
+int64_t amr_crc32_prefix_find(const uint8_t* buf, uint64_t len,
+                              uint32_t target) {
+  uLong crc = crc32(0L, Z_NULL, 0);
+  for (uint64_t i = 0; i < len; ++i) {
+    crc = crc32(crc, buf + i, 1);
+    if ((uint32_t)crc == target) return (int64_t)(i + 1);
+  }
+  return 0;
+}
+
 static void load_one_wav(const WavJob& job) {
   *job.rate = 0;
   *job.n_samples = 0;

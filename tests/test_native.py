@@ -94,3 +94,21 @@ def test_native_scan_speed_sanity(rng):
     dt = time.perf_counter() - t0
     assert len(valid) == 4
     assert dt < 1.0
+
+
+def test_native_crc32_prefix_find():
+    """Native prefix-CRC scan agrees with the Python framing fallback."""
+    import zlib
+
+    import numpy as np
+
+    from audio_modem_radio_tpu.native import available, crc32_prefix_find
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    data = np.random.default_rng(3).integers(0, 256, 65536, dtype=np.uint8).tobytes()
+    target = zlib.crc32(data[:40000]) & 0xFFFFFFFF
+    assert crc32_prefix_find(data, target) == 40000
+    assert crc32_prefix_find(data, 0xDEADBEEF) in (0,)  # no prefix matches
