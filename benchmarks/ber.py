@@ -184,9 +184,12 @@ def main() -> int:
         args.payload,
         args.trials,
     )
-    with open(args.out, "w") as f:
+    out_path = args.out if args.out != "ber_results.json" else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ber_results.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
-    print(f"wrote {args.out}")
+    print(f"wrote {out_path}")
     return 0
 
 
