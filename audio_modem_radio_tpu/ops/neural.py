@@ -136,7 +136,14 @@ def _demod(
     phase = corr[k0] / (jnp.abs(corr[k0]) + 1e-12)
 
     # Align signal start to index 0, undo the channel/carrier phase.
-    z = jnp.roll(z, -k0) * jnp.conj(phase)
+    # NOT jnp.roll: a traced shift lowers to a while-loop (PERF.md rule 6)
+    # and dynamic roll on complex64 hit an UNIMPLEMENTED TPU backend error;
+    # concat + dynamic-slice per component is supported and ~5x cheaper.
+    def _rot(v):
+        doubled = jnp.concatenate([v, v])
+        return jax.lax.dynamic_slice(doubled, (k0,), (v.shape[0],))
+
+    z = (_rot(jnp.real(z)) + 1j * _rot(jnp.imag(z))) * jnp.conj(phase)
 
     spsym = CHIPS_PER_SYMBOL * chip_len
     max_sym = x.shape[0] // spsym
