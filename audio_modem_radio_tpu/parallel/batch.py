@@ -78,6 +78,77 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
 
 # --- device-side batched demod -------------------------------------------------
 
+def psk4_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
+    """The two-kernel DQPSK sync tail: Pallas matcher + fused relabel/pack.
+
+    One VMEM sweep computes all 8 rotation/parity magic hypotheses (this
+    match was the entire CFO robustness tax as XLA slice scans), then the
+    fused relabel+pack kernel replaces the XLA relabel passes + two dynamic
+    full-stream shifts + pack matmuls. The stream is aligned only mod 8
+    bits — the frame sits at byte s//8, which the parsers' magic scan
+    absorbs. With cfo_retry off only the k=0 hypothesis is accepted (a
+    rotated stream must NOT silently decode — the knob promises
+    carrier-exact semantics). ``interpret=True`` lets the CPU test suite
+    execute this exact production wiring.
+    """
+    from ..ops.pallas_kernels import relabel_pack_batch, rotation_match_batch
+
+    n_dib = hi.shape[1]
+    r_dib = n_dib // 128
+    first, found8 = rotation_match_batch(
+        hi.reshape(-1, r_dib, 128),
+        lo.reshape(-1, r_dib, 128),
+        MAGIC_BIT_PATTERN,
+        r_dib,
+        pattern2=MAGIC_BIT_PATTERN2,
+        interpret=interpret,
+    )
+    fe, fo = found8[:, :4], found8[:, 4:]
+    se, so = 2 * first[:, :4], 2 * first[:, 4:] + 1
+    if not cfo_retry:
+        fe = fe.at[:, 1:].set(False)
+        fo = fo.at[:, 1:].set(False)
+    s_k = jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0))
+    found_k = fe | fo
+    ksel = jnp.argmax(found_k, axis=1)
+    s = jnp.take_along_axis(s_k, ksel[:, None], 1)[:, 0]
+    found = jnp.take_along_axis(found_k, ksel[:, None], 1)[:, 0]
+    packed = relabel_pack_batch(
+        hi.reshape(-1, r_dib, 128), lo.reshape(-1, r_dib, 128),
+        s, ksel, rows_per_capture=r_dib, interpret=interpret,
+    )
+    n_valid = (2 * jnp.int32(n_dib) - (s & 7)) // 8
+    return packed, n_valid, found
+
+
+def psk2_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
+    """The two-kernel DBPSK sync tail: generic matcher with the 4 DBPSK
+    hypotheses (re/im x inverted), then the fused select+complement+pack
+    kernel. cfo_retry=False accepts only the k=0 (re, uninverted)
+    hypothesis. ``interpret=True`` for CPU-suite execution of the
+    production wiring."""
+    from ..ops.pallas_kernels import bit_select_pack_batch, rotation_match_batch
+
+    n_bits = hi.shape[1]
+    r_bit = n_bits // 128
+    first, found4 = rotation_match_batch(
+        hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
+        MAGIC_BIT_PATTERN, r_bit, family="bpsk",
+        pattern2=MAGIC_BIT_PATTERN2, interpret=interpret,
+    )
+    if not cfo_retry:
+        found4 = found4.at[:, 1:].set(False)
+    ksel = jnp.argmax(found4, axis=1)
+    s = jnp.take_along_axis(first, ksel[:, None], 1)[:, 0]
+    found = jnp.take_along_axis(found4, ksel[:, None], 1)[:, 0]
+    s = jnp.where(found, s, 0)
+    packed = bit_select_pack_batch(
+        hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
+        s, ksel, rows_per_capture=r_bit, interpret=interpret,
+    )
+    n_valid = (jnp.int32(n_bits) - (s & 7)) // 8
+    return packed, n_valid, found
+
 @functools.partial(
     jax.jit, static_argnames=("mode", "symbol_rate", "cfo_retry", "fsk_mlse")
 )
@@ -147,46 +218,7 @@ def demod_pack_batch(
         if kind == "psk4":
             n_dib = hi.shape[1]
             if jax.default_backend() == "tpu" and n_dib % (128 * 256) == 0:
-                # Pallas matcher: one VMEM sweep computes all 8 rotation/
-                # parity magic hypotheses — this match was the entire CFO
-                # robustness tax (~30%) as XLA slice scans. With cfo_retry
-                # off only the k=0 hypothesis is accepted (a rotated stream
-                # must NOT silently decode — the knob promises carrier-exact
-                # semantics), but the kernels are the same, so the "fast"
-                # path is no longer slower than the robust one.
-                from ..ops.pallas_kernels import rotation_match_batch
-
-                r_dib = n_dib // 128
-                first, found8 = rotation_match_batch(
-                    hi.reshape(-1, r_dib, 128),
-                    lo.reshape(-1, r_dib, 128),
-                    MAGIC_BIT_PATTERN,
-                    r_dib,
-                    pattern2=MAGIC_BIT_PATTERN2,
-                )
-                fe, fo = found8[:, :4], found8[:, 4:]
-                se, so = 2 * first[:, :4], 2 * first[:, 4:] + 1
-                if not cfo_retry:
-                    fe = fe.at[:, 1:].set(False)
-                    fo = fo.at[:, 1:].set(False)
-                s_k = jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0))
-                found_k = fe | fo
-                ksel = jnp.argmax(found_k, axis=1)
-                s = jnp.take_along_axis(s_k, ksel[:, None], 1)[:, 0]
-                found = jnp.take_along_axis(found_k, ksel[:, None], 1)[:, 0]
-                # Fused Pallas relabel+pack: one VMEM pass instead of the
-                # XLA relabel passes + two dynamic full-stream shifts + pack
-                # matmuls. The stream is aligned only mod 8 bits — the frame
-                # sits at byte s//8, which the parsers' magic scan absorbs.
-                # (r_dib % 256 == 0 is implied by the n_dib gate above.)
-                from ..ops.pallas_kernels import relabel_pack_batch
-
-                packed = relabel_pack_batch(
-                    hi.reshape(-1, r_dib, 128), lo.reshape(-1, r_dib, 128),
-                    s, ksel, rows_per_capture=r_dib,
-                )
-                n_valid = (2 * jnp.int32(n_dib) - (s & 7)) // 8
-                return packed, n_valid, found
+                return psk4_kernel_sync_tail(hi, lo, cfo_retry)
             if not cfo_retry:
                 # Validated like the kernel path — same accept behavior on
                 # every backend; a match the validation rejects is the
@@ -202,30 +234,7 @@ def demod_pack_batch(
         # psk2: (hi, lo) are the (re, im) sign-bit streams.
         n_bits = hi.shape[1]
         if jax.default_backend() == "tpu" and n_bits % (128 * 256) == 0:
-            # Same two-kernel sync tail as QPSK: the generic matcher with
-            # the 4 DBPSK hypotheses (re/im x inverted), then the fused
-            # select+complement+pack kernel. cfo_retry=False accepts only
-            # the k=0 (re, uninverted) hypothesis.
-            from ..ops.pallas_kernels import bit_select_pack_batch, rotation_match_batch
-
-            r_bit = n_bits // 128
-            first, found4 = rotation_match_batch(
-                hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
-                MAGIC_BIT_PATTERN, r_bit, family="bpsk",
-                pattern2=MAGIC_BIT_PATTERN2,
-            )
-            if not cfo_retry:
-                found4 = found4.at[:, 1:].set(False)
-            ksel = jnp.argmax(found4, axis=1)
-            s = jnp.take_along_axis(first, ksel[:, None], 1)[:, 0]
-            found = jnp.take_along_axis(found4, ksel[:, None], 1)[:, 0]
-            s = jnp.where(found, s, 0)
-            packed = bit_select_pack_batch(
-                hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
-                s, ksel, rows_per_capture=r_bit,
-            )
-            n_valid = (jnp.int32(n_bits) - (s & 7)) // 8
-            return packed, n_valid, found
+            return psk2_kernel_sync_tail(hi, lo, cfo_retry)
         if cfo_retry:
             return jax.vmap(
                 lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2)

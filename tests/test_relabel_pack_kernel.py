@@ -95,6 +95,43 @@ def test_bpsk_match_and_pack(hyp, rng):
     assert L > 1000 and np.array_equal(got[:L], ref[:L])
 
 
+@pytest.mark.parametrize("mode,n_psk", [("QPSK", 4), ("BPSK", 2)])
+@pytest.mark.parametrize("cfo_retry", [True, False])
+def test_production_kernel_sync_tail_wiring(mode, n_psk, cfo_retry, rng):
+    """The EXACT production kernel-branch wiring (matcher -> ksel/s
+    derivation -> fused pack kernel), executed in interpret mode — the
+    backend gate otherwise keeps this code TPU-only and out of CI."""
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+    from audio_modem_radio_tpu.modem import modulate
+    from audio_modem_radio_tpu.ops.psk import psk_decision_streams_batch
+    from audio_modem_radio_tpu.parallel.batch import (
+        psk2_kernel_sync_tail, psk4_kernel_sync_tail,
+    )
+
+    rng = np.random.default_rng(17)
+    payload = rng.integers(0, 256, 1500, dtype=np.uint8).tobytes()
+    framed = pack_frame("w.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate(mode, framed, 9600), np.float32)
+    n = 1 << int(np.ceil(np.log2(len(wave))))
+    batch = np.zeros((2, n), np.float32)
+    batch[:, : len(wave)] = wave
+
+    hi, lo = psk_decision_streams_batch(
+        jnp.asarray(batch), 9600.0, 3000.0, 96000, n_psk, cfo_retry
+    )
+    target = -(-hi.shape[1] // (128 * 256)) * (128 * 256)
+    if target != hi.shape[1]:
+        hi = jnp.pad(hi, ((0, 0), (0, target - hi.shape[1])))
+        lo = jnp.pad(lo, ((0, 0), (0, target - lo.shape[1])))
+    tail = psk4_kernel_sync_tail if n_psk == 4 else psk2_kernel_sync_tail
+    packed, n_valid, found = tail(hi, lo, cfo_retry, interpret=True)
+    assert bool(np.asarray(found).all())
+    for i in range(2):
+        raw = np.asarray(packed[i])[: int(n_valid[i])].tobytes()
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == payload
+
+
 def test_fsk_batch_matches_vmap(rng):
     """fsk_demod_bits_batch (XLA fallback) == vmapped single-capture bits,
     and the Pallas kernel (interpret) == the XLA pass-2."""
