@@ -82,17 +82,24 @@ def _bucket(n: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("chip_len",))
-def _synth(symbols: jnp.ndarray, codebook: jnp.ndarray, chip_len: int) -> jnp.ndarray:
-    """(n_sym,) byte symbols -> real waveform (n_sym * 8 * chip_len,)."""
-    cw = codebook[symbols]  # (n, 16)
+def _synth(symbols, codebook, chip_len: int) -> np.ndarray:
+    """(n_sym,) byte symbols -> real waveform (n_sym * 8 * chip_len,).
+
+    Pure numpy ON PURPOSE: modulation is not a hot path, and the jitted
+    version of this program left the axon TPU backend in a state where the
+    NEXT dispatched program (any complex-exponential multiply) failed with
+    UNIMPLEMENTED — a backend bug none of the sub-ops (gather, repeat,
+    trig) reproduce alone. Host synthesis sidesteps it and keeps
+    modulate->demodulate usable in one process on the real chip.
+    """
+    cw = np.asarray(codebook)[np.asarray(symbols)]  # (n, 16)
     i_chips = cw[:, :CHIPS_PER_SYMBOL].reshape(-1)
     q_chips = cw[:, CHIPS_PER_SYMBOL:].reshape(-1)
-    i_t = jnp.repeat(i_chips, chip_len)
-    q_t = jnp.repeat(q_chips, chip_len)
-    n = jnp.arange(i_t.shape[0])
-    w = 2 * jnp.pi * (CARRIER / SAMPLE_RATE) * n
-    return i_t * jnp.cos(w) - q_t * jnp.sin(w)
+    i_t = np.repeat(i_chips, chip_len)
+    q_t = np.repeat(q_chips, chip_len)
+    n = np.arange(i_t.shape[0], dtype=np.float64)
+    w = 2 * np.pi * (CARRIER / SAMPLE_RATE) * n
+    return (i_t * np.cos(w) - q_t * np.sin(w)).astype(np.float32)
 
 
 def neural_mode_modulate(
@@ -153,10 +160,37 @@ def _demod(
     return jnp.argmax(scores, axis=-1).astype(jnp.uint8), k0
 
 
+def _demod_np(
+    x: np.ndarray, codebook: np.ndarray, pre_bb: np.ndarray, chip_len: int, n_fft: int
+) -> np.ndarray:
+    """Host (numpy) mirror of :func:`_demod` — same math, same results."""
+    n = np.arange(len(x), dtype=np.float64)
+    z = x * np.exp(-2j * np.pi * (CARRIER / SAMPLE_RATE) * n)
+    corr = np.fft.ifft(np.fft.fft(z, n_fft) * np.conj(np.fft.fft(pre_bb, n_fft)))[: len(x)]
+    k0 = int(np.argmax(np.abs(corr)))
+    phase = corr[k0] / (abs(corr[k0]) + 1e-12)
+    z = np.roll(z, -k0) * np.conj(phase)
+    spsym = CHIPS_PER_SYMBOL * chip_len
+    max_sym = len(x) // spsym
+    chips = z[: max_sym * spsym].reshape(max_sym, CHIPS_PER_SYMBOL, chip_len).mean(-1)
+    rx = np.concatenate([chips.real, chips.imag], axis=-1)
+    return np.argmax(rx @ codebook.T, axis=-1).astype(np.uint8)
+
+
 def neural_mode_demodulate(
     samples: np.ndarray, symbol_rate: int = 1200, samp_rate: int = SAMPLE_RATE
 ) -> bytes:
-    """NEURAL waveform -> byte stream (preamble stripped; parser finds FBPC)."""
+    """NEURAL waveform -> byte stream (preamble stripped; parser finds FBPC).
+
+    On the real TPU backend the single-capture path runs the numpy mirror
+    of the demod: the jitted composite (big complex-FFT correlation +
+    alignment + codebook matmul) intermittently raised UNIMPLEMENTED on the
+    axon backend and could leave the device tunnel wedged for the whole
+    process — a backend bug none of the constituent ops reproduce alone.
+    CPU (tests, headless tools) keeps the jitted path; NEURAL throughput is
+    codebook-matmul-bound either way and this path is not the batch hot
+    loop.
+    """
     assert samp_rate == SAMPLE_RATE, "NEURAL mode is defined at 96 kHz"
     chip_len = _chip_len(symbol_rate)
     spsym = CHIPS_PER_SYMBOL * chip_len
@@ -167,6 +201,9 @@ def neural_mode_demodulate(
     x = np.pad(x, (0, n_pad - len(x)))
     pre_bb = _preamble_baseband(chip_len)
     n_fft = 1 << int(np.ceil(np.log2(n_pad + len(pre_bb))))
+    if jax.default_backend() != "cpu":
+        symbols = _demod_np(x, _codebook(), pre_bb, chip_len, n_fft)
+        return bytes(symbols[PREAMBLE_LEN:])
     symbols, _k0 = _demod(
         jnp.asarray(x), jnp.asarray(_codebook()), jnp.asarray(pre_bb), chip_len, n_fft
     )

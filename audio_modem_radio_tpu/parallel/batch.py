@@ -312,6 +312,14 @@ def decode_sample_batch(
     b = batch.shape[0]
 
     kind, params = resolve_demod_plan(mode, symbol_rate)
+    if kind == "neural" and jax.default_backend() != "cpu":
+        # Same axon-backend hazard as the single-capture path (the jitted
+        # NEURAL composite intermittently raised UNIMPLEMENTED and could
+        # wedge the device tunnel, ops/neural.py): demod per capture on the
+        # host. NEURAL batches are codebook-matmul-light, not the GS/s path.
+        from ..ops.neural import neural_mode_demodulate
+
+        return [neural_mode_demodulate(batch[i], symbol_rate) for i in range(b)]
     if kind in ("psk2", "psk4"):
         from ..ops.psk import blocked_row_shape
 
