@@ -171,8 +171,20 @@ def recover_header_damaged(
                 if crc32(payload) == cand.pcrc:
                     emit(f, "pcrc")
                     continue
-                if len(payload) > _MAX_FEC_VALIDATE or budget[0] <= 0:
+                if payload[:4] not in (TAG_VITERBI, TAG_PARITY):
+                    continue  # no FEC container: nothing left to prove with
+                if len(payload) > _MAX_FEC_VALIDATE:
+                    logger.info(
+                        "header-recovery candidate %s part %d skipped: %d-byte "
+                        "span exceeds the FEC-validation cap (%d)",
+                        f.name, f.part_number, len(payload), _MAX_FEC_VALIDATE,
+                    )
                     continue
+                if budget[0] <= 0:
+                    logger.info("header-recovery FEC-validation budget exhausted")
+                    continue
+                # Only candidates that actually reach a decoder consume the
+                # budget — junk candidates must not starve real recoveries.
                 budget[0] -= 1
                 if payload[:4] == TAG_VITERBI:
                     decoded = ViterbiDecoder().decode(payload[4:])
@@ -510,29 +522,39 @@ def decode_with_retry(
     def _parse_and_save(raw_bytes: bytes) -> List[str]:
         """Full robustness ladder per attempt: strict parse + damaged-frame
         FEC + header-tolerant recovery — identical to decode_from_buffer's
-        policy, so a retry decode is never weaker than a plain decode."""
+        policy, so a retry decode is never weaker than a plain decode.
+        Returns (saved, total_loss): total_loss mirrors decode_from_buffer's
+        gate for the no-sync rescue — nothing parsed, damaged, or
+        recovered at all (an empty ``saved`` alone can just mean a
+        multipart part was banked in the assembly registry)."""
         frames, damaged = parse_frames_detailed(raw_bytes)
         reg = registry or default_registry
         recovered = recover_header_damaged(raw_bytes, frames, stats=reg.stats)
         rec_keys = {(f.name, f.part_number) for f in recovered}
         damaged = [d for d in damaged if (d.name, d.part_number) not in rec_keys]
-        if not frames and not recovered and not damaged:
-            return []
-        return save_decoded_files(
-            frames + recovered, recv_dir, registry, damaged=damaged or None
+        total_loss = not frames and not damaged and not recovered
+        if total_loss:
+            return [], True
+        return (
+            save_decoded_files(
+                frames + recovered, recv_dir, registry, damaged=damaged or None
+            ),
+            False,
         )
 
     # Hypothesis 1.0 first, through the FULL single-capture receiver
     # (including FSK MLSE refinement, which the batched throughput path
     # skips) — retry must never decode worse than a plain decode, so the
-    # nominal attempt also gets the no-sync rescue decode_from_buffer has.
+    # nominal attempt also gets the no-sync rescue decode_from_buffer has,
+    # under the same TOTAL-LOSS gate (a banked multipart part is not a
+    # sync failure).
     try:
         raw0 = demodulate(mode, pad_to_bucket(samples), symbol_rate)
         _dump(1, raw0)
-        saved = _parse_and_save(_post(raw0))
+        saved, total_loss = _parse_and_save(_post(raw0))
         if saved:
             return saved
-        if not stream_fec:
+        if total_loss and not stream_fec:
             for raw2 in _nosync_streams(samples, mode, symbol_rate):
                 reg = registry or default_registry
                 recovered = recover_header_damaged(raw2, [], stats=reg.stats)
@@ -573,7 +595,7 @@ def decode_with_retry(
     for i, raw in enumerate(raws):
         attempt = i + 2  # attempt 1 was the nominal full decode above
         _dump(attempt, raw)
-        saved = _parse_and_save(_post(raw))
+        saved, _loss = _parse_and_save(_post(raw))
         if saved:
             logger.info(
                 "retry hypothesis %d (clock factor %.2f) succeeded",

@@ -20,11 +20,14 @@ the assembly layer actually works.
 from __future__ import annotations
 
 import binascii
+import logging
 import struct
 from dataclasses import dataclass
 from typing import List, Set, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("audio_modem_radio_tpu")
 
 MAGIC = b"FBPC"
 # First 16 bits of the magic, used by the demodulators for bit alignment
@@ -348,6 +351,12 @@ def scan_frame_candidates(
                 exact and nl == nl_read and _sane_geometry(raw, start, nl, dlen_read)
             )
             span_ok = not strict_saw_it or dlen_span <= max(2 * dlen_read, 1 << 16)
-            if dlen_span != dlen_read and span_ok:
-                add(start, nl, dlen_span)
+            if dlen_span != dlen_read:
+                if span_ok:
+                    add(start, nl, dlen_span)
+                else:
+                    logger.debug(
+                        "span candidate at %d suppressed (strict-seen frame, "
+                        "span %d >> dlen %d)", start, dlen_span, dlen_read,
+                    )
     return out

@@ -80,6 +80,15 @@ def _load():
         except OSError:
             _lib = False
             return False
+        if not hasattr(lib, "amr_crc32_prefix_find"):
+            # Stale library built from an older source (e.g. shipped without
+            # amr_native.cpp, so the mtime rebuild check never fired): try
+            # one rebuild; if the source is absent, fall back to Python
+            # rather than raising at attribute setup.
+            if not (_build() and hasattr(lib := ctypes.CDLL(_LIB), "amr_crc32_prefix_find")):
+                logger.info("native library is stale and cannot rebuild; using Python fallbacks")
+                _lib = False
+                return False
         lib.amr_scan_frames.restype = ctypes.c_int64
         lib.amr_scan_frames.argtypes = [
             ctypes.c_char_p,

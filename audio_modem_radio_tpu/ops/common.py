@@ -146,6 +146,41 @@ def pack_bits_from(bits: jnp.ndarray, start: jnp.ndarray) -> Tuple[jnp.ndarray, 
     return packed, n_valid
 
 
+def _dibit_match(hi, lo, pat_str: str, n1_dibits: int, tol: int, validated: bool):
+    """First even/odd-alignment match of ``pat_str`` in the (hi, lo) dibit
+    lanes: the first ``n1_dibits`` dibits must match exactly, the remainder
+    within ``tol`` bit mismatches (the validation stage). Returns
+    ``(start_bit, found)`` — the shared matcher of the plain and rotated
+    dibit syncs, so tolerance/parity fixes cannot diverge between them."""
+    m = hi.shape[0]
+    pat = [1 if c == "1" else 0 for c in pat_str]
+    n_all = len(pat) // 2
+    L = m - (n_all + 1)
+    # Even alignment (bit index 2k): hi carries pattern[0::2], lo [1::2].
+    # Odd alignment (bit index 2k+1): lo carries pattern[0::2] at k, hi
+    # carries pattern[1::2] at k+1.
+    match_e = jnp.ones((L,), dtype=bool)
+    match_o = jnp.ones((L,), dtype=bool)
+    miss_e = jnp.zeros((L,), jnp.int32)
+    miss_o = jnp.zeros((L,), jnp.int32)
+    for t in range(n_all):
+        if t < n1_dibits:
+            match_e &= (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
+            match_o &= (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
+        else:
+            miss_e = miss_e + (hi[t : t + L] != pat[2 * t]) + (lo[t : t + L] != pat[2 * t + 1])
+            miss_o = miss_o + (lo[t : t + L] != pat[2 * t]) + (hi[t + 1 : t + 1 + L] != pat[2 * t + 1])
+    if validated:
+        match_e &= miss_e <= tol
+        match_o &= miss_o <= tol
+    ie = jnp.argmax(match_e).astype(jnp.int32)
+    io = jnp.argmax(match_o).astype(jnp.int32)
+    fe, fo = match_e[ie], match_o[io]
+    se, so = 2 * ie, 2 * io + 1
+    s = jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0))
+    return s, fe | fo
+
+
 @functools.partial(jax.jit, static_argnames=("pattern", "pattern2", "tol"))
 def dibit_sync_and_pack(
     hi: jnp.ndarray, lo: jnp.ndarray, pattern: str,
@@ -163,37 +198,9 @@ def dibit_sync_and_pack(
     same matches as the validated kernels, backend-independent.
     """
     m = hi.shape[0]
-    pat = [1 if c == "1" else 0 for c in pattern + pattern2]
-    n1 = len(pattern) // 2
-    n_all = len(pat) // 2
-    L = m - (n_all + 1)
-
-    # Even alignment (bit index 2k): hi carries pattern[0::2], lo pattern[1::2].
-    match_e = jnp.ones((L,), dtype=bool)
-    # Odd alignment (bit index 2k+1): lo carries pattern[0::2] at k,
-    # hi carries pattern[1::2] at k+1.
-    match_o = jnp.ones((L,), dtype=bool)
-    miss_e = jnp.zeros((L,), jnp.int32)
-    miss_o = jnp.zeros((L,), jnp.int32)
-    for t in range(n_all):
-        if t < n1:
-            match_e &= (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
-            match_o &= (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
-        else:
-            miss_e = miss_e + (hi[t : t + L] != pat[2 * t]) + (lo[t : t + L] != pat[2 * t + 1])
-            miss_o = miss_o + (lo[t : t + L] != pat[2 * t]) + (hi[t + 1 : t + 1 + L] != pat[2 * t + 1])
-    if pattern2:
-        match_e &= miss_e <= tol
-        match_o &= miss_o <= tol
-    ie = jnp.argmax(match_e).astype(jnp.int32)
-    io = jnp.argmax(match_o).astype(jnp.int32)
-    fe, fo = match_e[ie], match_o[io]
-    se = 2 * ie
-    so = 2 * io + 1
-    s = jnp.where(
-        fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0)
-    )  # first matching bit index; 0 fallback
-    found = fe | fo
+    s, found = _dibit_match(
+        hi, lo, pattern + pattern2, len(pattern) // 2, tol, bool(pattern2)
+    )
 
     k0 = s >> 1
     parity = (s & 1).astype(bool)
@@ -247,37 +254,14 @@ def dibit_sync_and_pack_rotations(
     keeps the false-accept rate ~60x lower while a true match at decodable
     SNR passes with ~0.999 probability.
     """
-    m = hi.shape[0]
-
     starts, founds = [], []
     for k in range(4):
         pat_k = _rotate_dibit_pattern(pattern + pattern2, k)
-        pat = [1 if c == "1" else 0 for c in pat_k]
-        n1 = len(pattern) // 2  # exact-match dibits
-        n_all = len(pat) // 2
-        L = m - (n_all + 1)
-        match_e = jnp.ones((L,), dtype=bool)
-        match_o = jnp.ones((L,), dtype=bool)
-        miss_e = jnp.zeros((L,), jnp.int32)
-        miss_o = jnp.zeros((L,), jnp.int32)
-        for t in range(n_all):
-            ce = (hi[t : t + L] == pat[2 * t]) & (lo[t : t + L] == pat[2 * t + 1])
-            co = (lo[t : t + L] == pat[2 * t]) & (hi[t + 1 : t + 1 + L] == pat[2 * t + 1])
-            if t < n1:
-                match_e &= ce
-                match_o &= co
-            else:
-                miss_e = miss_e + (hi[t : t + L] != pat[2 * t]) + (lo[t : t + L] != pat[2 * t + 1])
-                miss_o = miss_o + (lo[t : t + L] != pat[2 * t]) + (hi[t + 1 : t + 1 + L] != pat[2 * t + 1])
-        if len(pattern2):
-            match_e &= miss_e <= tol
-            match_o &= miss_o <= tol
-        ie = jnp.argmax(match_e).astype(jnp.int32)
-        io = jnp.argmax(match_o).astype(jnp.int32)
-        fe, fo = match_e[ie], match_o[io]
-        se, so = 2 * ie, 2 * io + 1
-        starts.append(jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0)))
-        founds.append(fe | fo)
+        s_k, f_k = _dibit_match(
+            hi, lo, pat_k, len(pattern) // 2, tol, bool(pattern2)
+        )
+        starts.append(s_k)
+        founds.append(f_k)
 
     start4 = jnp.stack(starts)
     found4 = jnp.stack(founds)

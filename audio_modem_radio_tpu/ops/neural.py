@@ -113,7 +113,7 @@ def neural_mode_modulate(
     ).astype(np.int32)
     n_sym = len(symbols)
     padded = np.pad(symbols, (0, _bucket(n_sym) - n_sym))
-    wave = np.asarray(_synth(jnp.asarray(padded), jnp.asarray(_codebook()), chip_len))
+    wave = _synth(padded, _codebook(), chip_len)  # host-only: no device traffic
     wave = wave[: n_sym * CHIPS_PER_SYMBOL * chip_len]
     peak = float(np.max(np.abs(wave))) or 1.0
     return (wave * (0.9 / peak)).astype(np.float32)

@@ -144,6 +144,29 @@ def test_retry_path_uses_recovery(tmp_path):
         assert f.read() == data
 
 
+def test_junk_candidates_do_not_starve_fec_budget(rng):
+    """Untagged junk candidates (fuzzy magics over garbage headers) must not
+    consume the FEC-validation budget — a real FEC recovery behind them has
+    to still run (code-review regression)."""
+    framed, data, payload = _make_framed(seed=13, n=500)
+    # Real frame: corrupt 1 magic bit + 1 payload bit (needs the FEC rung).
+    hdr = len(framed) - len(payload)
+    target = _flip_bit(_flip_bit(framed, 2, 1), hdr + 40, 3)
+    # Junk: 6 fuzzy-magic headers with sane-ish geometry and untagged payloads.
+    rng2 = np.random.default_rng(4)
+    junk = b""
+    for i in range(6):
+        fake = bytearray(MAGIC + bytes([4]) + b"fake")
+        fake += rng2.integers(0, 256, 24, dtype=np.uint8).tobytes()  # meta
+        fake += rng2.integers(0, 256, 60, dtype=np.uint8).tobytes()  # payload
+        fake[1] ^= 0x01  # make the magic fuzzy (not exact)
+        junk += bytes(fake)
+    raw = junk + target
+    frames, damaged = parse_frames_detailed(raw)
+    rec = recover_header_damaged(raw, list(frames))
+    assert any(f.name == "tol.bin" for f in rec), "real FEC recovery starved"
+
+
 def test_random_corruption_never_emits_wrong_content(rng):
     """Property: under arbitrary random corruption, recovery either emits
     nothing or emits a frame whose content provably matches the original —
