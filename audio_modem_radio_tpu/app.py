@@ -39,14 +39,16 @@ MODES_HELP = (
 
 class ConsoleApp:
     def __init__(self, analytics: Optional[AnalyticsStore] = None):
-        self.logger = setup_logging(console=False)
+        self.logger = setup_logging(
+            console=False, to_file=bool(CONFIG.get("ui.auto_save_logs", True))
+        )
         self.log_manager = LogManager()
         self.analytics = analytics or AnalyticsStore()
         self.monitor = PerformanceMonitor()
         self.mode = "QPSK"
         self.symbol_rate = 9600
         self.compress = True
-        self.use_fec = False
+        self.use_fec = bool(CONFIG.get("modem.fec_enabled", False))
         self.playlist: List[str] = []
         self.ptt_port: Optional[str] = None
         self.ptt_method = "RTS"

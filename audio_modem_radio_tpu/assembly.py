@@ -62,7 +62,14 @@ class FileAssembly:
         if signal_quality is None:
             signal_quality = self.calculate_signal_quality(data)
         if self.parts[part_number] is not None:
-            if signal_quality > self.parts_quality[part_number]:
+            # A duplicate replaces the held part only when its quality clears
+            # the held quality by CONFIG ``modem.duplicate_replacement_threshold``
+            # (the reference declares the key but reads it nowhere; the wired
+            # default 0.0 preserves its effective replace-on-any-improvement).
+            from .config import CONFIG
+
+            margin = float(CONFIG.get("modem.duplicate_replacement_threshold", 0.0))
+            if signal_quality > self.parts_quality[part_number] + margin:
                 self.parts[part_number] = data
                 self.parts_quality[part_number] = signal_quality
                 self.last_update = time.time()
@@ -116,9 +123,13 @@ class AssemblyRegistry:
     them concurrently there.
     """
 
-    def __init__(self, timeout_seconds: int = 3600):
+    def __init__(self, timeout_seconds: Optional[int] = None):
         self._lock = threading.Lock()
         self._assemblies: Dict[str, FileAssembly] = {}
+        if timeout_seconds is None:
+            from .config import CONFIG
+
+            timeout_seconds = int(CONFIG.get("modem.assembly_timeout", 7200))
         self.timeout_seconds = timeout_seconds
         self.stats = self._fresh_stats()
 

@@ -21,14 +21,19 @@ import os
 import threading
 from typing import Any, Dict
 
+# Every key below is READ by some code path (the reference declares several
+# flags nothing reads, /root/reference/config.py:24-44; here dead keys were
+# either wired to the intended behavior or dropped — the deletions and the
+# default flips are recorded in COMPAT.md "config flags").
 _DEFAULTS: Dict[str, Any] = {
     "modem": {
-        "dsss_spreading_codes": {
-            "default": [1, 0, 1, 1, 0, 0, 1, 1, 1, 0, 0, 1, 0, 1, 0, 0],
-            "secure": [1, 1, 0, 1, 0, 1, 1, 0, 0, 1, 1, 0, 1, 0, 0, 1],
-        },
-        "fec_enabled": True,
-        "fec_type": "reed_solomon",  # 'reed_solomon' or 'convolutional'
+        # Default for encode-side FEC wrapping (encoder.encode_file*). The
+        # reference ships ``fec_enabled: True`` but its FEC is dead code; we
+        # default False because enabling changes the wire bytes (FECP/FECV
+        # container) and would break interop with reference decoders — the
+        # reference's EFFECTIVE behavior is "off". Set True to honor it.
+        "fec_enabled": False,
+        "fec_type": "reed_solomon",  # 'reed_solomon' | 'convolutional' | 'stream'
         # CFO robustness in the batched PSK decode (derotation + quarter-turn
         # sync retry); ~15% throughput cost. Disable for carrier-exact farms.
         "cfo_retry": True,
@@ -37,34 +42,44 @@ _DEFAULTS: Dict[str, Any] = {
         "batch_mlse": False,
         "sample_rate": 96000,
         "quality_threshold": 0.4,
-        "duplicate_replacement_threshold": 0.15,
+        # Quality margin a duplicate part must exceed to replace a received
+        # one (assembly.FileAssembly.add_part). The reference declares the key
+        # but replaces on ANY improvement; honoring 0.15 would REJECT healing
+        # retransmissions barely better than a bad part, so the wired default
+        # is 0.0 (= the reference's effective behavior).
+        "duplicate_replacement_threshold": 0.0,
+        # Expiry for in-flight multi-part assemblies, seconds (the default
+        # AssemblyRegistry reads this at construction).
         "assembly_timeout": 7200,
-        "max_quality_samples": 2000,
-        "adaptive_equalization": True,
-        "noise_reduction": True,
+        # Default for the decode-side spectral-gate denoiser (decoder.decode_*
+        # ``denoise=None`` resolves here). The reference declares
+        # ``noise_reduction: True`` but implements nothing; the receivers are
+        # matched-filter-optimal under AWGN, so the real denoiser defaults
+        # off and is opted in for structured interference.
+        "noise_reduction": False,
     },
     "compression": {
         "enabled": True,
-        "aggressive_threshold": 1024,
         "lzma_enabled": True,
         "delta_compression": True,
     },
     "performance": {
+        # Threads for the native batch WAV loader (parallel.batch
+        # decode_wav_batch); 0 = one per hardware core.
         "max_workers": 4,
-        "buffer_size": 8192,
-        "real_time_processing": True,
-        "cache_enabled": True,
     },
     "ui": {
+        # ConsoleApp/TUI: write the session log file (observability.setup_logging).
         "auto_save_logs": True,
-        "refresh_interval": 1000,
-        "theme": "dark",
+        # TUI stats/assembly pane refresh period, milliseconds.
+        "refresh_interval": 2000,
     },
     # TPU-rebuild-specific knobs (no reference analog).
     "tpu": {
-        "demod_backend": "auto",  # 'auto' | 'xla' | 'pallas'
+        # 'auto' uses the Pallas kernel sync tails on TPU when shapes allow;
+        # 'xla' forces the vmapped XLA tails everywhere (chicken bit).
+        "demod_backend": "auto",
         "batch_bucket_sizes": [1 << 16, 1 << 18, 1 << 20, 1 << 22, 1 << 24, 1 << 25],
-        "timing_offsets": 8,  # symbol-timing hypotheses searched in parallel
     },
 }
 

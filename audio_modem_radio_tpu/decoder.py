@@ -379,7 +379,7 @@ def decode_from_buffer(
     registry: Optional[AssemblyRegistry] = None,
     sample_rate: int = SAMPLE_RATE,
     stream_fec: bool = False,
-    denoise: bool = False,
+    denoise: Optional[bool] = None,
 ) -> List[str]:
     """Demodulate a sample buffer and save every recovered file.
 
@@ -393,14 +393,17 @@ def decode_from_buffer(
 
     ``denoise=True`` runs the spectral-gate noise reducer first — the real
     implementation of the reference's dead ``modem.noise_reduction`` flag
-    (utils/denoise.py); opt-in because the receivers are matched-filter-
-    optimal under AWGN and gating only helps structured interference.
+    (utils/denoise.py); ``None`` defers to CONFIG ``modem.noise_reduction``
+    (default False: the receivers are matched-filter-optimal under AWGN and
+    gating only helps structured interference).
     """
     samples = np.asarray(data, dtype=np.float32)
     if samples.ndim > 1:
         samples = samples[:, 0]
     if sample_rate != SAMPLE_RATE:
         samples = resample(samples, sample_rate, SAMPLE_RATE)
+    if denoise is None:
+        denoise = bool(CONFIG.get("modem.noise_reduction", False))
     if denoise:
         from .utils.denoise import spectral_gate
 
@@ -453,7 +456,7 @@ def decode_wav_file(
     recv_dir: str = RECV_DIR,
     registry: Optional[AssemblyRegistry] = None,
     stream_fec: bool = False,
-    denoise: bool = False,
+    denoise: Optional[bool] = None,
 ) -> List[str]:
     """Read a WAV file (any rate, any width) and decode it."""
     data, sr = read_wav(path)

@@ -218,16 +218,17 @@ def encode_file_parts(
     progress_callback: Optional[Callable[[int, int], None]] = None,
     is_cancelled: Optional[Callable[[], bool]] = None,
     cache_dir: str = CACHE_DIR,
-    use_fec: bool = False,
+    use_fec: Optional[bool] = None,
     fec_type: Optional[str] = None,
 ) -> List[str]:
     """Encode each part to ``cache/<name>.<MODE>.sr<rate>.wav``.
 
     ``use_fec`` wraps each compressed payload in a tagged FEC container
     (type from CONFIG ``modem.fec_type`` unless given) so bit errors on the
-    air can be corrected on receive. Off by default: the reference declares
-    ``fec_enabled: True`` but never implemented it, so enabling by default
-    would break byte-stream interop with reference decoders.
+    air can be corrected on receive; ``None`` defers to CONFIG
+    ``modem.fec_enabled`` (default False — the reference declares
+    ``fec_enabled: True`` but never implemented it, and enabling changes the
+    wire bytes, breaking interop with reference decoders; see COMPAT.md).
     """
     out_dir = _ensure_cache_dir(cache_dir)
     encoded: List[str] = []
@@ -238,6 +239,8 @@ def encode_file_parts(
             raise RuntimeError("encoding cancelled")
 
         payload = adaptive_compress(data, mode) if compress else data
+        if use_fec is None:
+            use_fec = bool(CONFIG.get("modem.fec_enabled", False))
         ftype = fec_type or CONFIG.get("modem.fec_type", "reed_solomon")
         if use_fec and ftype != "stream":
             payload = wrap_fec(payload, ftype)
@@ -291,7 +294,7 @@ def encode_file(
     progress_callback: Optional[Callable[[int, int], None]] = None,
     is_cancelled: Optional[Callable[[], bool]] = None,
     cache_dir: str = CACHE_DIR,
-    use_fec: bool = False,
+    use_fec: Optional[bool] = None,
     fec_type: Optional[str] = None,
 ) -> str:
     """Encode one file to a WAV; multi-parts automatically when it would
@@ -323,7 +326,7 @@ def encode_file_paths(
     progress_callback: Optional[Callable[[int, int], None]] = None,
     is_cancelled: Optional[Callable[[], bool]] = None,
     cache_dir: str = CACHE_DIR,
-    use_fec: bool = False,
+    use_fec: Optional[bool] = None,
     fec_type: Optional[str] = None,
 ) -> List[str]:
     """Encode one file to one or more WAVs (the multi-part-aware API)."""
@@ -343,6 +346,8 @@ def encode_file_paths(
         raw = f.read()
     file_crc = crc32(raw)
     data = intelligent_compress(raw) if compress else raw
+    if use_fec is None:
+        use_fec = bool(CONFIG.get("modem.fec_enabled", False))
     ftype = fec_type or CONFIG.get("modem.fec_type", "reed_solomon")
     if use_fec and ftype != "stream":
         data = wrap_fec(data, ftype)

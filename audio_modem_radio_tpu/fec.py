@@ -256,12 +256,11 @@ def viterbi_decode_bits(
         ((ov, n_blocks * core - T + ov), (0, 0)),
         constant_values=0.5,
     )
-    blocks = jnp.stack(
-        [
-            jax.lax.dynamic_slice(padded, (i * core, 0), (core + 2 * ov, 2))
-            for i in range(n_blocks)
-        ]
-    )  # (n_blocks, core+2ov, 2)
+    # One gather builds every overlapping block — an unrolled dynamic-slice
+    # loop traced O(n_blocks) ops, which made multi-Mbit captures (hundreds
+    # of blocks; a 5-minute QPSK@9600 stream is ~350) slow to even trace.
+    idx = np.arange(core + 2 * ov)[None, :] + core * np.arange(n_blocks)[:, None]
+    blocks = padded[jnp.asarray(idx)]  # (n_blocks, core+2ov, 2)
     pm0 = jnp.zeros((N_STATES,))
     bits_blocks = jax.vmap(lambda p: _viterbi_block(p, pm0, from_best_end=True))(blocks)
     return bits_blocks[:, ov : ov + core].reshape(-1)[:T]
@@ -336,7 +335,7 @@ def stream_fec_encode(framed: bytes) -> bytes:
     return b"FBPC" + np.packbits(pairs.reshape(-1)).tobytes()
 
 
-def stream_fec_decode(raw: bytes, max_bits: int = 1 << 22) -> bytes:
+def stream_fec_decode(raw: bytes, max_bits: Optional[int] = None) -> bytes:
     """Viterbi-decode a demodulated byte stream that carries stream FEC.
 
     The demodulator's magic sync cannot fire on a coded stream (no plaintext
@@ -345,6 +344,12 @@ def stream_fec_decode(raw: bytes, max_bits: int = 1 << 22) -> bytes:
     are decoded with free boundaries (the Viterbi self-synchronizes past any
     leading garbage) and the phase whose output contains the frame magic
     wins. Returns the decoded byte stream for the ordinary frame parser.
+
+    ``max_bits`` optionally caps the decoded span per segment; the default is
+    UNBOUNDED — the block-parallel Viterbi's scan length is independent of
+    capture size, so a 5-minute 96 kHz capture (~5.8 Mbit of coded stream)
+    decodes whole. (Earlier rounds capped at 2^22 bits, silently truncating
+    exactly the long transmissions stream FEC exists to protect.)
     """
     # The coded stream leads with a plaintext sync magic per transmission
     # (see encode). A capture can hold SEVERAL back-to-back transmissions
@@ -369,7 +374,7 @@ def stream_fec_decode(raw: bytes, max_bits: int = 1 << 22) -> bytes:
     return _stream_fec_decode_segment(raw, max_bits)
 
 
-def stream_fec_decode_soft(soft_bits: np.ndarray, max_bits: int = 1 << 22) -> bytes:
+def stream_fec_decode_soft(soft_bits: np.ndarray, max_bits: Optional[int] = None) -> bytes:
     """Soft-decision stream FEC decode from a [0,1] soft bit stream.
 
     ~2 dB better than hard decisions at the same SNR (the Viterbi's L1
@@ -379,7 +384,9 @@ def stream_fec_decode_soft(soft_bits: np.ndarray, max_bits: int = 1 << 22) -> by
     decoder's hard byte path remains the multi-segment workhorse, with this
     as the low-SNR escalation.
     """
-    soft = np.asarray(soft_bits, np.float32)[:max_bits]
+    soft = np.asarray(soft_bits, np.float32)
+    if max_bits is not None:
+        soft = soft[:max_bits]
     hard = (soft > 0.5).astype(np.uint8)
     magic = np.unpackbits(np.frombuffer(b"FBPC", np.uint8))
     start = 0
@@ -391,13 +398,15 @@ def stream_fec_decode_soft(soft_bits: np.ndarray, max_bits: int = 1 << 22) -> by
     return _decode_bit_stream(soft[start:], max_bits)
 
 
-def _stream_fec_decode_segment(raw: bytes, max_bits: int) -> bytes:
+def _stream_fec_decode_segment(raw: bytes, max_bits: Optional[int]) -> bytes:
     """Viterbi-decode one coded segment (both pair phases, bit-aligned)."""
-    bits = np.unpackbits(np.frombuffer(raw[: (max_bits // 8)], np.uint8))
+    if max_bits is not None:
+        raw = raw[: max_bits // 8]
+    bits = np.unpackbits(np.frombuffer(raw, np.uint8))
     return _decode_bit_stream(bits, max_bits)
 
 
-def _decode_bit_stream(bits: np.ndarray, max_bits: int) -> bytes:
+def _decode_bit_stream(bits: np.ndarray, max_bits: Optional[int]) -> bytes:
     """Shared hard/soft segment decoder: both pair phases, free boundaries,
     bit-level frame-magic alignment in the decoded output."""
     magic = np.unpackbits(np.frombuffer(b"FBPC", np.uint8))

@@ -37,20 +37,26 @@ def setup_logging(
     log_file: str = "audio_modem_system.log",
     level: int = logging.INFO,
     console: bool = True,
+    to_file: bool = True,
 ) -> logging.Logger:
-    """Configure the package logger with file + optional console handlers."""
+    """Configure the package logger with optional file + console handlers.
+
+    ``to_file=False`` skips the file handler — the apps pass CONFIG
+    ``ui.auto_save_logs`` here (the reference declares the key unread).
+    """
     logger = logging.getLogger(LOGGER_NAME)
     logger.setLevel(level)
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-    fh = logging.FileHandler(log_file, encoding="utf-8")
-    fh.setFormatter(fmt)
-    logger.addHandler(fh)
+    if to_file:
+        fh = logging.FileHandler(log_file, encoding="utf-8")
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
     if console:
         ch = logging.StreamHandler()
         ch.setFormatter(fmt)
         logger.addHandler(ch)
-    logger.info("logging initialized -> %s", log_file)
+    logger.info("logging initialized -> %s", log_file if to_file else "(console only)")
     return logger
 
 

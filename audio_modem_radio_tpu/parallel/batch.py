@@ -215,9 +215,16 @@ def demod_pack_batch(
         hi, lo = psk_decision_streams_batch(
             samples, baud, carrier, SAMPLE_RATE, n_psk=n_psk, cfo=cfo_retry
         )
+        # CONFIG tpu.demod_backend == 'xla' forces the vmapped XLA sync
+        # tails even on TPU (chicken bit for kernel triage); 'auto' (default)
+        # uses the Pallas kernels whenever the shapes allow.
+        use_kernels = (
+            jax.default_backend() == "tpu"
+            and CONFIG.get("tpu.demod_backend", "auto") != "xla"
+        )
         if kind == "psk4":
             n_dib = hi.shape[1]
-            if jax.default_backend() == "tpu" and n_dib % (128 * 256) == 0:
+            if use_kernels and n_dib % (128 * 256) == 0:
                 return psk4_kernel_sync_tail(hi, lo, cfo_retry)
             if not cfo_retry:
                 # Validated like the kernel path — same accept behavior on
@@ -233,7 +240,7 @@ def demod_pack_batch(
             )(hi, lo)
         # psk2: (hi, lo) are the (re, im) sign-bit streams.
         n_bits = hi.shape[1]
-        if jax.default_backend() == "tpu" and n_bits % (128 * 256) == 0:
+        if use_kernels and n_bits % (128 * 256) == 0:
             return psk2_kernel_sync_tail(hi, lo, cfo_retry)
         if cfo_retry:
             return jax.vmap(
@@ -400,7 +407,10 @@ def decode_wav_batch(
             (os.path.getsize(p) // 2 for p in paths if os.path.exists(p)), default=1
         )
         row_len = _bucket_length([est_len])
-        samples, rates, counts = load_wav_batch(list(paths), row_len)
+        samples, rates, counts = load_wav_batch(
+            list(paths), row_len,
+            max_threads=int(CONFIG.get("performance.max_workers", 0)),
+        )
         arrays = []
         for i, p in enumerate(paths):
             if rates[i] == SAMPLE_RATE:

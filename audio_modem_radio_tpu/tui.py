@@ -275,10 +275,15 @@ def main() -> int:  # pragma: no cover - requires a terminal
     def tui(scr):
         curses.curs_set(0)
         scr.nodelay(True)
+        from .config import CONFIG
+
+        # Stats/assembly pane refresh period (ms) — the reference's 2 s Qt
+        # poll timer, key finally wired (ui.refresh_interval).
+        refresh_s = max(0.1, float(CONFIG.get("ui.refresh_interval", 2000)) / 1000.0)
         last_stats = 0.0
         while True:
             now = time.time()
-            if now - last_stats > 2.0:
+            if now - last_stats > refresh_s:
                 from .decoder import get_assembly_status, get_reception_stats
 
                 st.stats = dict(get_reception_stats())
