@@ -427,6 +427,89 @@ def _analytic_fir_taps(
     return h.astype(np.complex64)
 
 
+@functools.lru_cache(maxsize=32)
+def _fir_dec_template(
+    low_hz: float, high_hz: float, sample_rate: int, taps: int, dec: int, out_lanes: int
+) -> np.ndarray:
+    """(L*dec + taps - dec, 2L) matmul template of the decimating analytic
+    FIR: column m (< L) holds Re(h) reversed at stride-``dec`` offset m,
+    column L+m holds Im(h). One row-block matmul computes L decimated
+    analytic samples — see :func:`analytic_bandpass_fir_dec`."""
+    h = _analytic_fir_taps(low_hz, high_hz, sample_rate, taps)
+    L = out_lanes
+    R = L * dec + taps - dec
+    W = np.zeros((R, 2 * L), dtype=np.float32)
+    rev_re, rev_im = h.real[::-1].astype(np.float32), h.imag[::-1].astype(np.float32)
+    for m in range(L):
+        W[m * dec : m * dec + taps, m] = rev_re
+        W[m * dec : m * dec + taps, L + m] = rev_im
+    return W
+
+
+@functools.partial(
+    jax.jit, static_argnames=("low_hz", "high_hz", "sample_rate", "decimate", "taps")
+)
+def analytic_bandpass_fir_dec(
+    samples: jnp.ndarray,
+    low_hz: float,
+    high_hz: float,
+    sample_rate: int,
+    decimate: int,
+    taps: int = 513,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decimated band-limited analytic signal as ONE MXU matmul — no FFT.
+
+    The close-tone FSK front end was 76% whole-capture FFTs under XLA (the
+    2^23-point rfft measured 2.7 GS/s on v5e — the single slowest op in the
+    whole framework; PERF.md round 3). This computes the same decimated
+    analytic signal by direct decimating convolution with the complex
+    band-pass FIR of :func:`_analytic_fir_taps`::
+
+        z[m] = sum_k h[k] * x[m*decimate + (taps-1)//2 - k]
+
+    blocked as overlapped input rows of ``L*dec + taps - dec`` samples times a
+    static ``(*, 2L)`` template (L=128 outputs per row: re lanes | im lanes) —
+    an MXU-shaped dense matmul whose ~2x FLOP overhead over the banded
+    structure is far cheaper than the FFT it replaces. Unlike the brick-wall
+    FFT mask this has a ~``5.5*sr/taps`` Hz transition at each band edge; the
+    discriminator equalizer is calibrated against the SAME front end
+    (fir_taps=taps in ``_discriminator_calibration``), so the deterministic
+    ISI difference is absorbed. Returns ``(z_re, z_im)`` of length
+    ``ceil(n / decimate)``, numerically equal (float tolerance) to
+    ``analytic_bandpass_fir(x)[::decimate]``.
+    """
+    n = samples.shape[-1]
+    D, T = decimate, taps
+    c = (T - 1) // 2
+    L = 128
+    if T - D > L * D:
+        raise ValueError("taps - decimate must be <= 128*decimate (row overlap)")
+    nd_out = -(-n // D)
+    r = -(-nd_out // L)
+    R = L * D + T - D
+    ov = T - D
+    x = samples.astype(jnp.float32)
+    lead = x.ndim - 1
+    pad_cfg = [(0, 0)] * lead + [(c, r * L * D + ov - c - n)]
+    xpad = jnp.pad(x, pad_cfg)
+    main = xpad[..., : r * L * D].reshape(*x.shape[:-1], r, L * D)
+    nxt = jnp.concatenate(
+        [
+            main[..., 1:, :ov],
+            xpad[..., r * L * D : r * L * D + ov][..., None, :],
+        ],
+        axis=-2,
+    )
+    rows = jnp.concatenate([main, nxt], axis=-1)  # (..., r, R)
+    W = jnp.asarray(
+        _fir_dec_template(float(low_hz), float(high_hz), int(sample_rate), T, D, L)
+    )
+    z2 = rows @ W  # (..., r, 2L)
+    zr = z2[..., :L].reshape(*x.shape[:-1], r * L)[..., :nd_out]
+    zi = z2[..., L:].reshape(*x.shape[:-1], r * L)[..., :nd_out]
+    return zr, zi
+
+
 _OLS_BLOCK = 1 << 17  # overlap-save FFT block (power of 2)
 
 

@@ -52,6 +52,7 @@ from .common import (
     _analytic_fir_taps,
     analytic_bandpass,
     analytic_bandpass_fir,
+    analytic_bandpass_fir_dec,
     bit_sync_and_pack,
     bytes_to_bits,
 )
@@ -59,6 +60,13 @@ from .common import (
 # FIR front-end length for the analytic-signal paths (overlap-save blocked
 # FFTs instead of one whole-capture FFT — ~2x on the FSK9600 path, PERF.md).
 _FIR_TAPS = 1025
+
+# Tap count for the decimating matmul FIR front end (one MXU matmul, no FFT;
+# ops.common.analytic_bandpass_fir_dec). The row geometry caps the overlap at
+# taps - dec <= 128*dec, so the length scales with the decimation: 129 / 257 /
+# 513 taps at dec 1 / 2 / 4 (always odd, so the group delay is integral).
+def _mm_taps(dec: int) -> int:
+    return min(513, 128 * dec + 1)
 
 FSK_PREAMBLE = b"\xAA\xAA\xAA\xAA"
 
@@ -685,7 +693,7 @@ def fsk_demod_bits_batch(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "baud", "mark", "space", "sample_rate", "n_offsets", "mlse", "fir_frontend"
+        "baud", "mark", "space", "sample_rate", "n_offsets", "mlse", "frontend"
     ),
 )
 def fsk_demod_bits(
@@ -696,7 +704,7 @@ def fsk_demod_bits(
     sample_rate: int,
     n_offsets: int = 8,
     mlse: bool = True,
-    fir_frontend: bool = False,
+    frontend: str = "matmul",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Demodulate CPFSK to a bit array; returns ``(bits, best_offset_score)``.
 
@@ -711,7 +719,17 @@ def fsk_demod_bits(
       per-sample phasor product, per-bit *vector* frequency average via a
       boxcar matmul (one atan2 per bit, not per sample), then the calibrated
       per-config ISI equalizer.
+
+    ``frontend`` selects how the analytic-signal paths compute the decimated
+    band-limited analytic signal: ``"matmul"`` (default — one decimating
+    complex-FIR MXU matmul, no FFT; the whole-capture rfft measured 2.7 GS/s
+    on v5e and was 76% of the FSK9600 pipeline), ``"fft"`` (whole-capture
+    rfft + brick-wall mask + decimated ifft), or ``"fir"`` (full-rate
+    overlap-save FIR, kept for A/B history). The ISI equalizer is calibrated
+    against the exact front end selected, so decoded bits stay consistent.
     """
+    if frontend not in ("matmul", "fft", "fir"):
+        raise ValueError(f"unknown frontend {frontend!r}")
     spb = _samples_per_bit(sample_rate, baud)
     spr, row, ov = _fsk_geometry(spb)
     sep = _separation_cycles(baud, mark, space, sample_rate)
@@ -767,17 +785,25 @@ def fsk_demod_bits(
         # negative-frequency image, plain quadrature correlation is the
         # noise-optimal noncoherent detector.
         lo_f, hi_f = min(mark, space), max(mark, space)
-        # Overlap-save FIR (fir_frontend=True) measured ~15% SLOWER than the
+        # Overlap-save FIR (frontend="fir") measured ~15% SLOWER than the
         # whole-capture FFT on v5e (benchmarks/fsk_frontend_ab.py) — the path
-        # is not FFT-flop-bound — so the brick-wall FFT stays the default.
+        # is not FFT-flop-bound. The dec=1 matmul FIR (129 taps, the row
+        # geometry's limit at dec=1) replaces the FFT entirely; its wide
+        # ~4 kHz transition skirts are harmless here because the quadrature
+        # matched filter downstream IS the tone selector — the analytic
+        # transform's only job is suppressing the negative-frequency image.
         b_lo = max(lo_f - baud, 10.0)
         b_hi = min(hi_f + baud, sample_rate / 2 - 10.0)
-        if fir_frontend:
+        if frontend == "fir":
             z = analytic_bandpass_fir(x, b_lo, b_hi, sample_rate, taps=_FIR_TAPS)
+            zr = jnp.real(z).astype(jnp.float32)
+            zi = jnp.imag(z).astype(jnp.float32)
+        elif frontend == "matmul":
+            zr, zi = analytic_bandpass_fir_dec(x, b_lo, b_hi, sample_rate, 1, taps=129)
         else:
             z = analytic_bandpass(x, b_lo, b_hi, sample_rate)
-        zr = jnp.real(z).astype(jnp.float32)
-        zi = jnp.imag(z).astype(jnp.float32)
+            zr = jnp.real(z).astype(jnp.float32)
+            zi = jnp.imag(z).astype(jnp.float32)
         W = jnp.asarray(
             _fsk_quadrature_templates(spb, float(mark), float(space), sample_rate, n_offsets)
         )
@@ -819,14 +845,19 @@ def fsk_demod_bits(
     lo_f, hi_f = min(mark, space), max(mark, space)
     band_lo = max(lo_f - baud, 10.0)
     band_hi = min(hi_f + baud, sample_rate / 2 - 10.0)
-    dec = 1 if fir_frontend else _discriminator_decimation(spb, band_hi, sample_rate)
-    if fir_frontend:
+    dec = 1 if frontend == "fir" else _discriminator_decimation(spb, band_hi, sample_rate)
+    if frontend == "fir":
         z = analytic_bandpass_fir(x, band_lo, band_hi, sample_rate, taps=_FIR_TAPS)
+        zr, zi = jnp.real(z).astype(jnp.float32), jnp.imag(z).astype(jnp.float32)
+    elif frontend == "matmul":
+        zr, zi = analytic_bandpass_fir_dec(
+            x, band_lo, band_hi, sample_rate, dec, taps=_mm_taps(dec)
+        )
     else:
         z = analytic_bandpass(x, band_lo, band_hi, sample_rate, decimate=dec)
+        zr, zi = jnp.real(z).astype(jnp.float32), jnp.imag(z).astype(jnp.float32)
     spr_d, row_d, ov_d = _fsk_geometry_dec(spb, dec)
     r_d = -(-n_bits // spr_d)
-    zr, zi = jnp.real(z).astype(jnp.float32), jnp.imag(z).astype(jnp.float32)
     # Phasor product p[n] = z[n+1] * conj(z[n]) as two real 1-D streams.
     p_re = jnp.concatenate([zr[1:] * zr[:-1] + zi[1:] * zi[:-1], jnp.zeros((1,))])
     p_im = jnp.concatenate([zi[1:] * zr[:-1] - zr[1:] * zi[:-1], jnp.zeros((1,))])
@@ -860,7 +891,8 @@ def fsk_demod_bits(
     coef = _discriminator_calibration(
         spb, float(baud), float(mark), float(space), sample_rate,
         float(band_lo), float(band_hi),
-        fir_taps=_FIR_TAPS if fir_frontend else 0, dec=dec,
+        fir_taps={"fir": _FIR_TAPS, "matmul": _mm_taps(dec), "fft": 0}[frontend],
+        dec=dec,
     )
     pad = _EQ_TAPS // 2
     fm = jnp.concatenate([jnp.repeat(f[:1], pad), f, jnp.repeat(f[-1:], pad)])

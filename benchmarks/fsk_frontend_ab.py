@@ -46,7 +46,7 @@ def bench(batch: int, n_samples: int, baud: int, mark: float, space: float,
     def prog(samples, fir):
         def one(s):
             bits, _ = fsk_demod_bits(
-                s, float(baud), mark, space, 96000, mlse=False, fir_frontend=fir
+                s, float(baud), mark, space, 96000, mlse=False, frontend="fir" if fir else "fft"
             )
             start, found = find_bit_pattern(bits, MAGIC_BIT_PATTERN)
             packed, n_valid = pack_bits_from(bits, start)
