@@ -148,6 +148,18 @@ def recover_header_damaged(
         key = (frame.name, frame.part_number)
         if key in seen:
             return
+        # One frame, many anchor geometries: a standalone FEC-tag anchor
+        # admits every printable truncation of the name (the tag pins the
+        # meta window, so each variant validates identically — possibly via
+        # different rungs wrapping different container tags). Same part +
+        # same payload bytes, or same part + same whole-file CRC, is the
+        # same frame; the first (longest-name, strongest-rung) wins.
+        for f in list(already) + out:
+            if f.part_number == frame.part_number and (
+                f.data == frame.data
+                or (frame.file_crc and f.file_crc == frame.file_crc)
+            ):
+                return
         seen.add(key)
         out.append(frame)
         if stats is not None:
@@ -156,7 +168,16 @@ def recover_header_damaged(
                     how, frame.name, frame.part_number + 1, frame.total_parts)
 
     def scan_one(stream: bytes) -> None:
-        for cand in scan_frame_candidates(stream):
+        # Validate plausible names first (stable sort): overlapping anchor
+        # geometries can describe the SAME frame with a garbage-prefixed name
+        # (a junk fuzzy magic + the real frame's FEC tag pinning the same
+        # meta window) — both validate, and the payload-identity dedupe in
+        # ``emit`` keeps the first, so the clean-named variant must win.
+        cands = sorted(
+            scan_frame_candidates(stream),
+            key=lambda c: not all(32 <= ord(ch) < 127 for ch in c.frame.name),
+        )
+        for cand in cands:
             f = cand.frame
             payload = f.data
             # Cheap rejections FIRST: a (name, part) the strict parser
@@ -254,6 +275,29 @@ def recover_header_damaged(
             if out:
                 return out
     return out
+
+
+# The glyph-fax modes decode to TEXT, not an FBPC byte stream; both receive
+# paths (decode_from_buffer and parallel.batch.decode_wav_batch) route them
+# through the batched glyph-matmul demod and save the text via
+# save_decoded_text. The reference never wires these modes into its RX
+# dispatch at all (decoder.py:417-434 falls through to QPSK).
+TEXT_MODES = ("HELLSCHREIBER", "FELD_HELL", "SLOW_HELL")
+
+
+def save_decoded_text(text: str, recv_dir: str = RECV_DIR, stem: str = "hell") -> str:
+    """Persist a decoded text-mode transmission as recv_<ts>_<stem>.txt."""
+    out_dir = _ensure_recv_dir(recv_dir)
+    path = os.path.join(out_dir, f"recv_{int(time.time())}_{_safe_name(stem)}.txt")
+    k = 0
+    while os.path.exists(path):
+        k += 1
+        path = os.path.join(
+            out_dir, f"recv_{int(time.time())}_{k}_{_safe_name(stem)}.txt"
+        )
+    with open(path, "w", encoding="ascii") as f:
+        f.write(text)
+    return path
 
 
 def save_decoded_files(
@@ -408,6 +452,18 @@ def decode_from_buffer(
         from .utils.denoise import spectral_gate
 
         samples = spectral_gate(samples)
+
+    if mode in TEXT_MODES:
+        # Glyph fax decodes to text; the batched demod's padding-safe stop
+        # rule and sync gate (ops/hell.py hell_demod_text_batch) keep noise
+        # captures from producing files. Identical math to the batch path.
+        from .ops.hell import hellschreiber_demodulate_batch
+
+        baud = 61.25 if mode == "SLOW_HELL" else 122.5
+        text = hellschreiber_demodulate_batch(samples[None, :], baud)[0]
+        if not text.strip():
+            return []
+        return [save_decoded_text(text, recv_dir, mode.lower())]
 
     try:
         raw = demodulate(mode, pad_to_bucket(samples), symbol_rate)

@@ -260,7 +260,13 @@ def scan_frame_candidates(
 
     # FEC-tag anchors: implied (start, name_len) for every tag position and
     # plausible name length such that a fuzzy magic sits at the implied start.
-    tag_anchor: dict = {}  # start -> implied name_len
+    # When NO fuzzy magic exists at the implied start — the 16 sync bits died
+    # outright, the exact case the no-sync re-pack sweep hands here — the tag
+    # anchors STANDALONE, gated on a printable implied name (filenames are
+    # ASCII in practice; this bounds junk candidates on garbage streams, and
+    # promotion downstream stays cryptographic either way).
+    tag_anchor: dict = {}  # start -> implied name_len (fuzzy magic at start)
+    tag_alone: dict = {}  # start -> implied name_len (tag-only anchor)
     mpos_set = set(mpos_list)
     for tag in _FEC_TAGS:
         t = raw.find(tag)
@@ -271,6 +277,10 @@ def scan_frame_candidates(
                     break
                 if s in mpos_set:
                     tag_anchor.setdefault(s, nl)
+                else:
+                    name = raw[s + 5 : s + 5 + nl]
+                    if name and all(32 <= c < 127 for c in name):
+                        tag_alone.setdefault(s, nl)
             t = raw.find(tag, t + 1)
 
     def add(start: int, name_len: int, dlen: int) -> None:
@@ -302,14 +312,16 @@ def scan_frame_candidates(
     # can't stall a decode (the scan only pays off when the dlen FIELD is
     # corrupt but the payload+pcrc survived — a narrow case).
     crc_budget = _CRC_SCAN_CAP
-    for start in mpos_list:
+    # Standalone tag anchors run AFTER every fuzzy-magic anchor so that, under
+    # ``limit``, the likelier candidates keep priority.
+    for start in mpos_list + sorted(set(tag_alone) - mpos_set):
         if len(out) >= limit:
             break
         if start + 5 + _META.size >= n:
             continue
         exact = start in exact_set
         nl_read = raw[start + 4]
-        nl_implied = tag_anchor.get(start)
+        nl_implied = tag_anchor.get(start, tag_alone.get(start))
         for nl in {nl_read, nl_implied} - {None, 0}:
             meta_start = start + 5 + nl
             if meta_start + _META.size > n:

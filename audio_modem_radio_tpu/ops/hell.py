@@ -174,3 +174,76 @@ def hellschreiber_demodulate(
 ) -> str:
     pixels = detect_pixels(samples, baud, samp_rate, threshold)
     return _decode_naive(pixels) if naive else _decode_blocks(pixels)
+
+
+@functools.partial(jax.jit, static_argnames=("spp", "threshold"))
+def hell_demod_text_batch(
+    samples: jnp.ndarray, spp: int, threshold: float = 0.1
+) -> tuple:
+    """(B, N) captures -> (char codes (B, max_blocks) uint8, n_chars, found).
+
+    The batched text-mode receive path: pixel energies are one reshape +
+    mean-square, glyph classification is ONE (B, n_blocks, 49) @ (49, 95)
+    MXU matmul — for binary vectors the L1 nearest-template match reduces to
+    ``argmax(2 t.b - t.sum)`` (``|t-b|_1 = t.sum + b.sum - 2 t.b`` and
+    ``b.sum`` is constant per block), so detection is matmul + argmax,
+    exactly like the NEURAL codebook.
+
+    Semantics match :func:`_decode_blocks` — glyph blocks start right after
+    the leading all-on sync run — with a stricter, padding-safe stop rule:
+    decoding ends at the first all-on 7-pixel row. No glyph can produce one
+    (the font is 5-bit, so pixels 5..6 of a glyph row are always dark); only
+    the sync/closing rows are full-on. This also makes the decode exact on
+    bucket-padded captures, where ``_decode_blocks``'s 90%-on block test
+    never fires (trailing silence dilutes the closing block) and the host
+    decoder runs on into the padding.
+
+    ``found`` gates noise captures out: a transmission always opens with
+    ``SYNC_ROWS`` all-on rows (reference hellschreiber.py:118-120); require
+    a leading run of at least ``SYNC_ROWS - 2`` (tolerating edge erosion).
+    When ``found`` is False, ``n_chars`` is 0.
+    """
+    b, n = samples.shape
+    n_pix = n // spp
+    win = samples[:, : n_pix * spp].reshape(b, n_pix, spp)
+    px = (jnp.mean(win * win, axis=-1) > threshold).astype(jnp.float32)
+    n_rows = n_pix // ROW_PIXELS
+    rows_on = (
+        px[:, : n_rows * ROW_PIXELS].reshape(b, n_rows, ROW_PIXELS).sum(-1)
+        >= ROW_PIXELS - 0.5
+    )
+    not_on = ~rows_on
+    sync_rows = jnp.where(jnp.any(not_on, axis=1), jnp.argmax(not_on, axis=1), n_rows)
+    found = sync_rows >= SYNC_ROWS - 2
+    s = sync_rows * ROW_PIXELS
+    blk = CHAR_ROWS * ROW_PIXELS
+    max_blocks = max(n_pix // CHAR_PIXELS, 1)
+    starts = s[:, None] + jnp.arange(max_blocks)[None, :] * CHAR_PIXELS  # (B, K)
+    idx = starts[:, :, None] + jnp.arange(blk)[None, None, :]
+    valid = (starts + blk) <= n_pix
+    blocks = jnp.take_along_axis(
+        px, idx.reshape(b, -1).clip(0, max(n_pix - 1, 0)), axis=1
+    ).reshape(b, max_blocks, blk)
+    tmpl = jnp.asarray(_glyph_pixel_templates())  # (95, 49)
+    score = 2.0 * (blocks @ tmpl.T) - tmpl.sum(axis=1)[None, None, :]
+    chars = (32 + jnp.argmax(score, axis=-1)).astype(jnp.uint8)
+    first_row_on = blocks[..., :ROW_PIXELS].sum(-1) >= ROW_PIXELS - 0.5
+    stop = first_row_on | ~valid
+    n_chars = jnp.where(jnp.any(stop, axis=1), jnp.argmax(stop, axis=1), max_blocks)
+    n_chars = jnp.where(found, n_chars, 0)
+    return chars, n_chars.astype(jnp.int32), found
+
+
+def hellschreiber_demodulate_batch(
+    batch: np.ndarray,
+    baud: float = 122.5,
+    samp_rate: int = SAMPLE_RATE,
+    threshold: float = 0.1,
+) -> List[str]:
+    """(B, N) captures -> list of decoded texts (empty where no sync found)."""
+    spp = int(round(samp_rate / baud))
+    chars, n_chars, _found = hell_demod_text_batch(
+        jnp.asarray(batch, jnp.float32), spp, float(threshold)
+    )
+    chars, n_chars = np.asarray(chars), np.asarray(n_chars)
+    return [bytes(chars[i, : n_chars[i]]).decode("ascii") for i in range(len(n_chars))]

@@ -46,10 +46,10 @@ from .mesh import batch_sharding, get_mesh, pad_batch
 # --- per-mode demodulator plan -------------------------------------------------
 
 def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
-    """Mode name -> ('psk2'|'psk4'|'fsk', params) for the batched hot path.
-
-    Mirrors the dispatch/aliasing of the mode registry (modem.py); raises for
-    the text modes (HELLSCHREIBER/FELD_HELL), which don't batch byte-wise.
+    """Mode name -> ('psk2'|'psk4'|'fsk'|'ofdm'|'neural'|'hell', params) for
+    the batched hot path. Mirrors the dispatch/aliasing of the mode registry
+    (modem.py). The text modes batch as glyph-template matmuls ('hell',
+    params = (pixel baud,)) and yield TEXT bytes, not an FBPC byte stream.
     """
     r = symbol_rate
     table = {
@@ -68,10 +68,11 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
         "FT8": ("fsk", (50.0, 3000.0, 3050.0)),
         "PSK31": ("psk2", (31.25, 3000.0)),
         "NEURAL": ("neural", (float(r),)),
+        "HELLSCHREIBER": ("hell", (122.5,)),
+        "FELD_HELL": ("hell", (122.5,)),
+        "SLOW_HELL": ("hell", (61.25,)),
     }
     if mode not in table:
-        if mode in MODES:
-            raise ValueError(f"mode {mode} has no batched byte-stream demodulator")
         return table["QPSK"]  # unknown-mode fallback, like the reference decoder
     return table[mode]
 
@@ -178,26 +179,41 @@ def demod_pack_batch(
 
     if kind == "neural":
         # Learned-codebook detection IS a batched matmul already; symbols are
-        # bytes, so no bit-level sync/pack stage exists for this mode.
+        # bytes, so no bit-level sync/pack stage exists for this mode. The
+        # all-real demod (ops/neural.py) runs on the TPU backend directly
+        # since round 3 — no host fallback.
         from ..ops.neural import (
+            CHIPS_PER_SYMBOL,
             PREAMBLE_LEN,
             _chip_len,
             _codebook,
             _demod,
-            _preamble_baseband,
+            _preamble_spectra,
         )
 
         chip_len = _chip_len(int(params[0]))
-        pre = _preamble_baseband(chip_len)
-        n_fft = 1 << int(np.ceil(np.log2(samples.shape[-1] + len(pre))))
-        cb, pre_j = jnp.asarray(_codebook()), jnp.asarray(pre)
+        n_fft = 1 << int(
+            np.ceil(np.log2(samples.shape[-1] + PREAMBLE_LEN * CHIPS_PER_SYMBOL * chip_len))
+        )
+        pre_fr, pre_fi = _preamble_spectra(chip_len, n_fft)
+        cb = jnp.asarray(_codebook())
+        fr_j, fi_j = jnp.asarray(pre_fr), jnp.asarray(pre_fi)
 
         def neural_one(x):
-            syms, _k0 = _demod(x, cb, pre_j, chip_len, n_fft)
+            syms, _k0 = _demod(x, cb, fr_j, fi_j, chip_len, n_fft)
             payload = syms[PREAMBLE_LEN:]
             return payload, jnp.asarray(payload.shape[0]), jnp.asarray(True)
 
         return jax.vmap(neural_one)(samples)
+
+    if kind == "hell":
+        # Text fax: glyph classification is one (B, n_blocks, 49) @ (49, 95)
+        # matmul + argmax — the "packed bytes" are ASCII char codes, not an
+        # FBPC byte stream (decode_wav_batch saves them as .txt).
+        from ..ops.hell import hell_demod_text_batch
+
+        spp = int(round(SAMPLE_RATE / params[0]))
+        return hell_demod_text_batch(samples, spp)
 
     if kind in ("psk4", "psk2"):
         baud, carrier = params
@@ -319,14 +335,6 @@ def decode_sample_batch(
     b = batch.shape[0]
 
     kind, params = resolve_demod_plan(mode, symbol_rate)
-    if kind == "neural" and jax.default_backend() != "cpu":
-        # Same axon-backend hazard as the single-capture path (the jitted
-        # NEURAL composite intermittently raised UNIMPLEMENTED and could
-        # wedge the device tunnel, ops/neural.py): demod per capture on the
-        # host. NEURAL batches are codebook-matmul-light, not the GS/s path.
-        from ..ops.neural import neural_mode_demodulate
-
-        return [neural_mode_demodulate(batch[i], symbol_rate) for i in range(b)]
     if kind in ("psk2", "psk4"):
         from ..ops.psk import blocked_row_shape
 
@@ -383,6 +391,9 @@ def decode_wav_batch(
     recv_dir: str = "recv",
     registry: Optional[AssemblyRegistry] = None,
     mesh=None,
+    stream_fec: bool = False,
+    denoise: Optional[bool] = None,
+    drift_retry: bool = True,
 ) -> List[List[str]]:
     """Decode many WAV files in one sharded device batch.
 
@@ -393,8 +404,25 @@ def decode_wav_batch(
     WAV loading goes through the native multi-threaded loader when the C++
     library is available (one Python ``wave`` parse per file is the host
     bottleneck at 1000-file batches); frame scanning likewise.
+
+    The throughput path carries the FULL single-capture robustness ladder
+    (round 2 recovered strictly less than ``decode_from_buffer`` on damaged
+    input): per capture — optional spectral-gate ``denoise`` (None defers to
+    CONFIG ``modem.noise_reduction``), optional ``stream_fec`` Viterbi decode
+    with soft-decision escalation, strict parse + damaged-frame FEC +
+    header-tolerant recovery, the no-sync rescue sweep on total loss, and
+    finally the ±5% clock-drift hypotheses (``drift_retry``) — failed
+    captures only, resampled into ONE extra batched dispatch (they are just
+    extra batch rows, not sequential retries; decoder.decode_with_retry's
+    exact-inverse stride math).
     """
-    from ..decoder import save_decoded_files
+    from ..decoder import (
+        _nosync_streams,
+        _stream_fec_soft,
+        default_registry,
+        recover_header_damaged,
+        save_decoded_files,
+    )
     from ..native import NATIVE_AVAILABLE, load_wav_batch, scan_frames
 
     if NATIVE_AVAILABLE:
@@ -428,34 +456,108 @@ def decode_wav_batch(
                 data = resample(data, sr, SAMPLE_RATE)
             arrays.append(data.astype(np.float32))
 
+    if denoise is None:
+        denoise = bool(CONFIG.get("modem.noise_reduction", False))
+    if denoise:
+        from ..utils.denoise import spectral_gate
+
+        arrays = [spectral_gate(a) for a in arrays]
+
     n = _bucket_length([len(a) for a in arrays])
     batch = np.zeros((len(arrays), n), dtype=np.float32)
     for i, a in enumerate(arrays):
         batch[i, : min(len(a), n)] = a[:n]
 
     raws = decode_sample_batch(batch, mode, symbol_rate, mesh=mesh)
-    out: List[List[str]] = []
-    for raw in raws:
+
+    if resolve_demod_plan(mode, symbol_rate)[0] == "hell":
+        # Text-fax captures: the batched glyph matmul already produced the
+        # decoded text (empty when the sync gate rejected the capture); save
+        # each as recv_<ts>_<stem>.txt, mirroring decode_from_buffer.
+        import os as _os
+
+        from ..decoder import save_decoded_text
+
+        out_txt: List[List[str]] = []
+        for i, raw in enumerate(raws):
+            text = raw.decode("ascii", "replace")
+            if not text.strip():
+                out_txt.append([])
+                continue
+            stem = _os.path.splitext(_os.path.basename(paths[i]))[0]
+            out_txt.append([save_decoded_text(text, recv_dir, stem)])
+        return out_txt
+
+    reg = registry or default_registry
+
+    def _ladder(raw: bytes, samples_i: np.ndarray, rescue: bool):
+        """Single-capture post-demod policy, byte-level on the host:
+        (frames+recovered, damaged, total_loss). Mirrors decode_from_buffer
+        exactly — stream-FEC (+soft escalation), strict parse (native scanner
+        when built), header-tolerant recovery, no-sync rescue on total loss."""
+        if stream_fec:
+            from ..fec import stream_fec_decode
+
+            raw = stream_fec_decode(raw)
+            if not raw.startswith(b"FBPC"):
+                soft_raw = _stream_fec_soft(samples_i, mode, symbol_rate)
+                if soft_raw is not None and soft_raw.startswith(b"FBPC"):
+                    raw = soft_raw
         if NATIVE_AVAILABLE:
+            # Same contract as parse_frames_detailed: damaged frames (header
+            # intact, payload CRC failed) must reach save_decoded_files so
+            # FEC recovery can run.
             frames, damaged = scan_frames(raw)
         else:
-            # Same contract as the native scanner: damaged frames (header
-            # intact, payload CRC failed) must reach save_decoded_files so
-            # FEC recovery can run — identical to the single-file path
-            # (decoder.py decode behavior).
             frames, damaged = parse_frames_detailed(raw)
-        # Header-tolerant pass, identical to the single-file path
-        # (decoder.recover_header_damaged): exact-validated recovery of
-        # frames whose header bits were corrupted; a recovery supersedes
-        # any damaged-path guess for the same (name, part).
-        from ..decoder import recover_header_damaged
-
-        recovered = recover_header_damaged(
-            raw, list(frames), stats=(registry.stats if registry is not None else None)
-        )
+        recovered = recover_header_damaged(raw, list(frames), stats=reg.stats)
+        total_loss = not frames and not damaged and not recovered
+        if total_loss and rescue and not stream_fec:
+            # Magic-sync failure rescue: re-pack with no sync and sweep
+            # bit-shift x rotation variants (PSK family; decoder.py policy).
+            for raw2 in _nosync_streams(samples_i, mode, symbol_rate):
+                recovered = recover_header_damaged(raw2, [], stats=reg.stats)
+                if recovered:
+                    total_loss = False
+                    break
         rec_keys = {(f.name, f.part_number) for f in recovered}
         damaged = [d for d in damaged if (d.name, d.part_number) not in rec_keys]
-        out.append(save_decoded_files(
-            list(frames) + recovered, recv_dir, registry, damaged=damaged or None
-        ))
+        return list(frames) + recovered, damaged, total_loss
+
+    out: List[List[str]] = []
+    lost: List[int] = []
+    for i, raw in enumerate(raws):
+        frames, damaged, total_loss = _ladder(raw, arrays[i], rescue=True)
+        out.append(save_decoded_files(frames, recv_dir, registry, damaged=damaged or None))
+        if total_loss and not out[-1]:
+            lost.append(i)
+
+    if drift_retry and lost:
+        # Clock-drift hypotheses for the captures that yielded nothing: rows
+        # resampled by the exact inverse stride (decode_with_retry's math),
+        # ONE extra batched dispatch covering every (capture, factor) pair.
+        from ..decoder import RETRY_FACTORS
+
+        drift = [f for f in RETRY_FACTORS if f != 1.0]
+        strides = [1.0 / f for f in drift]
+        m = _bucket_length([int(np.ceil(n / min(strides)))])
+        retry = np.zeros((len(lost) * len(drift), m), dtype=np.float32)
+        for j, i in enumerate(lost):
+            a = arrays[i]
+            src = np.arange(len(a), dtype=np.float64)
+            for k, s in enumerate(strides):
+                dst = np.arange(int(len(a) / s), dtype=np.float64) * s
+                row = np.interp(dst, src, a).astype(np.float32)
+                retry[j * len(drift) + k, : min(len(row), m)] = row[:m]
+        retry_raws = decode_sample_batch(retry, mode, symbol_rate, mesh=mesh)
+        for j, i in enumerate(lost):
+            for k in range(len(drift)):
+                frames, damaged, _tl = _ladder(
+                    retry_raws[j * len(drift) + k], arrays[i], rescue=False
+                )
+                if frames or damaged:
+                    out[i] = save_decoded_files(
+                        frames, recv_dir, registry, damaged=damaged or None
+                    )
+                    break
     return out

@@ -204,3 +204,32 @@ def test_e2e_header_corruption_through_audio(tmp_path):
     assert len(saved) == 1
     with open(saved[0], "rb") as f:
         assert f.read() == data
+
+
+def test_destroyed_magic_standalone_tag_anchor(tmp_path):
+    """Round 3: when ALL four magic bytes die (8 flipped bits — beyond the
+    fuzzy-magic tolerance), the FEC-container tag anchors the header
+    geometry STANDALONE and the frame still recovers through real audio via
+    the no-sync re-pack sweep. Exactly the case the sweep exists for."""
+    framed, data, payload = _make_framed(seed=21, n=400)
+    b = bytearray(framed)
+    b[0] ^= 0x5A
+    b[1] ^= 0xA5
+    wave = np.asarray(modulate("QPSK", bytes(b), 4800), np.float32)
+    saved = decode_from_buffer(wave, "QPSK", 4800, recv_dir=str(tmp_path))
+    assert len(saved) == 1, "destroyed-magic frame not recovered"
+    with open(saved[0], "rb") as f:
+        assert f.read() == data
+
+
+def test_tag_anchor_no_duplicate_names(tmp_path):
+    """The standalone tag anchor admits every printable truncation of the
+    name; the payload-identity dedupe must emit the frame ONCE, under its
+    full name."""
+    framed, data, payload = _make_framed(seed=22, n=300)
+    b = bytearray(framed)
+    b[0] ^= 0xFF
+    b[1] ^= 0xFF
+    raw = bytes(b)
+    rec = recover_header_damaged(raw, [])
+    assert [f.name for f in rec] == ["tol.bin"]
