@@ -123,7 +123,9 @@ class AssemblyRegistry:
     them concurrently there.
     """
 
-    def __init__(self, timeout_seconds: Optional[int] = None):
+    def __init__(
+        self, timeout_seconds: Optional[int] = None, journal_dir: Optional[str] = None
+    ):
         self._lock = threading.Lock()
         self._assemblies: Dict[str, FileAssembly] = {}
         if timeout_seconds is None:
@@ -131,7 +133,27 @@ class AssemblyRegistry:
 
             timeout_seconds = int(CONFIG.get("modem.assembly_timeout", 7200))
         self.timeout_seconds = timeout_seconds
+        # Disk journal for restart-safe transfers: every accepted multi-part
+        # part is written atomically under <journal_dir>/<transfer>/ and the
+        # journal is replayed lazily on first use, so a reception spanning
+        # the (default 7200 s) assembly timeout survives a process restart —
+        # the reference's FileAssembly dies with the app (SURVEY.md §5
+        # "not persisted to disk"). ``journal_dir=None`` defers to CONFIG
+        # ``modem.assembly_journal`` (default "recv/.assembly"; empty
+        # disables), re-read per use so the knob works on the process-wide
+        # default registry too. The path is resolved relative to the cwd
+        # like every recv_dir in the decoder.
+        self._journal_dir = journal_dir
+        self._journal_loaded = False
         self.stats = self._fresh_stats()
+
+    @property
+    def journal_dir(self) -> Optional[str]:
+        if self._journal_dir is not None:
+            return self._journal_dir or None
+        from .config import CONFIG
+
+        return str(CONFIG.get("modem.assembly_journal", "recv/.assembly")) or None
 
     @staticmethod
     def _fresh_stats() -> dict:
@@ -159,9 +181,102 @@ class AssemblyRegistry:
                 base = stem
         return f"{base}_{frame.file_crc}"
 
+    # --- disk journal (restart-safe transfers) ---------------------------
+
+    def _journal_path(self, key: str, asm: FileAssembly) -> str:
+        import re
+
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", asm.filename)[:40]
+        return os.path.join(
+            self.journal_dir, f"{crc32(key.encode()) & 0xFFFFFFFF:08x}_{safe}"
+        )
+
+    @staticmethod
+    def _atomic_write(path: str, data: bytes) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def _journal_part(self, key: str, asm: FileAssembly, part_number: int) -> None:
+        """Atomically persist one accepted part + refreshed metadata."""
+        import json
+
+        d = self._journal_path(key, asm)
+        os.makedirs(d, exist_ok=True)
+        part = asm.parts[part_number]
+        assert part is not None
+        self._atomic_write(os.path.join(d, f"part_{part_number:05d}.bin"), part)
+        meta = {
+            "key": key,
+            "filename": asm.filename,
+            "total_parts": asm.total_parts,
+            "file_size": asm.file_size,
+            "file_crc": asm.expected_crc,
+            "creation_time": asm.creation_time,
+            "last_update": asm.last_update,
+            "qualities": {
+                str(i): q
+                for i, q in enumerate(asm.parts_quality)
+                if asm.parts[i] is not None
+            },
+        }
+        self._atomic_write(
+            os.path.join(d, "meta.json"), json.dumps(meta).encode("utf-8")
+        )
+
+    def _drop_journal(self, key: str, asm: FileAssembly) -> None:
+        import shutil
+
+        d = self._journal_path(key, asm)
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _load_journal_locked(self) -> int:
+        """Replay the journal into memory (expired entries are deleted).
+        Called lazily under the lock; returns the number resumed."""
+        import glob
+        import json
+        import shutil
+
+        self._journal_loaded = True
+        if not self.journal_dir or not os.path.isdir(self.journal_dir):
+            return 0
+        resumed = 0
+        for d in sorted(glob.glob(os.path.join(self.journal_dir, "*"))):
+            mpath = os.path.join(d, "meta.json")
+            if not os.path.isfile(mpath):
+                continue
+            try:
+                with open(mpath) as f:
+                    meta = json.load(f)
+                a = FileAssembly(
+                    meta["filename"], meta["total_parts"], meta["file_size"], meta["file_crc"]
+                )
+                a.creation_time = meta["creation_time"]
+                a.last_update = meta["last_update"]
+                if a.is_expired(self.timeout_seconds):
+                    shutil.rmtree(d, ignore_errors=True)
+                    continue
+                for i_str, q in meta.get("qualities", {}).items():
+                    ppath = os.path.join(d, f"part_{int(i_str):05d}.bin")
+                    if os.path.isfile(ppath):
+                        with open(ppath, "rb") as pf:
+                            a.parts[int(i_str)] = pf.read()
+                        a.parts_quality[int(i_str)] = float(q)
+                a.received_parts = sum(1 for p in a.parts if p is not None)
+                if a.received_parts:
+                    self._assemblies[meta["key"]] = a
+                    resumed += 1
+            except Exception:  # corrupt journal entry: drop, never wedge decode
+                shutil.rmtree(d, ignore_errors=True)
+        return resumed
+
     def offer(self, frame: Frame) -> Optional[bytes]:
         """Feed one parsed frame; returns the whole file when it completes."""
         with self._lock:
+            if self.journal_dir and not self._journal_loaded and frame.is_multipart:
+                self._load_journal_locked()
             key = self.key_for(frame)
             asm = self._assemblies.get(key)
             if asm is None:
@@ -174,14 +289,28 @@ class AssemblyRegistry:
                 self.stats["duplicates_rejected"] += 1
             self.stats["total_quality"] += quality
             self.stats["quality_samples"] += 1
+            if self.journal_dir and frame.is_multipart and not complete:
+                # Journal only while in flight; completed transfers drop
+                # their journal below. (Single-part frames never journal.)
+                try:
+                    self._journal_part(key, asm, frame.part_number)
+                except OSError:
+                    pass  # journaling is best-effort; reception continues
             if not complete:
                 return None
             data = asm.assemble_file()
             if not asm.integrity_ok(data):
                 # Keep the assembly around: a better retransmission of a bad
                 # part can still heal it before expiry.
+                if self.journal_dir and frame.is_multipart:
+                    try:
+                        self._journal_part(key, asm, frame.part_number)
+                    except OSError:
+                        pass
                 return None
             del self._assemblies[key]
+            if self.journal_dir:
+                self._drop_journal(key, asm)
             self.stats["total_files"] += 1
             self.stats["total_bytes"] += len(data)
             self.stats["last_reception"] = time.time()
@@ -191,11 +320,15 @@ class AssemblyRegistry:
         with self._lock:
             expired = [k for k, a in self._assemblies.items() if a.is_expired(self.timeout_seconds)]
             for k in expired:
+                if self.journal_dir:
+                    self._drop_journal(k, self._assemblies[k])
                 del self._assemblies[k]
             return expired
 
     def get_status(self) -> List[dict]:
         with self._lock:
+            if self.journal_dir and not self._journal_loaded:
+                self._load_journal_locked()
             return [
                 {
                     "filename": a.filename,
@@ -227,6 +360,9 @@ class AssemblyRegistry:
 
     def reset(self) -> None:
         with self._lock:
+            if self.journal_dir:
+                for key, asm in self._assemblies.items():
+                    self._drop_journal(key, asm)
             self._assemblies.clear()
             self.stats = self._fresh_stats()
 

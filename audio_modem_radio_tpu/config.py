@@ -51,6 +51,12 @@ _DEFAULTS: Dict[str, Any] = {
         # Expiry for in-flight multi-part assemblies, seconds (the default
         # AssemblyRegistry reads this at construction).
         "assembly_timeout": 7200,
+        # Disk journal for restart-safe multi-part transfers: every accepted
+        # part is written atomically under this directory and replayed on the
+        # next start, so a reception spanning assembly_timeout survives a
+        # process restart (the reference's FileAssembly is memory-only,
+        # SURVEY.md §5). Empty string disables journaling.
+        "assembly_journal": "recv/.assembly",
         # Default for the decode-side spectral-gate denoiser (decoder.decode_*
         # ``denoise=None`` resolves here). The reference declares
         # ``noise_reduction: True`` but implements nothing; the receivers are

@@ -24,3 +24,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True)
+def _hermetic_assembly_journal(tmp_path_factory, monkeypatch):
+    """Point the multi-part assembly journal at a per-test temp dir so tests
+    never replay another test's (or another run's) in-flight parts. Journal
+    tests that want a specific dir pass journal_dir= explicitly."""
+    from audio_modem_radio_tpu.config import CONFIG
+
+    d = tmp_path_factory.mktemp("assembly_journal")
+    old = CONFIG.get("modem.assembly_journal")
+    CONFIG.set("modem.assembly_journal", str(d))
+    yield
+    CONFIG.set("modem.assembly_journal", old)

@@ -123,3 +123,99 @@ def test_checkpoint_drops_expired(tmp_path):
 
 def test_load_missing_checkpoint():
     assert AssemblyRegistry().load_state("/nonexistent/path.json") == 0
+
+
+# --- disk journal: restart-safe transfers (round 3) -------------------------
+
+
+def test_journal_survives_restart(tmp_path):
+    """Kill-and-restart between parts: a fresh registry (fresh process)
+    pointed at the same journal reassembles bit-exact — no explicit
+    save_state call anywhere (reference decoder.py:106-107, 251-253 intended
+    resumable transfer; its in-memory version dies with the app)."""
+    jd = str(tmp_path / ".assembly")
+    data = bytes(range(256)) * 8
+    frames = _mk_frames("journal.bin", data, 3)
+
+    reg = AssemblyRegistry(journal_dir=jd)
+    assert reg.offer(frames[0]) is None
+    assert reg.offer(frames[2]) is None
+    del reg  # process "dies" here; only the journal remains
+
+    reg2 = AssemblyRegistry(journal_dir=jd)
+    assert reg2.offer(frames[1]) == data
+    # Completion drops the journal entry.
+    import glob
+
+    assert glob.glob(jd + "/*/meta.json") == []
+
+
+def test_journal_replaced_part_survives_restart(tmp_path):
+    """A healing retransmission (better-quality duplicate) is what the
+    journal holds after a restart."""
+    jd = str(tmp_path / ".assembly")
+    good = bytes(range(200))
+    frames = _mk_frames("heal.bin", good, 2)
+    bad0 = Frame(frames[0].name, b"\x00" * len(frames[0].data), 0, 2,
+                 frames[0].file_size, frames[0].file_crc)
+
+    reg = AssemblyRegistry(journal_dir=jd)
+    reg.offer(bad0)
+    reg.offer(frames[0])  # heals part 0
+    del reg
+
+    reg2 = AssemblyRegistry(journal_dir=jd)
+    assert reg2.offer(frames[1]) == good
+
+
+def test_journal_expired_dropped_on_restart(tmp_path):
+    jd = str(tmp_path / ".assembly")
+    reg = AssemblyRegistry(timeout_seconds=0, journal_dir=jd)
+    reg.offer(_mk_frames("old.bin", b"x" * 50, 2)[0])
+    time.sleep(0.02)
+    reg2 = AssemblyRegistry(timeout_seconds=0, journal_dir=jd)
+    # The lazy replay happens on first use; the expired entry is dropped
+    # from disk and never resumed.
+    assert reg2.get_status() == []
+    import glob
+
+    assert glob.glob(jd + "/*/meta.json") == []
+
+
+def test_journal_disabled_by_empty_dir(tmp_path):
+    reg = AssemblyRegistry(journal_dir="")
+    frames = _mk_frames("nojournal.bin", b"y" * 100, 2)
+    reg.offer(frames[0])
+    assert reg.journal_dir is None
+
+
+def test_journal_e2e_through_audio_restart(tmp_path, monkeypatch):
+    """Two part-WAVs decoded by two separate decoder invocations with
+    DIFFERENT registries (simulated process restart, journal via CONFIG
+    default) still reassemble the file bit-exact."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+
+    from audio_modem_radio_tpu.config import CONFIG
+    from audio_modem_radio_tpu.decoder import decode_from_buffer
+    from audio_modem_radio_tpu.encoder import encode_file_parts, split_file_for_transmission
+    from audio_modem_radio_tpu.utils.wavio import read_wav
+
+    CONFIG.set("modem.assembly_journal", str(tmp_path / "recv" / ".assembly"))
+    data = bytes(np.random.default_rng(5).integers(0, 256, 30_000, dtype=np.uint8))
+    src = tmp_path / "big.bin"
+    src.write_bytes(data)
+    parts = split_file_for_transmission(str(src), "QPSK", 9600, target_duration_sec=2)
+    assert len(parts) >= 2
+    wavs = encode_file_parts(parts, "QPSK", True, 9600)
+
+    saved = []
+    for w in wavs:
+        samples, sr = read_wav(w)
+        # Fresh registry per capture = fresh process per capture.
+        saved = decode_from_buffer(
+            samples, "QPSK", 9600, recv_dir=str(tmp_path / "recv"),
+            registry=AssemblyRegistry(),
+        )
+    assert len(saved) == 1
+    assert open(saved[0], "rb").read() == data
