@@ -109,6 +109,16 @@ def _bench_reference_cpu_once(n_samples: int, baud: int) -> float:
 
 
 def main() -> None:
+    import sys
+
+    if "--smoke" in sys.argv:
+        # On-chip Pallas kernel smoke: run every kernel non-interpreted on a
+        # small shape and verify against the XLA / interpreter references;
+        # writes KERNEL_SMOKE.json (VERDICT r2 #10). Exit code reflects it.
+        from benchmarks.kernel_smoke import main as smoke_main
+
+        raise SystemExit(smoke_main())
+
     baud = 9600
     # Large per-dispatch workload: the TPU tunnel has ~30 ms per-call
     # latency, so throughput must be measured against >>30 ms of real work.

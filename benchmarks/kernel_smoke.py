@@ -1,0 +1,178 @@
+"""On-chip Pallas-kernel smoke check (VERDICT r2 #10).
+
+CI exercises the Pallas kernels only in interpreter mode (the suite runs on
+CPU); real-Mosaic behavior on the TPU was validated solely by bench/driver
+runs. This harness runs EVERY production kernel non-interpreted on the live
+backend on a small real-signal workload and verifies the outputs against the
+independent references:
+
+  decide      psk_project_decide_batch (n_psk 2 and 4)  vs the XLA einsum
+              projection + differential + derotate + decide tail, computed
+              on the same device.
+  qpsk_tail   rotation_match_batch + relabel_pack_batch (production wiring
+              psk4_kernel_sync_tail)                    vs interpret=True.
+  bpsk_tail   rotation_match_batch(family="bpsk") + bit_select_pack_batch
+              (psk2_kernel_sync_tail)                   vs interpret=True.
+  fsk_optin   fsk_project_bits_batch (opt-in kernel)    vs interpret=True.
+
+Each entry records a pass/fail and a sha256 checksum of the non-interpreted
+output so the committed artifact (KERNEL_SMOKE.json) pins the exact device
+behavior per round. Run via ``python bench.py --smoke`` on the TPU; on a CPU
+backend the non-interpreted kernels cannot run and the harness reports
+skipped=true.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sha(*arrays) -> str:
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+    return h.hexdigest()[:16]
+
+
+def _capture_batch(mode: str, rate: int, n_captures: int = 2, seed: int = 0):
+    from audio_modem_radio_tpu.framing import crc32, pack_frame
+    from audio_modem_radio_tpu.modem import modulate
+
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, 1024, dtype=np.uint8).tobytes()
+    framed = pack_frame("smoke.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate(mode, framed, rate), np.float32)
+    n = 1 << int(np.ceil(np.log2(len(wave))))
+    batch = np.zeros((n_captures, n), np.float32)
+    batch[:, : len(wave)] = wave
+    return batch
+
+
+def run_smoke() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    out: dict = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
+    if jax.default_backend() != "tpu":
+        out["skipped"] = True
+        out["reason"] = "non-interpreted Pallas kernels need the TPU backend"
+        return out
+
+    from audio_modem_radio_tpu.ops.pallas_kernels import psk_project_decide_batch
+    from audio_modem_radio_tpu.ops.psk import (
+        _BLOCK_SYM,
+        _batch_pass1,
+        _blocked_templates,
+        _decide_streams,
+        _samples_per_symbol,
+        derotate,
+    )
+    from audio_modem_radio_tpu.parallel.batch import (
+        psk2_kernel_sync_tail,
+        psk4_kernel_sync_tail,
+    )
+
+    baud, carrier, sr = 9600.0, 3000.0, 96000
+    spsym = _samples_per_symbol(sr, baud)
+    checks: dict = {}
+
+    streams = {}
+    for n_psk, mode in ((4, "QPSK"), (2, "BPSK")):
+        batch = _capture_batch(mode, int(baud), seed=n_psk)
+        b, n = batch.shape
+        samples = jnp.asarray(batch)
+        x3d, r, best, theta = _batch_pass1(
+            samples, None, b, n // spsym, spsym, carrier, sr, 8, 0
+        )
+        W8 = jnp.asarray(_blocked_templates(spsym, carrier, sr, 8))
+        rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+        hi_k, lo_k = psk_project_decide_batch(
+            x3d, W8, best, rot, rows_per_capture=r, n_psk=n_psk, block_rows=256
+        )
+        hi_k, lo_k = hi_k.reshape(b, -1), lo_k.reshape(b, -1)
+
+        # Independent XLA reference on the same device.
+        row = _BLOCK_SYM * spsym
+        ov = W8.shape[1] - row
+        x_next = jnp.concatenate(
+            [x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1
+        )
+        xov = jnp.concatenate([x3d, x_next], axis=2)
+        proj = jnp.einsum("brc,bck->brk", xov, W8[best])
+        re_f = proj[:, :, :_BLOCK_SYM].reshape(b, -1)
+        im_f = proj[:, :, _BLOCK_SYM:].reshape(b, -1)
+        d_re = re_f[:, 1:] * re_f[:, :-1] + im_f[:, 1:] * im_f[:, :-1]
+        d_im = im_f[:, 1:] * re_f[:, :-1] - re_f[:, 1:] * im_f[:, :-1]
+        d_re, d_im = derotate(d_re, d_im, theta)
+        hi_x, lo_x = jax.vmap(lambda a, c: _decide_streams(a, c, n_psk))(d_re, d_im)
+        n_sig = n // spsym - 2  # modulated span; pad-boundary ties excluded
+        ok = bool(
+            np.array_equal(np.asarray(hi_k)[:, :n_sig], np.asarray(hi_x)[:, :n_sig])
+            and np.array_equal(np.asarray(lo_k)[:, :n_sig], np.asarray(lo_x)[:, :n_sig])
+        )
+        checks[f"decide_npsk{n_psk}"] = {"ok": ok, "sha": _sha(hi_k, lo_k)}
+        streams[n_psk] = (hi_k, lo_k)
+
+    # Sync tails: real Mosaic vs the interpreter on identical streams.
+    for n_psk, tail, name in (
+        (4, psk4_kernel_sync_tail, "qpsk_tail"),
+        (2, psk2_kernel_sync_tail, "bpsk_tail"),
+    ):
+        hi, lo = streams[n_psk]
+        dev = tail(hi, lo, cfo_retry=True)
+        ref = tail(hi, lo, cfo_retry=True, interpret=True)
+        ok = all(np.array_equal(np.asarray(a), np.asarray(c)) for a, c in zip(dev, ref))
+        checks[name] = {"ok": bool(ok), "sha": _sha(*dev)}
+
+    # Opt-in fused dual-tone FSK kernel (not the production path; PERF.md).
+    try:
+        from audio_modem_radio_tpu.ops.fsk import (
+            _fsk_blocked_templates,
+            _fsk_geometry,
+            _samples_per_bit,
+        )
+        from audio_modem_radio_tpu.ops.pallas_kernels import fsk_project_bits_batch
+
+        fbatch = _capture_batch("FSK1200", 1200, seed=7)
+        spb = _samples_per_bit(sr, 1200)
+        spr, frow, _ov = _fsk_geometry(spb)
+        n_bits = fbatch.shape[1] // spb
+        r = max(256, -(-(-(-n_bits // spr)) // 256) * 256)
+        x3d = jnp.pad(
+            jnp.asarray(fbatch[:, : n_bits * spb]),
+            ((0, 0), (0, r * frow - n_bits * spb)),
+        ).reshape(fbatch.shape[0], r, frow)
+        Wf = jnp.asarray(_fsk_blocked_templates(spb, 1200.0, 2200.0, sr, 8))
+        bestf = jnp.zeros((fbatch.shape[0],), jnp.int32)
+        dev = fsk_project_bits_batch(x3d, Wf, bestf, rows_per_capture=r, spr=spr)
+        ref = fsk_project_bits_batch(
+            x3d, Wf, bestf, rows_per_capture=r, spr=spr, interpret=True
+        )
+        ok = np.array_equal(np.asarray(dev), np.asarray(ref))
+        checks["fsk_optin"] = {"ok": bool(ok), "sha": _sha(dev)}
+    except Exception as e:  # keep the artifact even if the opt-in path breaks
+        checks["fsk_optin"] = {"ok": False, "error": repr(e)[:200]}
+
+    out["checks"] = checks
+    out["ok"] = all(c.get("ok") for c in checks.values())
+    return out
+
+
+def main() -> int:
+    result = run_smoke()
+    print(json.dumps(result))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "KERNEL_SMOKE.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    return 0 if result.get("ok") or result.get("skipped") else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
