@@ -133,6 +133,37 @@ def ofdm_modulate(
     return (wave / peak * 0.9).astype(np.float32) if peak > 0 else wave.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _ofdm_blocked_dual(
+    S: int, carrier: float, n_sub: int, sample_rate: int, L: int
+) -> np.ndarray:
+    """(L*S, 2*L*K) block-diagonal offset-0 dual template, lanes-major.
+
+    Row-block l (samples ``[l*S, (l+1)*S)``) projects symbol l onto the K
+    subcarriers: column ``l*K + k`` holds the sin-coefficient dual of
+    subcarrier k, column ``L*K + l*K + k`` the cos-coefficient dual — so one
+    ``(r, L*S) @ (L*S, 2*L*K)`` matmul projects L symbols per row and the
+    output halves are contiguous [re lanes | im lanes], symbol-major /
+    subcarrier-minor (the round-robin wire order).
+    """
+    B = _ofdm_basis(S, carrier, n_sub, sample_rate).astype(np.float64)  # (2K, S)
+    G = B @ B.T + 1e-9 * np.eye(2 * n_sub)
+    D = np.linalg.solve(G, B)  # (2K, S)
+    K = n_sub
+    W = np.zeros((L * S, 2 * L * K), dtype=np.float32)
+    for l in range(L):
+        for k in range(K):
+            W[l * S : (l + 1) * S, l * K + k] = D[2 * k]
+            W[l * S : (l + 1) * S, L * K + l * K + k] = D[2 * k + 1]
+    return W
+
+
+def _ofdm_rows_per_block(S: int) -> int:
+    """Symbols per row-block: keep the matmul ~(1024, 256)-shaped (the
+    measured sweet spot of the PSK blocked path) for any symbol length."""
+    return max(1, 1024 // S)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("baud", "carrier", "n_sub", "sample_rate", "n_offsets", "n_pilot"),
@@ -152,6 +183,17 @@ def ofdm_demod_bits(
     multicarrier projection suffers inter-carrier interference at even
     fractional-symbol timing error, so unlike the PSK path a coarse offset
     grid is not enough.
+
+    TPU-first layout (round 3): pass 2 never materializes the old
+    ``(n_sym, S)`` / ``(n_sym, K, 2)`` tensors, whose minor dims pad to 128
+    lanes (PERF.md rule 1). Instead the flat sample stream is shifted by the
+    winning offset with one dynamic slice and projected by a single blocked
+    ``(r, L*S) @ (L*S, 2*L*K)`` matmul against the offset-0 dual template
+    (:func:`_ofdm_blocked_dual`) — valid because shifting the stream turns
+    the per-offset dual into a constant per-subcarrier rotation, which
+    cancels in the per-subcarrier differential. All downstream math
+    (differentials, equalization, Gray decisions) runs on flat lanes-major
+    streams with static K-lane shifts.
     """
     K = n_sub
     K2 = 2 * K
@@ -163,8 +205,7 @@ def ofdm_demod_bits(
     if n_sym < 3:
         raise ValueError("signal shorter than three OFDM symbols")
 
-    x = samples.astype(jnp.float32)[: n_sym * S].reshape(n_sym, S)
-    x_next = jnp.concatenate([x[1:], jnp.zeros((1, S), jnp.float32)])
+    xf = samples.astype(jnp.float32)[: n_sym * S]
     T = jnp.asarray(_ofdm_dual_templates(S, float(carrier), K, sample_rate, n_offsets))
 
     # --- pass 1: all-offset timing search on up to 3 SMALL symbol windows ---
@@ -174,12 +215,11 @@ def ofdm_demod_bits(
     # capture is then projected once at the winning offset (pass 2).
     wsyms = min(n_sym - 1, 256)
     starts = sorted({0, max(0, n_sym // 2 - wsyms // 2), max(0, n_sym - 1 - wsyms)})
-    xw = jnp.concatenate(
-        [jax.lax.dynamic_slice(x, (s, 0), (wsyms, S)) for s in starts], axis=0
-    )
-    xw_next = jnp.concatenate(
-        [jax.lax.dynamic_slice(x_next, (s, 0), (wsyms, S)) for s in starts], axis=0
-    )
+    wins = [
+        jax.lax.dynamic_slice(xf, (s * S,), ((wsyms + 1) * S,)) for s in starts
+    ]
+    xw = jnp.concatenate([w[: wsyms * S].reshape(wsyms, S) for w in wins], axis=0)
+    xw_next = jnp.concatenate([w[S:].reshape(wsyms, S) for w in wins], axis=0)
     projw = (xw @ T[:S] + xw_next @ T[S:]).reshape(-1, n_offsets, K, 2)
     rew, imw = projw[..., 0], projw[..., 1]  # (nw, n_off, K)
 
@@ -200,16 +240,32 @@ def ofdm_demod_bits(
     score = jnp.sum(((a - b) ** 2 - 4 * a * b) / (a + b + 1e-20), axis=(0, 2))
     best = jnp.argmax(score)
 
-    # --- pass 2: full-signal projection at the winning offset only ----------
-    T_best = jax.lax.dynamic_slice(T, (0, best * K2), (2 * S, K2))
-    proj = (x @ T_best[:S] + x_next @ T_best[S:]).reshape(n_sym, K, 2)
-    re, im = proj[..., 0], proj[..., 1]  # (n_sym, K)
-    gains = jnp.sqrt(jnp.mean(re**2 + im**2, axis=0)) + 1e-9
-    re = re / gains[None]
-    im = im / gains[None]
+    # --- pass 2: blocked projection of the offset-shifted flat stream -------
+    L = _ofdm_rows_per_block(S)
+    r = -(-n_sym // L)
+    xpad = jnp.concatenate([xf, jnp.zeros((r * L * S + S - n_sym * S,), jnp.float32)])
+    off = best * S // n_offsets  # offset index -> sample offset
+    y = jax.lax.dynamic_slice(xpad, (off,), (r * L * S,))
+    W = jnp.asarray(_ofdm_blocked_dual(S, float(carrier), K, sample_rate, L))
+    proj = y.reshape(r, L * S) @ W  # (r, 2*L*K): [re | im] lanes
+    re = proj[:, : L * K].reshape(-1)  # (r*L*K,) symbol-major, k-minor
+    im = proj[:, L * K :].reshape(-1)
 
-    dr = re[1:] * re[:-1] + im[1:] * im[:-1]  # (n_sym-1, K)
-    di = im[1:] * re[:-1] - re[1:] * im[:-1]
+    p2 = re * re + im * im
+    gains = jnp.sqrt(jnp.mean(p2.reshape(-1, K)[:n_sym], axis=0)) + 1e-9
+
+    # Per-subcarrier differentials: the next symbol's phasor for subcarrier
+    # k is K lanes ahead in the flat stream — a static shift, no transpose.
+    dr = re[K:] * re[:-K] + im[K:] * im[:-K]
+    di = im[K:] * re[:-K] - re[K:] * im[:-K]
+    n_d = (n_sym - 1) * K
+    dr, di = dr[:n_d], di[:n_d]
+    # Equalize the differentials (scales by 1/g_k^2 — sign-preserving, so
+    # decisions are unaffected; it weights the blind rotation estimate so a
+    # strong subcarrier can't dominate it).
+    inv2 = (1.0 / (gains * gains))[None, :]
+    dr = (dr.reshape(-1, K) * inv2).reshape(-1)
+    di = (di.reshape(-1, K) * inv2).reshape(-1)
 
     # CFO handling: a carrier offset advances EVERY subcarrier's symbol phase
     # by the same 2πδ·S/fs per symbol, i.e. a constant rotation of all
@@ -218,7 +274,7 @@ def ofdm_demod_bits(
     # caller's quarter-turn sync retry, exactly like the PSK path.
     from .psk import derotate, estimate_common_rotation
 
-    theta = estimate_common_rotation(dr.reshape(-1), di.reshape(-1))
+    theta = estimate_common_rotation(dr, di)
     dr, di = derotate(dr, di, theta)
 
     swap = jnp.abs(di) > jnp.abs(dr)
@@ -226,8 +282,8 @@ def ofdm_demod_bits(
     hi = neg.astype(jnp.uint8)
     lo = jnp.where(swap, ~neg, neg).astype(jnp.uint8)
     # Round-robin subcarrier order: symbol-major, subcarrier-minor, then
-    # (hi, lo) per dibit.
-    bits = jnp.stack([hi, lo], axis=2).reshape(-1)
+    # (hi, lo) per dibit — already the flat stream order.
+    bits = jnp.stack([hi, lo], axis=1).reshape(-1)
     return bits, score[best], gains
 
 
