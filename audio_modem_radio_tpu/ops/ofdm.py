@@ -164,20 +164,16 @@ def _ofdm_rows_per_block(S: int) -> int:
     return max(1, 1024 // S)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("baud", "carrier", "n_sub", "sample_rate", "n_offsets", "n_pilot"),
-)
-def ofdm_demod_bits(
+def _ofdm_decision_streams(
     samples: jnp.ndarray,
     baud: float,
     carrier: float,
     n_sub: int,
     sample_rate: int,
     n_offsets: int = 0,
-    n_pilot: int = 16,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Demodulate OFDM to (bits, best_score, subcarrier_gains).
+    cfo: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Demodulate OFDM to dual dibit streams (hi, lo, best_score, gains).
 
     ``n_offsets=0`` (default) searches every sample offset within a symbol:
     multicarrier projection suffers inter-carrier interference at even
@@ -193,7 +189,10 @@ def ofdm_demod_bits(
     the per-offset dual into a constant per-subcarrier rotation, which
     cancels in the per-subcarrier differential. All downstream math
     (differentials, equalization, Gray decisions) runs on flat lanes-major
-    streams with static K-lane shifts.
+    streams with static K-lane shifts, and the (hi, lo) decision bits stay
+    DUAL streams — interleaving them would materialize an ``(n, 2)`` layout
+    that 64x-pads on TPU (the batched sync tails consume dual streams
+    directly, like the PSK path).
     """
     K = n_sub
     K2 = 2 * K
@@ -228,7 +227,6 @@ def ofdm_demod_bits(
     # dominate offset scoring (the "per-subcarrier equalization"). Estimated
     # over the windows, not preamble slots: real captures can lead with
     # silence, which would zero a preamble-indexed pilot estimate.
-    del n_pilot
     gains_w = jnp.sqrt(jnp.mean(rew**2 + imw**2, axis=0)) + 1e-9
     rew = rew / gains_w[None]
     imw = imw / gains_w[None]
@@ -271,20 +269,75 @@ def ofdm_demod_bits(
     # by the same 2πδ·S/fs per symbol, i.e. a constant rotation of all
     # differential phasors — estimated blind (4th power, mod π/2) and
     # derotated here; the residual k·π/2 sector relabeling is resolved by the
-    # caller's quarter-turn sync retry, exactly like the PSK path.
-    from .psk import derotate, estimate_common_rotation
+    # caller's quarter-turn sync retry, exactly like the PSK path. ``cfo=False``
+    # (the carrier-exact knob) skips the blind estimate entirely.
+    if cfo:
+        from .psk import derotate, estimate_common_rotation
 
-    theta = estimate_common_rotation(dr, di)
-    dr, di = derotate(dr, di, theta)
+        theta = estimate_common_rotation(dr, di)
+        dr, di = derotate(dr, di, theta)
 
     swap = jnp.abs(di) > jnp.abs(dr)
     neg = jnp.where(swap, di < 0, dr < 0)
     hi = neg.astype(jnp.uint8)
     lo = jnp.where(swap, ~neg, neg).astype(jnp.uint8)
-    # Round-robin subcarrier order: symbol-major, subcarrier-minor, then
-    # (hi, lo) per dibit — already the flat stream order.
+    # Round-robin subcarrier order: symbol-major, subcarrier-minor — dibit i
+    # is (hi[i], lo[i]); already the flat wire order.
+    return hi, lo, score[best], gains
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "carrier", "n_sub", "sample_rate", "n_offsets", "n_pilot"),
+)
+def ofdm_demod_bits(
+    samples: jnp.ndarray,
+    baud: float,
+    carrier: float,
+    n_sub: int,
+    sample_rate: int,
+    n_offsets: int = 0,
+    n_pilot: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-capture API: interleaved (bits, best_score, subcarrier_gains).
+
+    Thin wrapper over :func:`_ofdm_decision_streams`; the interleave is fine
+    at single-capture scale (the batched path consumes the dual streams
+    directly via :func:`ofdm_decision_streams_batch`).
+    """
+    del n_pilot
+    hi, lo, best_score, gains = _ofdm_decision_streams(
+        samples, baud, carrier, n_sub, sample_rate, n_offsets
+    )
     bits = jnp.stack([hi, lo], axis=1).reshape(-1)
-    return bits, score[best], gains
+    return bits, best_score, gains
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "carrier", "n_sub", "sample_rate", "cfo"),
+)
+def ofdm_decision_streams_batch(
+    samples: jnp.ndarray,
+    baud: float,
+    carrier: float,
+    n_sub: int,
+    sample_rate: int,
+    cfo: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, N) captures -> dual (hi, lo) dibit streams, each (B, n_dibits).
+
+    The batched receive entry: vmapped core demod with NO bit interleave —
+    the dual streams feed the same rotation-sync/pack tails as the DQPSK
+    path (OFDM dibits are Gray pairs with the identical k*pi/2 relabeling
+    algebra), Pallas kernels included.
+    """
+    hi, lo, _score, _gains = jax.vmap(
+        lambda x: _ofdm_decision_streams(
+            x, baud, carrier, n_sub, sample_rate, cfo=cfo
+        )
+    )(samples)
+    return hi, lo
 
 
 def ofdm_demodulate(

@@ -38,7 +38,7 @@ from ..ops.common import (
     pack_bits_from,
 )
 from ..ops.fsk import fsk_demod_bits
-from ..ops.ofdm import ofdm_demod_bits
+from ..ops.ofdm import ofdm_decision_streams_batch
 from ..ops.psk import psk_decision_streams_batch
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
@@ -272,6 +272,41 @@ def demod_pack_batch(
 
         return jax.vmap(sync_pack_one)(hi)
 
+    if kind == "ofdm":
+        # OFDM dibits are Gray pairs with the same k*pi/2 relabeling algebra
+        # as DQPSK, so the dual (hi, lo) streams feed the IDENTICAL sync
+        # tails — Pallas matcher + fused relabel/pack on TPU (pad the dibit
+        # count up to the kernels' 128*256 row granularity; zero dibits past
+        # the capture decode to a garbage tail the frame parser's magic scan
+        # ignores), vmapped XLA rotation sync elsewhere. The old path
+        # interleaved the bits and re-sliced them apart, paying an (n, 2)
+        # relayout twice (~60% of the whole OFDM pipeline on v5e; PERF.md).
+        baud, carrier, n_sub = params
+        hi, lo = ofdm_decision_streams_batch(
+            samples, baud, carrier, int(n_sub), SAMPLE_RATE, cfo=cfo_retry
+        )
+        use_kernels = (
+            jax.default_backend() == "tpu"
+            and CONFIG.get("tpu.demod_backend", "auto") != "xla"
+        )
+        if use_kernels:
+            pad = (-hi.shape[1]) % (128 * 256)
+            if pad:
+                hi = jnp.pad(hi, ((0, 0), (0, pad)))
+                lo = jnp.pad(lo, ((0, 0), (0, pad)))
+            return psk4_kernel_sync_tail(hi, lo, cfo_retry)
+        if not cfo_retry:
+            return jax.vmap(
+                lambda h, l: dibit_sync_and_pack(
+                    h, l, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+                )
+            )(hi, lo)
+        return jax.vmap(
+            lambda h, l: dibit_sync_and_pack_rotations(
+                h, l, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+            )
+        )(hi, lo)
+
     # Batched FSK skips MLSE refinement by default (fsk_mlse=False): the
     # trellis scan costs ~3x pipeline throughput and the equalizer's ~1.5e-5
     # floor is already far below frame-loss relevance on production captures;
@@ -284,22 +319,10 @@ def demod_pack_batch(
     # GS/s, batch=64x2^23 on v5e — the (blk, spr=16) narrow-lane bit stores
     # appear to serialize; PERF.md). XLA keeps the job for now.
     def to_bits(x):
-        if kind == "ofdm":
-            baud, carrier, n_sub = params
-            return ofdm_demod_bits(x, baud, carrier, int(n_sub), SAMPLE_RATE)[0]
         baud, mark, space = params
         return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE, mlse=fsk_mlse)[0]
 
     bits = jax.vmap(to_bits)(samples)
-
-    if kind == "ofdm" and cfo_retry:
-        # OFDM dibits are Gray pairs too; resolve the k·π/2 residual of the
-        # blind CFO derotation inside ofdm_demod_bits via the rotation sync.
-        return jax.vmap(
-            lambda bb: dibit_sync_and_pack_rotations(
-                bb[0::2], bb[1::2], MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
-            )
-        )(bits)
 
     def sync_pack(bb):
         start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)

@@ -132,6 +132,40 @@ def test_production_kernel_sync_tail_wiring(mode, n_psk, cfo_retry, rng):
         assert frames and frames[0].data == payload
 
 
+@pytest.mark.parametrize("mode,n_sub", [("OFDM4", 4), ("OFDM8", 8)])
+def test_ofdm_kernel_sync_tail_wiring(mode, n_sub, rng):
+    """Round 3: OFDM dual dibit streams through the SAME Pallas sync tail as
+    DQPSK (matcher + fused relabel/pack), interpret mode — including the
+    zero-pad up to the kernels' 128*256 dibit granularity that the production
+    branch applies."""
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+    from audio_modem_radio_tpu.modem import modulate
+    from audio_modem_radio_tpu.ops.ofdm import ofdm_decision_streams_batch
+    from audio_modem_radio_tpu.parallel.batch import psk4_kernel_sync_tail
+
+    rng = np.random.default_rng(23)
+    payload = rng.integers(0, 256, 1200, dtype=np.uint8).tobytes()
+    framed = pack_frame("o.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate(mode, framed, 9600), np.float32)
+    n = 1 << int(np.ceil(np.log2(len(wave))))
+    batch = np.zeros((2, n), np.float32)
+    batch[:, : len(wave)] = wave
+
+    hi, lo = ofdm_decision_streams_batch(
+        jnp.asarray(batch), 9600.0, 12000.0, n_sub, 96000
+    )
+    pad = (-hi.shape[1]) % (128 * 256)
+    if pad:
+        hi = jnp.pad(hi, ((0, 0), (0, pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, pad)))
+    packed, n_valid, found = psk4_kernel_sync_tail(hi, lo, True, interpret=True)
+    assert bool(np.asarray(found).all())
+    for i in range(2):
+        raw = np.asarray(packed[i])[: int(n_valid[i])].tobytes()
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == payload
+
+
 def test_fsk_batch_matches_vmap(rng):
     """fsk_demod_bits_batch (XLA fallback) == vmapped single-capture bits,
     and the Pallas kernel (interpret) == the XLA pass-2."""
