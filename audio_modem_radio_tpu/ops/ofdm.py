@@ -28,7 +28,7 @@ on receive is the same magic-pattern search used everywhere else.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,6 +164,37 @@ def _ofdm_rows_per_block(S: int) -> int:
     return max(1, 1024 // S)
 
 
+def _ofdm_shift_tables(
+    S: int, carrier: float, n_sub: int, sample_rate: int, L: int, guard: jnp.ndarray
+) -> jnp.ndarray:
+    """(S, L*S+S, 2*L*K) row-shifted blocked duals, one per timing offset.
+
+    Row i of the off-shifted stream lives in the OVERLAPPED row
+    ``flat[i*L*S : (i+1)*L*S + S]``, so its projection is one matmul
+    ``rows_ov @ T[off]`` where ``T[o][j] = W[j-o]`` for ``o <= j < o+L*S``
+    and zero elsewhere. Selecting ``T[off]`` by a traced offset is ONE
+    aligned leading-dim index — replacing a traced ``dynamic_slice`` of the
+    16 MB sample stream per capture, which TPU lowers to a full lane
+    rotation through the vector units (measured 23 ms/batch on its own —
+    slower than the rest of the OFDM pipeline combined; a two-matmul
+    wrap-row formulation was also measured 40% slower than this).
+
+    Built IN-GRAPH from the 1 MB blocked dual so the ~33 MB table is
+    materialized on device per dispatch (cheap HBM writes) instead of being
+    constant-folded into the executable — a folded table would ship over the
+    ~4 MB/s tunnel with every compile. ``guard`` must be a traced scalar
+    equal to 1 (e.g. ``1 + 0*samples[0]``) to force runtime dependence; pass
+    it from OUTSIDE any vmap or the table batches per capture."""
+    W = jnp.asarray(_ofdm_blocked_dual(S, carrier, n_sub, sample_rate, L))
+    LS, C = W.shape
+    z = jnp.concatenate(
+        [jnp.zeros((S, C), jnp.float32), W * guard, jnp.zeros((S, C), jnp.float32)]
+    )
+    return jnp.stack(
+        [jax.lax.slice(z, (S - o, 0), (S - o + LS + S, C)) for o in range(S)]
+    )
+
+
 def _ofdm_decision_streams(
     samples: jnp.ndarray,
     baud: float,
@@ -172,8 +203,13 @@ def _ofdm_decision_streams(
     sample_rate: int,
     n_offsets: int = 0,
     cfo: bool = True,
+    tables: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Demodulate OFDM to dual dibit streams (hi, lo, best_score, gains).
+
+    ``tables`` (optional) is the prebuilt :func:`_ofdm_shift_tables` array;
+    batch callers MUST build it once outside their vmap — a vmapped build
+    would batch the ~33 MB table per capture.
 
     ``n_offsets=0`` (default) searches every sample offset within a symbol:
     multicarrier projection suffers inter-carrier interference at even
@@ -238,32 +274,53 @@ def _ofdm_decision_streams(
     score = jnp.sum(((a - b) ** 2 - 4 * a * b) / (a + b + 1e-20), axis=(0, 2))
     best = jnp.argmax(score)
 
-    # --- pass 2: blocked projection of the offset-shifted flat stream -------
+    # --- pass 2: one overlapped matmul via row-shifted weight tables --------
+    # The off-shifted stream never materializes: row i of it lives in the
+    # S-overlapped row ``flat[i*L*S : (i+1)*L*S + S]``, projected in ONE
+    # matmul against the offset-selected table (_ofdm_shift_tables). The
+    # old traced ``dynamic_slice`` of the stream cost 23 ms/batch on v5e —
+    # TPU lowers a misaligned flat shift to a full lane rotation.
     L = _ofdm_rows_per_block(S)
     r = -(-n_sym // L)
-    xpad = jnp.concatenate([xf, jnp.zeros((r * L * S + S - n_sym * S,), jnp.float32)])
-    off = best * S // n_offsets  # offset index -> sample offset
-    y = jax.lax.dynamic_slice(xpad, (off,), (r * L * S,))
-    W = jnp.asarray(_ofdm_blocked_dual(S, float(carrier), K, sample_rate, L))
-    proj = y.reshape(r, L * S) @ W  # (r, 2*L*K): [re | im] lanes
-    re = proj[:, : L * K].reshape(-1)  # (r*L*K,) symbol-major, k-minor
-    im = proj[:, L * K :].reshape(-1)
+    LS, LK = L * S, L * K
+    if tables is None:
+        tables = _ofdm_shift_tables(
+            S, float(carrier), K, sample_rate, L, 1.0 + 0.0 * xf[0]
+        )
+    off = best * S // n_offsets  # offset index -> sample offset (< S)
+    xpad = jnp.concatenate([xf, jnp.zeros(((r + 1) * LS - n_sym * S,), jnp.float32)])
+    main = xpad[: r * LS].reshape(r, LS)
+    nxt = xpad[LS:].reshape(r, LS)[:, :S]  # first S samples of each next row
+    rows_ov = jnp.concatenate([main, nxt], axis=1)  # (r, LS+S)
+    proj = rows_ov @ tables[off]  # (r, 2*L*K): [re | im] lanes
+    re = proj[:, :LK].reshape(-1)  # (r*L*K,) symbol-major, k-minor
+    im = proj[:, LK:].reshape(-1)
 
-    p2 = re * re + im * im
-    gains = jnp.sqrt(jnp.mean(p2.reshape(-1, K)[:n_sym], axis=0)) + 1e-9
+    # Lanes-major gains: (r, L*K) tile column-sums folded to (K,) — never an
+    # (n, K) minor-dim layout (PERF.md rule 1: the old ``reshape(-1, K)``
+    # equalization cost ~6 ms/batch on v5e). Padded tail symbols are zero
+    # rows, so they add nothing to the sums.
+    p2 = (re * re + im * im).reshape(r, LK)
+    gains = jnp.sqrt(jnp.sum(p2, axis=0).reshape(L, K).sum(0) / n_sym) + 1e-9
 
     # Per-subcarrier differentials: the next symbol's phasor for subcarrier
     # k is K lanes ahead in the flat stream — a static shift, no transpose.
-    dr = re[K:] * re[:-K] + im[K:] * im[:-K]
-    di = im[K:] * re[:-K] - re[K:] * im[:-K]
-    n_d = (n_sym - 1) * K
-    dr, di = dr[:n_d], di[:n_d]
+    # Computed full-length (zero tail) so the equalization weight applies as
+    # a 128-lane broadcast pattern instead of an (n, K) reshape.
+    re_n = jnp.concatenate([re[K:], jnp.zeros((K,), jnp.float32)])
+    im_n = jnp.concatenate([im[K:], jnp.zeros((K,), jnp.float32)])
+    dr = re_n * re + im_n * im
+    di = im_n * re - re_n * im
     # Equalize the differentials (scales by 1/g_k^2 — sign-preserving, so
     # decisions are unaffected; it weights the blind rotation estimate so a
-    # strong subcarrier can't dominate it).
-    inv2 = (1.0 / (gains * gains))[None, :]
-    dr = (dr.reshape(-1, K) * inv2).reshape(-1)
-    di = (di.reshape(-1, K) * inv2).reshape(-1)
+    # strong subcarrier can't dominate it). Lane j of an LK-wide row is
+    # subcarrier j % K, so the weight is a tiled (LK,) pattern.
+    inv2 = 1.0 / (gains * gains)
+    pattern = jnp.tile(inv2, L)[None, :]
+    dr = (dr.reshape(r, LK) * pattern).reshape(-1)
+    di = (di.reshape(r, LK) * pattern).reshape(-1)
+    n_d = (n_sym - 1) * K
+    dr, di = dr[:n_d], di[:n_d]
 
     # CFO handling: a carrier offset advances EVERY subcarrier's symbol phase
     # by the same 2πδ·S/fs per symbol, i.e. a constant rotation of all
@@ -332,9 +389,14 @@ def ofdm_decision_streams_batch(
     path (OFDM dibits are Gray pairs with the identical k*pi/2 relabeling
     algebra), Pallas kernels included.
     """
+    S = _symbol_samples(sample_rate, int(baud), n_sub)
+    L = _ofdm_rows_per_block(S)
+    tables = _ofdm_shift_tables(
+        S, float(carrier), n_sub, sample_rate, L, 1.0 + 0.0 * samples[0, 0]
+    )
     hi, lo, _score, _gains = jax.vmap(
         lambda x: _ofdm_decision_streams(
-            x, baud, carrier, n_sub, sample_rate, cfo=cfo
+            x, baud, carrier, n_sub, sample_rate, cfo=cfo, tables=tables
         )
     )(samples)
     return hi, lo

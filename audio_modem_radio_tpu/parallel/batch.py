@@ -341,18 +341,14 @@ def _bucket_length(lengths: Sequence[int]) -> int:
     return len(pad_to_bucket(probe))
 
 
-def decode_sample_batch(
-    batch: np.ndarray,
-    mode: str,
-    symbol_rate: int,
-    mesh=None,
-) -> List[bytes]:
-    """Demodulate a (B, N) batch to per-capture raw byte streams.
+def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarray:
+    """Pre-shape (B, N) captures into the layout ``demod_pack_batch`` wants.
 
-    When a mesh (or more than one device) is available the batch axis is
-    sharded across it. PSK-family captures are pre-shaped into blocked rows
-    on the host (cheap numpy) so the device never pays the pad+reshape
-    relayout.
+    PSK-family captures become blocked (B, r, 128*spsym) rows and dual-tone
+    FSK captures become pre-overlapped (B, r, row+ov) rows — both with cheap
+    numpy views, so the device never pays the pad+reshape tiled-layout
+    shuffle (~half the pipeline when measured on v5e; PERF.md). Other mode
+    families pass through unchanged.
     """
     batch = np.asarray(batch, dtype=np.float32)
     b = batch.shape[0]
@@ -385,6 +381,24 @@ def decode_sample_batch(
             shaped[:, :, :row] = flat[:, : r * row].reshape(b, r, row)
             shaped[:, :, row:] = flat[:, row : (r + 1) * row].reshape(b, r, row)[:, :, :ov]
             batch = shaped
+    return batch
+
+
+def decode_sample_batch(
+    batch: np.ndarray,
+    mode: str,
+    symbol_rate: int,
+    mesh=None,
+) -> List[bytes]:
+    """Demodulate a (B, N) batch to per-capture raw byte streams.
+
+    When a mesh (or more than one device) is available the batch axis is
+    sharded across it. PSK-family captures are pre-shaped into blocked rows
+    on the host (cheap numpy) so the device never pays the pad+reshape
+    relayout.
+    """
+    batch = host_shape_batch(batch, mode, symbol_rate)
+    b = batch.shape[0]
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = get_mesh()

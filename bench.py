@@ -57,20 +57,28 @@ def _bench_tpu(batch: int, n_samples: int, baud: int, reps: int = 8, cfo_retry: 
     x = jax.block_until_ready(x + 0)  # materialize the tiled batch
 
     out = demod_pack_batch(x, "QPSK", baud, cfo_retry=cfo_retry)  # compile + warm
-    jax.block_until_ready(out)
+    _ = np.asarray(out[1][:2])  # value fetch = true sync (see below)
 
     # Pipelined (sustained) throughput: keep dispatches in flight and drain
     # at the end — JAX's async dispatch overlaps the ~30 ms tunnel round trip
     # with device execution, exactly as the production batch driver does.
+    # SYNC DISCIPLINE: jax.block_until_ready does NOT wait for execution on
+    # the axon tunnel (measured round 3: an 8-rep matmul loop "finished" at
+    # 5,559 TFLOP/s on a ~200 TFLOP/s chip). A host fetch of any output value
+    # IS a true sync, and programs execute in dispatch order, so fetching a
+    # tiny slice of the LAST output syncs every rep. Validated against a
+    # forced serial data-dependent chain: 36.0 (chained) vs 35.3 ms/rep
+    # (pipelined+fetch) at this config — benchmarks/honest.py.
     # Best of 2 rounds: transient host/tunnel contention only ever SLOWS a
     # round (one contended run read 25% low), so the max is the honest
     # sustained-throughput estimate.
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        outs = [demod_pack_batch(x, "QPSK", baud, cfo_retry=cfo_retry) for _ in range(reps)]
-        for o in outs:
-            jax.block_until_ready(o)
+        out = None
+        for _i in range(reps):
+            out = demod_pack_batch(x, "QPSK", baud, cfo_retry=cfo_retry)
+        _ = np.asarray(out[1][:2])
         dt = (time.perf_counter() - t0) / reps
         best = max(best, batch * n_samples / dt / 1e6)
     return best

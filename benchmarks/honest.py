@@ -1,0 +1,154 @@
+"""Honest mode-generic device-throughput harness (value-fetch synced).
+
+Sync discipline — measured on the axon tunnel this round:
+
+- ``jax.block_until_ready`` does NOT wait for device execution here: an
+  8-rep loop over a matmul whose true chained cost is ~6 ms/rep "completed"
+  in 0.025 ms/rep (5,559 TFLOP/s on a ~200 TFLOP/s chip). Any wall-clock
+  number closed with block_until_ready alone is untrustworthy.
+- A host fetch of ANY output value is a true sync, and device programs
+  execute in dispatch order, so fetching a tiny slice of the LAST dispatched
+  output transitively syncs every rep. Validated against a forced serial
+  chain (each rep's input data-depends on the previous rep's output):
+  chained 36.0 ms/rep vs pipelined+fetch 35.3 ms/rep at the headline QPSK
+  config — the two agree, so pipelined dispatch + last-output fetch is both
+  honest and overlap-free of tunnel RTT.
+
+Reported per config:
+
+- ``ms_slope``: incremental per-rep time between reps=2 and reps=8 —
+  cancels the fixed fetch RTT (~30 ms) and any warmup residue. This is the
+  sustained per-dispatch device cost.
+- ``gsps``: batch * n_samples / ms_slope — sustained GSamples/s/chip.
+- ``gsps_avg8``: the reps=8 average including fixed overhead (what a
+  production driver that drains after 8 dispatches would see).
+
+Signals are real modulated transmissions (framed random payload, tiled),
+cached under ``cache/`` next to the repo so repeat runs skip the expensive
+tunnel-compiled modulate.
+
+Usage: python benchmarks/honest.py [--modes QPSK,FSK9600,...] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cache")
+
+# Operating points: PERF.md's measured rows, so numbers stay comparable
+# across rounds. (mode, symbol_rate, batch, log2(n_samples), kwargs)
+CONFIGS = {
+    "QPSK": (9600, 64, 24, {"cfo_retry": True}),
+    "QPSK-nocfo": (9600, 64, 24, {"cfo_retry": False}),
+    "BPSK": (9600, 64, 24, {"cfo_retry": True}),
+    "FSK1200": (9600, 64, 23, {}),
+    "FSK9600": (9600, 64, 23, {}),
+    "FSK19200": (9600, 16, 23, {}),
+    "OFDM4": (9600, 32, 22, {}),
+    "OFDM8": (9600, 32, 22, {}),
+    "NEURAL": (9600, 16, 22, {}),
+    "HELLSCHREIBER": (9600, 32, 22, {}),
+}
+
+
+def _signal(mode: str, symbol_rate: int, n_samples: int) -> np.ndarray:
+    """One real modulated capture for ``mode``, tiled to n_samples (cached)."""
+    base = mode.split("-")[0]
+    path = os.path.join(CACHE_DIR, f"honest_sig_{base}_{symbol_rate}.npy")
+    if os.path.exists(path):
+        wave = np.load(path)
+    else:
+        from audio_modem_radio_tpu.framing import crc32, pack_frame
+        from audio_modem_radio_tpu.modem import modulate
+
+        rng = np.random.default_rng(0)
+        if base in ("HELLSCHREIBER", "FELD_HELL", "SLOW_HELL"):
+            text = "".join(chr(c) for c in rng.integers(33, 127, 512))
+            wave = np.asarray(modulate(base, text.encode(), symbol_rate), np.float32)
+        else:
+            payload = rng.integers(0, 256, 16384, dtype=np.uint8).tobytes()
+            framed = pack_frame("bench.bin", payload, 0, 1, len(payload), crc32(payload))
+            wave = np.asarray(modulate(base, framed, symbol_rate), np.float32)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        np.save(path, wave)
+    reps = int(np.ceil(n_samples / len(wave)))
+    return np.tile(wave, reps)[:n_samples]
+
+
+def measure(mode: str, symbol_rate: int, batch: int, n_samples: int, **kwargs) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.parallel.batch import demod_pack_batch, host_shape_batch
+
+    base = mode.split("-")[0]
+    sig = _signal(base, symbol_rate, n_samples)
+    one = host_shape_batch(sig[None], base, symbol_rate)[0]
+    # Stage ON device: ship one capture over the ~4 MB/s tunnel, tile on-chip.
+    xd = jnp.asarray(one)
+    x = jnp.broadcast_to(xd, (batch,) + xd.shape) + 0
+    idx = (0,) * (x.ndim - 1)
+    _ = np.asarray(x[idx + (slice(0, 4),)])  # true materialize sync
+
+    def dispatch():
+        return demod_pack_batch(x, base, symbol_rate, **kwargs)
+
+    out = dispatch()
+    _ = np.asarray(out[1][:2])  # compile + true sync
+
+    def timed(reps: int) -> float:
+        t0 = time.perf_counter()
+        o = None
+        for _i in range(reps):
+            o = dispatch()
+        _ = np.asarray(o[1][:2])  # ordered execution -> syncs all reps
+        return time.perf_counter() - t0
+
+    t2 = min(timed(2) for _ in range(2))
+    t8 = min(timed(8) for _ in range(2))
+    slope = (t8 - t2) / 6
+    return {
+        "mode": mode,
+        "batch": batch,
+        "n_samples": n_samples,
+        "kwargs": kwargs,
+        "ms_slope": round(slope * 1e3, 2),
+        "gsps": round(batch * n_samples / slope / 1e9, 2),
+        "gsps_avg8": round(batch * n_samples / (t8 / 8) / 1e9, 2),
+        "found_all": bool(np.asarray(out[2]).all()) if base != "NEURAL" else True,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default=",".join(CONFIGS))
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "honest_results.json"))
+    args = ap.parse_args()
+
+    results = []
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        srate, b, p, kw = CONFIGS[mode]
+        try:
+            r = measure(mode, srate, b, 1 << p, **kw)
+        except Exception as e:  # record, keep sweeping
+            r = {"mode": mode, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"results": results, "methodology": "pipelined dispatch + last-output value fetch; slope reps 2->8"}, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -79,18 +79,15 @@ def bench_mode(mode: str, batch: int, n_samples: int, reps: int, inflight: int) 
     x = jax.block_until_ready(x + 0)  # materialize on device
 
     out = demod_pack_batch(x, mode, rate)  # compile + warm
-    jax.block_until_ready(out)
+    _ = np.asarray(out[1][:2])  # value fetch = true sync (benchmarks/_timing.py)
 
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        outs = []
+        o = None
         for _ in range(reps):
-            outs.append(demod_pack_batch(x, mode, rate))
-            if len(outs) > inflight:
-                jax.block_until_ready(outs.pop(0))
-        for o in outs:
-            jax.block_until_ready(o)
+            o = demod_pack_batch(x, mode, rate)
+        _ = np.asarray(o[1][:2])  # ordered execution -> syncs all reps
         dt = (time.perf_counter() - t0) / reps
         best = max(best, batch * n_samples / dt / 1e9)
     return {

@@ -69,18 +69,20 @@ def main() -> int:
     x = jax.block_until_ready(x)
 
     out = demod_pack_batch(x, "QPSK", baud)  # compile + warm
-    jax.block_until_ready(out)
+    _ = np.asarray(out[1][:2])  # value fetch = true sync
 
     rounds = -(-args.captures // b)
     print(f"decoding {rounds * b} captures in {rounds} pipelined rounds of {b}...", flush=True)
+    # Sync discipline: block_until_ready does NOT wait for execution over
+    # the axon tunnel; a host value fetch of the LAST round's output does
+    # (programs run in dispatch order) — see benchmarks/_timing.py.
     t0 = time.perf_counter()
     results = []
     for _ in range(rounds):
         results.append(demod_pack_batch(x, "QPSK", baud))
-        if len(results) > 2:  # keep 2 dispatches in flight, drain the rest
-            jax.block_until_ready(results.pop(0))
-    for outp in results:
-        jax.block_until_ready(outp)
+        if len(results) > 2:  # keep 2 dispatches in flight, drop refs early
+            results.pop(0)
+    _ = np.asarray(results[-1][1][:2])  # true sync of every round
     wall = time.perf_counter() - t0
 
     # Verify the final round's decodes.

@@ -21,23 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, *args, reps=6, inflight=2):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        outs = []
-        for _ in range(reps):
-            outs.append(fn(*args))
-            if len(outs) > inflight:
-                jax.block_until_ready(outs.pop(0))
-        for o in outs:
-            jax.block_until_ready(o)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+from _timing import timed  # noqa: E402  (honest value-fetch slope timing)
 
 
 def main() -> int:
