@@ -197,6 +197,164 @@ def _demod(
     return jnp.argmax(scores, axis=-1).astype(jnp.uint8), k0
 
 
+@functools.lru_cache(maxsize=8)
+def _corr_table(chip_len: int) -> np.ndarray:
+    """(128+P, 256) time-domain correlation weights, P = preamble samples.
+
+    Column l < 128 holds the preamble REAL part at lag l, column 128+l the
+    IMAG part: one ``(rows, 128+P) @ (128+P, 256)`` matmul yields 128
+    correlation lags per row for both components. Replaces the four
+    full-capture rfft/irfft passes of the FFT matched filter, which
+    measured ~250 ms/batch on v5e (90% of the whole NEURAL pipeline) —
+    cross-correlation with a 512-tap template is MXU work, not FFT work.
+    """
+    pre = _preamble_baseband(chip_len)
+    P = len(pre)
+    T = np.zeros((128 + P, 256), np.float32)
+    for l in range(128):
+        T[l : l + P, l] = pre.real
+        T[l : l + P, 128 + l] = pre.imag
+    return T
+
+
+@functools.lru_cache(maxsize=8)
+def _codebook_blocked(chip_len: int) -> np.ndarray:
+    """(256//chip_len, (16//chip_len)*256) block-diagonal codebook scorer.
+
+    A chip row is [re chips | im chips] for 128 samples (128//chip_len
+    chips each, (16//chip_len) symbols). Lane ``m*256 + w`` of the output
+    scores symbol slot m against codeword w — ML detection for a whole row
+    of symbols in one aligned matmul, instead of an (n_sym, 16) minor-dim
+    layout that pads 8x on TPU.
+    """
+    cb = _codebook()  # (256, 16)
+    cpr = 128 // chip_len  # chips per row per component
+    spr = cpr // CHIPS_PER_SYMBOL  # symbols per row
+    W = np.zeros((2 * cpr, spr * 256), np.float32)
+    for m in range(spr):
+        for c in range(CHIPS_PER_SYMBOL):
+            W[m * CHIPS_PER_SYMBOL + c, m * 256 : (m + 1) * 256] = cb[:, c]
+            W[cpr + m * CHIPS_PER_SYMBOL + c, m * 256 : (m + 1) * 256] = cb[:, CHIPS_PER_SYMBOL + c]
+    return W
+
+
+def _chip_shift_table(chip_len: int, guard: jnp.ndarray) -> jnp.ndarray:
+    """(128, 512, 256//chip_len) per-offset chip-averaging projections.
+
+    Entry s maps a 256-sample overlapped row pair [zr | zi] (512 lanes) to
+    [re chips | im chips] at sample offset s: the box average of chip c is
+    lanes ``[s + c*chip_len, s + (c+1)*chip_len)``. Selecting by the traced
+    ``k0 % 128`` is an aligned leading-dim index — with the aligned
+    ``k0 // 128`` tile slice it replaces the misaligned full-stream
+    dynamic-slice rotation (the OFDM lesson: TPU lowers that to a lane
+    rotation through the vector units). Built in-graph from iota behind a
+    traced ``guard`` (== 1) so XLA cannot constant-fold the ~8-32 MB table
+    into the executable; build OUTSIDE any vmap.
+    """
+    cpr = 128 // chip_len
+    s = jax.lax.broadcasted_iota(jnp.int32, (128, 256, cpr), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 256, cpr), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, 256, cpr), 2)
+    hit = ((j >= s + c * chip_len) & (j < s + (c + 1) * chip_len)).astype(jnp.float32)
+    T = hit * (guard / chip_len)  # (128, 256, cpr)
+    z = jnp.zeros_like(T)
+    # block-diagonal over the [zr | zi] row pair -> [re chips | im chips]
+    return jnp.concatenate(
+        [jnp.concatenate([T, z], axis=1), jnp.concatenate([z, T], axis=1)], axis=2
+    )
+
+
+def _td_supported(chip_len: int) -> bool:
+    """Gate for the time-domain fast path (table sizes stay sane)."""
+    return 128 % (CHIPS_PER_SYMBOL * chip_len) == 0 and chip_len <= 4
+
+
+def _demod_td(
+    x: jnp.ndarray,
+    codebook_blocked: jnp.ndarray,
+    corr_table: jnp.ndarray,
+    chip_table: jnp.ndarray,
+    chip_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-matmul NEURAL demod: (padded samples) -> (symbols, k0).
+
+    Same math as :func:`_demod` (the FFT formulation, kept as the fallback
+    for chip lengths the tables don't cover) restructured for the MXU:
+
+    1. fs/4 downconversion by sign masks (no trig, all-real).
+    2. Preamble matched filter as a blocked cross-correlation matmul
+       (``_corr_table``); argmax lag = k0, peak phasor = channel phase.
+    3. Chip extraction at k0 via aligned tile slice + per-offset projection
+       table (``_chip_shift_table``); the capture is tile-doubled first so
+       the wrap semantics match the FFT path's circular roll.
+    4. Channel-phase unrotation on the (rows, chips) tiles (commutes with
+       the box average), then one block-diagonal codebook matmul + argmax
+       per 256-lane group (``_codebook_blocked``).
+
+    Tables are built/selected OUTSIDE any vmap. Arbitrary input lengths are
+    zero-padded up to the 128-lane tile (extra tail symbols decode to
+    garbage the frame parser ignores, exactly like the bucket padding).
+    """
+    pad = (-x.shape[0]) % 128
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
+    n = x.shape[0]
+    r3 = n // 128
+    P = corr_table.shape[0] - 128
+    nb = P // 128
+    osc = jnp.tile(jnp.asarray([1.0, 0.0, -1.0, 0.0], jnp.float32), -(-n // 4))[:n]
+    zr = x * osc
+    zi = x * jnp.tile(jnp.asarray([0.0, -1.0, 0.0, 1.0], jnp.float32), -(-n // 4))[:n]
+
+    # --- sync: blocked cross-correlation over every lag in [0, n) ---------
+    def corr_rows(z):
+        zp = jnp.concatenate([z, jnp.zeros(((nb + 1) * 128,), jnp.float32)])
+        z2 = zp.reshape(r3 + nb + 1, 128)
+        return jnp.concatenate([z2[t : r3 + t] for t in range(nb + 1)], axis=1)
+
+    rr = jnp.concatenate([corr_rows(zr), corr_rows(zi)], axis=0)  # (2r3, 128+P)
+    UV = rr @ corr_table  # (2r3, 256)
+    U, V = UV[:r3], UV[r3:]
+    corr_re = (U[:, :128] + V[:, 128:]).reshape(-1)
+    corr_im = (V[:, :128] - U[:, 128:]).reshape(-1)
+    mag2 = corr_re * corr_re + corr_im * corr_im
+    k0 = jnp.argmax(mag2)
+    norm = jnp.sqrt(mag2[k0]) + 1e-12
+    ph_re, ph_im = corr_re[k0] / norm, corr_im[k0] / norm
+
+    # --- chips at k0: aligned tile slice + offset-table projection --------
+    q, s = k0 // 128, k0 % 128
+    tiles = jnp.concatenate([zr.reshape(r3, 128), zi.reshape(r3, 128)], axis=1)
+    tiles2 = jnp.concatenate([tiles, tiles], axis=0)  # circular, like _rot
+    t = jax.lax.dynamic_slice(tiles2, (q, 0), (r3 + 1, 256))
+    rows = jnp.concatenate(  # (r3, 512): two-tile window per component
+        [t[:-1, :128], t[1:, :128], t[:-1, 128:], t[1:, 128:]], axis=1
+    )
+    # reorder to [zr tile pair | zi tile pair] = (r3, 512) @ (512, 2*cpr)
+    chips = rows @ chip_table[s]  # (r3, 2*cpr): [re chips | im chips]
+    cpr = chips.shape[1] // 2
+    cr, ci = chips[:, :cpr], chips[:, cpr:]
+    # z * conj(phase), applied on chip tiles (commutes with the box mean).
+    cr, ci = cr * ph_re + ci * ph_im, ci * ph_re - cr * ph_im
+    scores = jnp.concatenate([cr, ci], axis=1) @ codebook_blocked
+    spr = scores.shape[1] // 256
+    sym = jnp.argmax(scores.reshape(r3 * spr, 256), axis=-1).astype(jnp.uint8)
+    return sym, k0
+
+
+@functools.partial(jax.jit, static_argnames=("chip_len",))
+def _demod_td_jit(x: jnp.ndarray, chip_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-capture entry for :func:`_demod_td` (tables built in-trace)."""
+    tab = _chip_shift_table(chip_len, 1.0 + 0.0 * x[0])
+    return _demod_td(
+        x,
+        jnp.asarray(_codebook_blocked(chip_len)),
+        jnp.asarray(_corr_table(chip_len)),
+        tab,
+        chip_len,
+    )
+
+
 def _demod_np(
     x: np.ndarray, codebook: np.ndarray, pre_bb: np.ndarray, chip_len: int, n_fft: int
 ) -> np.ndarray:
@@ -232,6 +390,9 @@ def neural_mode_demodulate(
         return b""
     n_pad = _bucket(len(x))
     x = np.pad(x, (0, n_pad - len(x)))
+    if _td_supported(chip_len):
+        symbols, _k0 = _demod_td_jit(jnp.asarray(x), chip_len)
+        return bytes(np.asarray(symbols)[PREAMBLE_LEN:])
     n_fft = 1 << int(np.ceil(np.log2(n_pad + PREAMBLE_LEN * spsym)))
     pre_fr, pre_fi = _preamble_spectra(chip_len, n_fft)
     symbols, _k0 = _demod(

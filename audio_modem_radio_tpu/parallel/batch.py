@@ -186,12 +186,33 @@ def demod_pack_batch(
             CHIPS_PER_SYMBOL,
             PREAMBLE_LEN,
             _chip_len,
+            _chip_shift_table,
             _codebook,
+            _codebook_blocked,
+            _corr_table,
             _demod,
+            _demod_td,
             _preamble_spectra,
+            _td_supported,
         )
 
         chip_len = _chip_len(int(params[0]))
+        if _td_supported(chip_len):
+            # All-matmul time-domain path (round 3): blocked correlation
+            # sync + aligned chip-table extraction — the FFT matched filter
+            # alone cost ~250 ms/batch on v5e. Tables built ONCE outside
+            # the vmap (a vmapped build would batch ~8-32 MB per capture).
+            chip_tab = _chip_shift_table(chip_len, 1.0 + 0.0 * samples[0, 0])
+            cb_b = jnp.asarray(_codebook_blocked(chip_len))
+            corr_t = jnp.asarray(_corr_table(chip_len))
+
+            def neural_td_one(x):
+                syms, _k0 = _demod_td(x, cb_b, corr_t, chip_tab, chip_len)
+                payload = syms[PREAMBLE_LEN:]
+                return payload, jnp.asarray(payload.shape[0]), jnp.asarray(True)
+
+            return jax.vmap(neural_td_one)(samples)
+
         n_fft = 1 << int(
             np.ceil(np.log2(samples.shape[-1] + PREAMBLE_LEN * CHIPS_PER_SYMBOL * chip_len))
         )
