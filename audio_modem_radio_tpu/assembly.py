@@ -13,12 +13,15 @@ registry consumes them directly, so reassembly actually works.
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
 from typing import Dict, List, Optional
 
 from .framing import Frame, crc32
+
+logger = logging.getLogger("audio_modem_radio_tpu")
 
 
 class FileAssembly:
@@ -274,6 +277,17 @@ class AssemblyRegistry:
 
     def offer(self, frame: Frame) -> Optional[bytes]:
         """Feed one parsed frame; returns the whole file when it completes."""
+        from .framing import MAX_PARTS
+
+        if not (0 < frame.total_parts <= MAX_PARTS):
+            # Defense in depth behind the parser's sanity bound: a corrupt
+            # ``total`` field must never size an assembly slot list (a single
+            # flipped high bit once drove a ~8 GB [None]*total allocation).
+            logger.warning(
+                "rejecting frame %s with absurd total_parts=%d",
+                frame.name, frame.total_parts,
+            )
+            return None
         with self._lock:
             if self.journal_dir and not self._journal_loaded and frame.is_multipart:
                 self._load_journal_locked()

@@ -374,6 +374,135 @@ def save_decoded_files(
     return saved
 
 
+def recover_payload_fec_soft(
+    raw: bytes,
+    samples: np.ndarray,
+    mode: str,
+    symbol_rate: int,
+    damaged: List[Frame],
+    stats: Optional[dict] = None,
+) -> List[Frame]:
+    """Soft-decision recovery of damaged FECV payloads (PSK family).
+
+    The hard path feeds a damaged FECV container to the Viterbi decoder as
+    thresholded bits; at low SNR the soft phasor magnitudes are worth ~2 dB
+    (same escalation stream FEC already has, decoder._stream_fec_soft). The
+    round-2 gap was threading frame positions back to the demodulator; this
+    avoids offsets entirely by SEARCHING: the damaged frame's header parsed
+    intact, so its exact header bytes are located in ``raw`` (for the true
+    pcrc field and verbatim header bytes), then re-found in the soft
+    stream's thresholded bits at each bit shift and quarter-turn relabeling
+    (on soft values a quarter turn is exactly ``(hi, lo) -> (1-lo, hi)``).
+    The payload's coded soft pairs run through the soft Viterbi, and a
+    candidate is accepted ONLY on an exact proof: re-encoding the decode
+    must reproduce a container whose CRC32 equals the header's payload CRC.
+    Returns repaired (now CRC-valid) frames; callers drop the matching
+    damaged entries. Reference has no analog (its FEC is dormant,
+    /root/reference/fec.py:114-155).
+    """
+    from .fec import TAG_VITERBI, ConvolutionalEncoder, ViterbiDecoder
+    from .framing import MAGIC, _META
+    from .parallel.batch import resolve_demod_plan
+
+    todo = [d for d in damaged if d.data[:4] == TAG_VITERBI]
+    if not todo:
+        return []
+    try:
+        kind, params = resolve_demod_plan(mode, symbol_rate)
+        if kind not in ("psk2", "psk4"):
+            return []
+        from .ops.psk import psk_soft_bits
+
+        baud, carrier = params
+        n_psk = 2 if kind == "psk2" else 4
+        soft = psk_soft_bits(
+            pad_to_bucket(np.asarray(samples, np.float32)),
+            baud, carrier, SAMPLE_RATE, n_psk,
+        )
+    except Exception:
+        logger.exception("soft payload-FEC demod failed")
+        return []
+
+    out: List[Frame] = []
+    # Quarter-turn relabelings of the soft dibit stream (k*pi/2 residual of
+    # the blind CFO derotation): (hi, lo) -> (1-lo, hi). For DBPSK the two
+    # hypotheses are identity and inversion.
+    rotations = []
+    s_k = soft
+    for _k in range(4 if n_psk == 4 else 2):
+        rotations.append(s_k)
+        if n_psk == 4:
+            hi, lo = s_k[0::2], s_k[1::2]
+            nxt = np.empty_like(s_k)
+            nxt[0::2], nxt[1::2] = 1.0 - lo, hi
+            s_k = nxt
+        else:
+            s_k = 1.0 - s_k
+    for frame in todo:
+        # The header bytes, verbatim from the hard stream (incl. true pcrc).
+        nb = frame.name.encode("utf-8", "ignore")
+        probe = MAGIC + bytes([len(nb)]) + nb
+        h_start = raw.find(probe)
+        header = None
+        while h_start != -1:
+            meta_start = h_start + len(probe)
+            if meta_start + _META.size <= len(raw):
+                part, total, fsize, fcrc, dlen, pcrc = _META.unpack(
+                    raw[meta_start : meta_start + _META.size]
+                )
+                if (part, total, dlen) == (
+                    frame.part_number, frame.total_parts, len(frame.data)
+                ):
+                    header = raw[h_start : meta_start + _META.size]
+                    break
+            h_start = raw.find(probe, h_start + 1)
+        if header is None:
+            continue
+        n_data = max(0, (dlen - 4 - 2) // 2)
+        n_coded_bits = 16 * n_data + 12
+        if n_data == 0 or 4 * 8 + n_coded_bits > dlen * 8:
+            continue
+        done = False
+        for s_k in rotations:
+            if done:
+                break
+            hard = (s_k > 0.5).astype(np.uint8)
+            for shift in range(8):
+                usable = (len(hard) - shift) // 8 * 8
+                packed = np.packbits(hard[shift : shift + usable]).tobytes()
+                idx = packed.find(header)
+                if idx == -1:
+                    continue
+                pos = shift + (idx + len(header)) * 8 + 4 * 8  # skip FECV tag
+                n_full = (n_coded_bits // 8) * 8
+                rem = n_coded_bits - n_full
+                if pos + n_full + 8 > len(s_k):
+                    continue
+                # ref-style packing: the trailing partial byte keeps its bits
+                # in the LOW positions -> wire offset (8 - rem) into the byte.
+                coded = np.concatenate(
+                    [s_k[pos : pos + n_full],
+                     s_k[pos + n_full + (8 - rem) : pos + n_full + 8]]
+                )
+                bits = ViterbiDecoder().decode_pairs(coded.reshape(-1, 2))
+                data = np.packbits(bits[: n_data * 8]).tobytes()
+                rebuilt = TAG_VITERBI + ConvolutionalEncoder().encode(data)
+                if len(rebuilt) == dlen and crc32(rebuilt) == pcrc:
+                    out.append(Frame(
+                        frame.name, rebuilt, frame.part_number,
+                        frame.total_parts, frame.file_size, frame.file_crc,
+                    ))
+                    if stats is not None:
+                        stats["soft_fec_recoveries"] = (
+                            stats.get("soft_fec_recoveries", 0) + 1
+                        )
+                    logger.info("soft payload-FEC recovery: %s part %d/%d",
+                                frame.name, frame.part_number + 1, frame.total_parts)
+                    done = True
+                    break
+    return out
+
+
 def _nosync_streams(samples: np.ndarray, mode: str, symbol_rate: int) -> List[bytes]:
     """Full no-sync byte streams for header-tolerant rescue (PSK family)."""
     try:
@@ -495,11 +624,21 @@ def decode_from_buffer(
                     break
         rec_keys = {(f.name, f.part_number) for f in recovered}
         damaged = [d for d in damaged if (d.name, d.part_number) not in rec_keys]
-        logger.info(
-            "demodulated %d bytes -> %d valid / %d damaged / %d header-recovered frames",
-            len(raw), len(frames), len(damaged), len(recovered),
+        # Soft-decision payload-FEC escalation: exact-validated (re-encode
+        # CRC proof), so a success supersedes the damaged hard-FEC guess.
+        soft_rec = recover_payload_fec_soft(
+            raw, samples, mode, symbol_rate, damaged, stats=reg.stats
         )
-        return save_decoded_files(frames + recovered, recv_dir, registry, damaged=damaged)
+        soft_keys = {(f.name, f.part_number) for f in soft_rec}
+        damaged = [d for d in damaged if (d.name, d.part_number) not in soft_keys]
+        logger.info(
+            "demodulated %d bytes -> %d valid / %d damaged / %d header-recovered"
+            " / %d soft-FEC-recovered frames",
+            len(raw), len(frames), len(damaged), len(recovered), len(soft_rec),
+        )
+        return save_decoded_files(
+            frames + recovered + soft_rec, recv_dir, registry, damaged=damaged
+        )
     except Exception:
         logger.exception("demodulation failed")
         return []

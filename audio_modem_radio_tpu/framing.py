@@ -38,6 +38,10 @@ MAGIC_BIT_PATTERN = "0100011001000010"
 # keeps random-data false sync fires from relabeling whole captures.
 MAGIC_BIT_PATTERN2 = "0101000001000011"
 MAX_PAYLOAD = 50_000_000  # parser sanity bound (reference decoder.py:184)
+# Parts sanity bound: a single corrupt bit in the header's ``total`` field
+# (e.g. 1 -> 0x40000001) must not drive an ~8 GB ``[None] * total`` assembly
+# allocation. 16384 parts x 50 MB payloads is far past any real transfer.
+MAX_PARTS = 16384
 _META = struct.Struct("<IIIIII")  # part, total, fsize, fcrc, dlen, pcrc
 
 
@@ -134,9 +138,9 @@ def parse_frames_detailed(raw: bytes) -> tuple:
         if payload_start + dlen > n:
             continue
         payload = raw[payload_start : payload_start + dlen]
-        if total == 0 or part >= total:
-            # Inconsistent part indices; reject rather than corrupt an
-            # assembly slot.
+        if total == 0 or total > MAX_PARTS or part >= total:
+            # Inconsistent/absurd part indices; reject rather than corrupt
+            # (or unboundedly allocate) an assembly slot.
             continue
         frame = Frame(name, payload, part, total, fsize, fcrc)
         if crc32(payload) == pcrc:
@@ -296,7 +300,7 @@ def scan_frame_candidates(
         part, total, fsize, fcrc, _dlen_raw, pcrc = _META.unpack(
             raw[meta_start : meta_start + _META.size]
         )
-        if total == 0 or part >= total:
+        if total == 0 or total > MAX_PARTS or part >= total:
             part, total = 0, 1  # heal — downstream validation is exact
         payload = raw[meta_start + _META.size : meta_start + _META.size + dlen]
         out.append(

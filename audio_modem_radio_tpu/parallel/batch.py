@@ -580,7 +580,16 @@ def decode_wav_batch(
                     break
         rec_keys = {(f.name, f.part_number) for f in recovered}
         damaged = [d for d in damaged if (d.name, d.part_number) not in rec_keys]
-        return list(frames) + recovered, damaged, total_loss
+        # Soft-decision payload-FEC escalation for damaged FECV frames
+        # (exact re-encode-CRC proof; decoder.recover_payload_fec_soft).
+        from ..decoder import recover_payload_fec_soft
+
+        soft_rec = recover_payload_fec_soft(
+            raw, samples_i, mode, symbol_rate, damaged, stats=reg.stats
+        )
+        soft_keys = {(f.name, f.part_number) for f in soft_rec}
+        damaged = [d for d in damaged if (d.name, d.part_number) not in soft_keys]
+        return list(frames) + recovered + soft_rec, damaged, total_loss
 
     out: List[List[str]] = []
     lost: List[int] = []

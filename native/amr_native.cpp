@@ -77,7 +77,7 @@ int64_t amr_scan_frames(const uint8_t* buf, uint64_t len, FrameDesc* out,
     if (dlen == 0 || dlen > MAX_PAYLOAD) continue;
     uint64_t payload = meta + 24;
     if (payload + dlen > len) continue;
-    if (total == 0 || part >= total) continue;
+    if (total == 0 || total > 16384u || part >= total) continue;  // MAX_PARTS, framing.py
     uint32_t crc = (uint32_t)crc32(0L, buf + payload, dlen);
     FrameDesc& d = out[n_out++];
     d.name_off = start + 5;

@@ -95,3 +95,29 @@ def test_multiple_overlapping_magic_candidates():
     frames = parse_frames(raw)
     assert len(frames) == 1
     assert frames[0].data == data
+
+
+def test_absurd_total_parts_rejected_everywhere(rng):
+    """A single flipped high bit in the header's ``total`` field must not
+    reach the assembly layer (it once drove a ~8 GB [None]*total allocation):
+    the parser bounds it (MAX_PARTS), and AssemblyRegistry.offer rejects it
+    outright as defense in depth."""
+    from audio_modem_radio_tpu.assembly import AssemblyRegistry
+    from audio_modem_radio_tpu.framing import (
+        MAX_PARTS, Frame, crc32, pack_frame, parse_frames_detailed,
+    )
+
+    import numpy as np
+
+    payload = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    bad = pack_frame("x.bin", payload, 0, (1 << 30) + 1, len(payload), crc32(payload))
+    frames, damaged = parse_frames_detailed(bad)
+    assert frames == [] and damaged == []
+
+    ok = pack_frame("x.bin", payload, 2, MAX_PARTS, len(payload), crc32(payload))
+    frames, damaged = parse_frames_detailed(ok)
+    assert len(frames) == 1 and frames[0].total_parts == MAX_PARTS
+
+    reg = AssemblyRegistry()
+    assert reg.offer(Frame("x.bin", payload, 0, (1 << 30) + 1, 64, 0)) is None
+    assert ("x.bin", 0) not in getattr(reg, "_assemblies", {"": 0})
