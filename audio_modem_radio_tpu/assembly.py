@@ -374,9 +374,20 @@ class AssemblyRegistry:
 
     def reset(self) -> None:
         with self._lock:
-            if self.journal_dir:
+            jd = self.journal_dir
+            if jd:
                 for key, asm in self._assemblies.items():
                     self._drop_journal(key, asm)
+                # Journals written by a PREVIOUS process may not be loaded
+                # yet (the replay is lazy): wipe them too, or the next
+                # multipart offer() resurrects transfers reset() just
+                # cleared.
+                if os.path.isdir(jd):
+                    import shutil
+
+                    for d in os.listdir(jd):
+                        shutil.rmtree(os.path.join(jd, d), ignore_errors=True)
+                self._journal_loaded = True
             self._assemblies.clear()
             self.stats = self._fresh_stats()
 

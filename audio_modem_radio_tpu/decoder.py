@@ -153,9 +153,14 @@ def recover_header_damaged(
         # meta window, so each variant validates identically — possibly via
         # different rungs wrapping different container tags). Same part +
         # same payload bytes, or same part + same whole-file CRC, is the
-        # same frame; the first (longest-name, strongest-rung) wins.
+        # same frame; the first (longest-name, strongest-rung) wins. The
+        # variant names are truncations/garbage-prefix extensions of one
+        # true name, so one is always a SUFFIX of the other — gate on that,
+        # or two DISTINCT files that happen to share a part-0 payload (same
+        # content transmitted under two names) would suppress each other.
         for f in list(already) + out:
-            if f.part_number == frame.part_number and (
+            names_related = f.name.endswith(frame.name) or frame.name.endswith(f.name)
+            if names_related and f.part_number == frame.part_number and (
                 f.data == frame.data
                 or (frame.file_crc and f.file_crc == frame.file_crc)
             ):
@@ -589,7 +594,11 @@ def decode_from_buffer(
         from .ops.hell import hellschreiber_demodulate_batch
 
         baud = 61.25 if mode == "SLOW_HELL" else 122.5
-        text = hellschreiber_demodulate_batch(samples[None, :], baud)[0]
+        # Bucket-pad like every other path: the jitted glyph demod is
+        # shape-specialized, and per-capture lengths would recompile it
+        # every time. The batched stop rule ends at the closing rows, so
+        # the zero tail adds no text.
+        text = hellschreiber_demodulate_batch(pad_to_bucket(samples)[None, :], baud)[0]
         if not text.strip():
             return []
         return [save_decoded_text(text, recv_dir, mode.lower())]

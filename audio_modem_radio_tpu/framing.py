@@ -272,16 +272,26 @@ def scan_frame_candidates(
     tag_anchor: dict = {}  # start -> implied name_len (fuzzy magic at start)
     tag_alone: dict = {}  # start -> implied name_len (tag-only anchor)
     mpos_set = set(mpos_list)
+    # Work bound: each tag occurrence costs up to 255 name-slice printability
+    # scans (~32 KB of byte checks). Natural streams carry a handful of tag
+    # occurrences (p ~ n/2^32 for random bytes), but a tag-DENSE stream
+    # (adversarial RF, or a pathological capture of repeated tag bytes) must
+    # not stall the decode — the recovery ladder promises bounded work. Caps
+    # chosen far above any legitimate multi-frame capture.
+    _MAX_TAG_HITS = 512
+    _MAX_TAG_ALONE = 4 * limit
+    tag_hits = 0
     for tag in _FEC_TAGS:
         t = raw.find(tag)
-        while t != -1:
+        while t != -1 and tag_hits < _MAX_TAG_HITS:
+            tag_hits += 1
             for nl in range(1, 256):
                 s = t - _META.size - nl - 5
                 if s < 0:
                     break
                 if s in mpos_set:
                     tag_anchor.setdefault(s, nl)
-                else:
+                elif len(tag_alone) < _MAX_TAG_ALONE:
                     name = raw[s + 5 : s + 5 + nl]
                     if name and all(32 <= c < 127 for c in name):
                         tag_alone.setdefault(s, nl)

@@ -147,14 +147,34 @@ def _ofdm_mode_demodulate(x, baud, carrier, num_subcarriers, samp_rate=96000):
     nz = np.flatnonzero(np.abs(xs) > 0.02)
     if nz.size == 0:
         return raw
-    probe = xs[nz[0] : nz[0] + (1 << 16)]
-    try:
-        probed = qpsk_demodulate(probe, baud, carrier, samp_rate)
-    except Exception:
-        return raw
-    if MAGIC not in probed:
-        return raw
-    return ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate)
+    # Probe windows: the first above-threshold sample (normal captures),
+    # plus the FIRST 2^16-sample block near peak energy (captures led by
+    # >0.68 s of hum/noise above threshold, where nz[0] lands in the noise
+    # and the first window would miss the transmission). The earliest
+    # near-peak block is the transmission start — the magic lives there,
+    # not in the loudest mid-payload block — and a half-block-shifted
+    # second candidate covers a start that lands near a block boundary.
+    # Fixed window length, so the probe demod compiles once.
+    P = 1 << 16
+    blocks = len(xs) // P
+    starts = [int(nz[0])]
+    if blocks > 1:
+        e = np.add.reduceat(xs * xs, np.arange(0, blocks * P, P))
+        flb = int(np.argmax(e >= 0.5 * e.max()))
+        for cand in (flb * P, flb * P + P // 2):
+            if all(abs(cand - s) > P // 2 for s in starts):
+                starts.append(cand)
+    for s0 in starts:
+        probe = np.zeros(P, np.float32)
+        w = xs[s0 : s0 + P]
+        probe[: len(w)] = w
+        try:
+            probed = qpsk_demodulate(probe, baud, carrier, samp_rate)
+        except Exception:
+            return raw
+        if MAGIC in probed:
+            return ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate)
+    return raw
 
 
 def apsk16_modulate(d, b, c, s=96000):

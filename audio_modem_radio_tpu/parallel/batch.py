@@ -19,6 +19,7 @@ no collectives because captures are independent.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -42,6 +43,8 @@ from ..ops.ofdm import ofdm_decision_streams_batch
 from ..ops.psk import psk_decision_streams_batch
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
+
+logger = logging.getLogger("audio_modem_radio_tpu")
 
 # --- per-mode demodulator plan -------------------------------------------------
 
@@ -442,6 +445,21 @@ def decode_sample_batch(
     return [packed[i, : int(n_valid[i])].tobytes() for i in range(b)]
 
 
+def _read_wav_row(path: str) -> np.ndarray:
+    """Read one WAV for the batch, resampled to 96 kHz; a corrupt file
+    yields an EMPTY row instead of raising — one truncated WAV in a
+    1000-file batch must not lose the other 999 (the native loader's
+    rate==0 'failed to parse' marker lands here too)."""
+    try:
+        data, sr = read_wav(path)
+        if sr != SAMPLE_RATE:
+            data = resample(data, sr, SAMPLE_RATE)
+        return data.astype(np.float32)
+    except Exception:
+        logger.exception("unreadable WAV in batch: %s", path)
+        return np.zeros(0, np.float32)
+
+
 def decode_wav_batch(
     paths: Sequence[str],
     mode: str,
@@ -502,17 +520,9 @@ def decode_wav_batch(
             if rates[i] == SAMPLE_RATE:
                 arrays.append(samples[i, : counts[i]])
             else:  # failed or needs resampling: Python path
-                data, sr = read_wav(p)
-                if sr != SAMPLE_RATE:
-                    data = resample(data, sr, SAMPLE_RATE)
-                arrays.append(data.astype(np.float32))
+                arrays.append(_read_wav_row(p))
     else:
-        arrays = []
-        for p in paths:
-            data, sr = read_wav(p)
-            if sr != SAMPLE_RATE:
-                data = resample(data, sr, SAMPLE_RATE)
-            arrays.append(data.astype(np.float32))
+        arrays = [_read_wav_row(p) for p in paths]
 
     if denoise is None:
         denoise = bool(CONFIG.get("modem.noise_reduction", False))
@@ -611,6 +621,8 @@ def decode_wav_batch(
         retry = np.zeros((len(lost) * len(drift), m), dtype=np.float32)
         for j, i in enumerate(lost):
             a = arrays[i]
+            if len(a) < 2:
+                continue  # unreadable WAV: empty row, nothing to resample
             src = np.arange(len(a), dtype=np.float64)
             for k, s in enumerate(strides):
                 dst = np.arange(int(len(a) / s), dtype=np.float64) * s
@@ -619,12 +631,27 @@ def decode_wav_batch(
         retry_raws = decode_sample_batch(retry, mode, symbol_rate, mesh=mesh)
         for j, i in enumerate(lost):
             for k in range(len(drift)):
+                # The ladder's sample-domain escalations (soft stream-FEC,
+                # soft payload-FEC) must see the RESAMPLED row the raw bytes
+                # came from — the original capture's soft stream can never
+                # align with this hypothesis's byte stream.
                 frames, damaged, _tl = _ladder(
-                    retry_raws[j * len(drift) + k], arrays[i], rescue=False
+                    retry_raws[j * len(drift) + k],
+                    retry[j * len(drift) + k],
+                    rescue=False,
                 )
-                if frames or damaged:
-                    out[i] = save_decoded_files(
-                        frames, recv_dir, registry, damaged=damaged or None
-                    )
+                if not frames and not damaged:
+                    continue
+                saved = save_decoded_files(
+                    frames, recv_dir, registry, damaged=damaged or None
+                )
+                if saved or frames:
+                    # Accept only a hypothesis with saved files or CRC-proven
+                    # frames (a valid multipart part enters the assembly
+                    # without saving). A spurious DAMAGED parse from a
+                    # garbage stream must NOT end the sweep — it would mask
+                    # the correct factor later on (decode_with_retry's
+                    # accept-on-saved semantics, decoder.py).
+                    out[i] = saved
                     break
     return out

@@ -164,3 +164,32 @@ def test_multihost_single_process_path(workdir):
     assert len(saved) == 3
     got = sorted(open(p, "rb").read() for p in saved)
     assert got == sorted(contents)
+
+
+def test_decode_wav_batch_survives_corrupt_wav(tmp_path, monkeypatch, rng):
+    """Round 3 (review fix): one unreadable WAV in the batch must not lose
+    the other captures — it decodes to nothing, everything else decodes."""
+    import audio_modem_radio_tpu as amr
+    from audio_modem_radio_tpu.framing import crc32, pack_frame
+    from audio_modem_radio_tpu.parallel.batch import decode_wav_batch
+    from audio_modem_radio_tpu.utils.wavio import write_wav
+
+    monkeypatch.chdir(tmp_path)
+    paths, pays = [], []
+    for i in range(2):
+        p = rng.integers(0, 256, 600 + 100 * i, dtype=np.uint8).tobytes()
+        framed = pack_frame(f"g{i}.bin", p, 0, 1, len(p), crc32(p))
+        path = str(tmp_path / f"good{i}.wav")
+        write_wav(path, amr.modulate("QPSK", framed, 9600))
+        paths.append(path)
+        pays.append(p)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"RIFFgarbage-not-a-wav")
+    paths.insert(1, bad)
+    pays.insert(1, None)
+
+    res = decode_wav_batch(paths, "QPSK", 9600, recv_dir=str(tmp_path / "recv"))
+    assert res[1] == []
+    for saved, p in ((res[0], pays[0]), (res[2], pays[2])):
+        assert saved and open(saved[0], "rb").read() == p

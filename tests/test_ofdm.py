@@ -208,3 +208,21 @@ def test_alias_fallback_probe_gated(monkeypatch):
     noise = np.random.default_rng(9).normal(0, 0.2, 200_000).astype(np.float32)
     raw = modem_mod.demodulate("OFDM4", noise, 4800)  # must not raise
     assert b"FBPC" not in raw
+
+
+def test_alias_fallback_with_loud_leading_noise(rng):
+    """Round 3 (review fix): a reference-generation (alias DQPSK) 'OFDM'
+    capture preceded by >0.68 s of above-threshold noise must still trigger
+    the probe-gated alias fallback — the probe now also tries the first
+    near-peak-energy block, not just the first above-threshold sample."""
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+    from audio_modem_radio_tpu.modem import demodulate
+    from audio_modem_radio_tpu.ops.psk import qpsk_modulate
+
+    payload = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+    framed = pack_frame("a.bin", payload, 0, 1, len(payload), crc32(payload))
+    alias_wave = np.asarray(qpsk_modulate(framed, 4800, 12000.0), np.float32)
+    lead = rng.normal(0, 0.05, 120000).astype(np.float32)  # > 2^16 samples
+    cap = np.concatenate([lead, alias_wave])
+    frames = parse_frames(demodulate("OFDM4", cap, 4800))
+    assert frames and frames[0].data == payload
