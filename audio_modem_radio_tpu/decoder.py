@@ -407,23 +407,15 @@ def recover_payload_fec_soft(
     """
     from .fec import TAG_VITERBI, ConvolutionalEncoder, ViterbiDecoder
     from .framing import MAGIC, _META
-    from .parallel.batch import resolve_demod_plan
 
     todo = [d for d in damaged if d.data[:4] == TAG_VITERBI]
     if not todo:
         return []
     try:
-        kind, params = resolve_demod_plan(mode, symbol_rate)
-        if kind not in ("psk2", "psk4"):
+        got = _soft_bit_stream(np.asarray(samples, np.float32), mode, symbol_rate)
+        if got is None:
             return []
-        from .ops.psk import psk_soft_bits
-
-        baud, carrier = params
-        n_psk = 2 if kind == "psk2" else 4
-        soft = psk_soft_bits(
-            pad_to_bucket(np.asarray(samples, np.float32)),
-            baud, carrier, SAMPLE_RATE, n_psk,
-        )
+        soft, n_psk = got
     except Exception:
         logger.exception("soft payload-FEC demod failed")
         return []
@@ -528,21 +520,42 @@ def _nosync_streams(samples: np.ndarray, mode: str, symbol_rate: int) -> List[by
         return []
 
 
-def _stream_fec_soft(samples: np.ndarray, mode: str, symbol_rate: int):
-    """Soft-decision stream-FEC decode for PSK-family modes, else None."""
-    try:
-        from .parallel.batch import resolve_demod_plan
+def _soft_bit_stream(samples: np.ndarray, mode: str, symbol_rate: int):
+    """Soft bit stream for the PSK and OFDM families, else None.
 
-        kind, params = resolve_demod_plan(mode, symbol_rate)
-        if kind not in ("psk2", "psk4"):
-            return None
-        from .fec import stream_fec_decode_soft
+    The OFDM dibits use the identical diagonal Gray mapping as DQPSK
+    (ops.ofdm.ofdm_soft_bits), so every soft-decision escalation that works
+    on PSK captures works on OFDM captures too."""
+    from .parallel.batch import resolve_demod_plan
+
+    kind, params = resolve_demod_plan(mode, symbol_rate)
+    if kind in ("psk2", "psk4"):
         from .ops.psk import psk_soft_bits
 
         baud, carrier = params
-        soft = psk_soft_bits(
-            pad_to_bucket(samples), baud, carrier, SAMPLE_RATE, 2 if kind == "psk2" else 4
-        )
+        return psk_soft_bits(
+            pad_to_bucket(samples), baud, carrier, SAMPLE_RATE,
+            2 if kind == "psk2" else 4,
+        ), (2 if kind == "psk2" else 4)
+    if kind == "ofdm":
+        from .ops.ofdm import ofdm_soft_bits
+
+        baud, carrier, n_sub = params
+        return ofdm_soft_bits(
+            pad_to_bucket(samples), baud, carrier, int(n_sub), SAMPLE_RATE
+        ), 4
+    return None
+
+
+def _stream_fec_soft(samples: np.ndarray, mode: str, symbol_rate: int):
+    """Soft-decision stream-FEC decode for PSK/OFDM-family modes, else None."""
+    try:
+        from .fec import stream_fec_decode_soft
+
+        got = _soft_bit_stream(samples, mode, symbol_rate)
+        if got is None:
+            return None
+        soft, _n_psk = got
         return stream_fec_decode_soft(soft)
     except Exception:
         logger.exception("soft stream-FEC decode failed")

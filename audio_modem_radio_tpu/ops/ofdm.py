@@ -339,8 +339,9 @@ def _ofdm_decision_streams(
     hi = neg.astype(jnp.uint8)
     lo = jnp.where(swap, ~neg, neg).astype(jnp.uint8)
     # Round-robin subcarrier order: symbol-major, subcarrier-minor — dibit i
-    # is (hi[i], lo[i]); already the flat wire order.
-    return hi, lo, score[best], gains
+    # is (hi[i], lo[i]); already the flat wire order. (dr, di) ride along for
+    # the soft-decision escalations (ofdm_soft_bits).
+    return hi, lo, score[best], gains, dr, di
 
 
 @functools.partial(
@@ -363,7 +364,7 @@ def ofdm_demod_bits(
     directly via :func:`ofdm_decision_streams_batch`).
     """
     del n_pilot
-    hi, lo, best_score, gains = _ofdm_decision_streams(
+    hi, lo, best_score, gains, _dr, _di = _ofdm_decision_streams(
         samples, baud, carrier, n_sub, sample_rate, n_offsets
     )
     bits = jnp.stack([hi, lo], axis=1).reshape(-1)
@@ -394,12 +395,52 @@ def ofdm_decision_streams_batch(
     tables = _ofdm_shift_tables(
         S, float(carrier), n_sub, sample_rate, L, 1.0 + 0.0 * samples[0, 0]
     )
-    hi, lo, _score, _gains = jax.vmap(
+    hi, lo, _score, _gains, _dr, _di = jax.vmap(
         lambda x: _ofdm_decision_streams(
             x, baud, carrier, n_sub, sample_rate, cfo=cfo, tables=tables
         )
     )(samples)
     return hi, lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("baud", "carrier", "n_sub", "sample_rate")
+)
+def _ofdm_soft_streams(samples, baud, carrier, n_sub, sample_rate):
+    _hi, _lo, _s, _g, dr, di = _ofdm_decision_streams(
+        samples, baud, carrier, n_sub, sample_rate
+    )
+    return dr, di
+
+
+def ofdm_soft_bits(
+    samples: np.ndarray,
+    baud: float,
+    carrier: float,
+    n_sub: int,
+    sample_rate: int,
+) -> np.ndarray:
+    """Soft dibit stream in [0, 1] for the soft-decision FEC escalations.
+
+    The OFDM Gray decision regions are the SAME diagonal mapping as DQPSK
+    (hi = 1 iff dr+di < 0, lo = 1 iff di-dr > 0 — verify against the
+    sector table in ``_ofdm_decision_streams``), so each bit's soft value
+    is a linear scaling of its own rotated component, exactly like
+    ops.psk.psk_soft_bits. Consumed by decoder._stream_fec_soft and
+    decoder.recover_payload_fec_soft for the OFDM mode family.
+    """
+    dr, di = _ofdm_soft_streams(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(n_sub), int(sample_rate),
+    )
+    dr, di = np.asarray(dr), np.asarray(di)
+    scale = np.mean(np.abs(dr) + np.abs(di)) + 1e-9
+    a = dr + di  # hi = 1 when a < 0
+    b = di - dr  # lo = 1 when b > 0
+    soft = np.empty(2 * len(a), np.float32)
+    soft[0::2] = np.clip(0.5 - a / scale, 0.0, 1.0)
+    soft[1::2] = np.clip(0.5 + b / scale, 0.0, 1.0)
+    return soft
 
 
 def ofdm_demodulate(
