@@ -116,6 +116,32 @@ def _bench_reference_cpu_once(n_samples: int, baud: int) -> float:
     return n_samples / dt / 1e6
 
 
+def _device_alive(timeout_s: float = 900.0) -> bool:
+    """True when a trivial device op completes within ``timeout_s``.
+
+    The axon tunnel can wedge INDEFINITELY (observed round 3 after an
+    UNIMPLEMENTED-composite dispatch: every subsequent dispatch, and even
+    backend init, blocked for hours). The probe runs in a daemon thread —
+    a stuck C call can't be interrupted, but the main thread can still
+    report and exit instead of hanging the driver.
+    """
+    import threading
+
+    ok: list = []
+
+    def probe() -> None:
+        import jax
+        import jax.numpy as jnp
+
+        np.asarray(jnp.arange(4.0) * 2)
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
     import sys
 
@@ -126,6 +152,18 @@ def main() -> None:
         from benchmarks.kernel_smoke import main as smoke_main
 
         raise SystemExit(smoke_main())
+
+    if not _device_alive():
+        import os
+
+        print(json.dumps({
+            "metric": "demod_msamples_per_sec_chip",
+            "value": 0.0,
+            "unit": "Msamples/s",
+            "vs_baseline": 0.0,
+            "error": "device unreachable: trivial dispatch did not complete in 900 s (wedged axon tunnel?)",
+        }))
+        os._exit(2)  # a daemon thread is stuck in the backend; exit hard
 
     baud = 9600
     # Large per-dispatch workload: the TPU tunnel has ~30 ms per-call
