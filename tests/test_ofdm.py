@@ -226,3 +226,19 @@ def test_alias_fallback_with_loud_leading_noise(rng):
     cap = np.concatenate([lead, alias_wave])
     frames = parse_frames(demodulate("OFDM4", cap, 4800))
     assert frames and frames[0].data == payload
+
+
+def test_ofdm_soft_threshold_equals_hard_decisions(rng):
+    """The diagonal soft mapping (hi = dr+di < 0, lo = di-dr > 0) must agree
+    with the production sector logic (swap on |di|>|dr|) for every phasor —
+    the equivalence recover_payload_fec_soft relies on."""
+    dr = rng.normal(0, 1, 4096).astype(np.float32)
+    di = rng.normal(0, 1, 4096).astype(np.float32)
+    swap = np.abs(di) > np.abs(dr)
+    neg = np.where(swap, di < 0, dr < 0)
+    hi_hard = neg.astype(np.uint8)
+    lo_hard = np.where(swap, ~neg, neg).astype(np.uint8)
+    hi_soft = (0.5 - (dr + di) > 0.5).astype(np.uint8)  # a < 0
+    lo_soft = (0.5 + (di - dr) > 0.5).astype(np.uint8)  # b > 0
+    assert (hi_soft == hi_hard).all()
+    assert (lo_soft == lo_hard).all()
