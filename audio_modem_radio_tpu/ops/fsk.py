@@ -63,10 +63,17 @@ _FIR_TAPS = 1025
 
 # Tap count for the decimating matmul FIR front end (one MXU matmul, no FFT;
 # ops.common.analytic_bandpass_fir_dec). The row geometry caps the overlap at
-# taps - dec <= 128*dec, so the length scales with the decimation: 129 / 257 /
-# 513 taps at dec 1 / 2 / 4 (always odd, so the group delay is integral).
+# taps - dec <= 128*dec; within that, SHORTER is faster: the dense template
+# costs 2*(128*dec + taps - dec) MACs per output, so at dec=4 cutting
+# 513 -> 129 taps removes ~38% of the front-end FLOPs. Measured BER-neutral
+# on FSK9600 across 9/12/15 dB AWGN (3 seeds, ~300 kbit/cell) with a 0
+# clean-signal floor: the wider ~4 kHz transition skirts admit negligible
+# extra noise relative to the ~12 kHz pass band, and their deterministic
+# leakage is absorbed by the equalizer calibration (fir_taps keys the
+# calibration cache, so the equalizer always matches the front end). 129 is
+# always odd -> integral group delay.
 def _mm_taps(dec: int) -> int:
-    return min(513, 128 * dec + 1)
+    return min(129, 128 * dec + 1)
 
 FSK_PREAMBLE = b"\xAA\xAA\xAA\xAA"
 
@@ -415,7 +422,15 @@ def _discriminator_decimation(spb: int, band_hi: float, sample_rate: int) -> int
     overlap-proportional tap weights — hard-rounded windows measured ~40%
     worse relative BER at 15 dB (PERF.md). Going below 2 taps/bit (dec=8 at
     1.25) measured ~70% worse even with fractional weights; the >= 2 rule
-    stands."""
+    stands. Round-3 re-investigation closed dec=8 for good: the band bound
+    here is conservative (the decimated ANALYTIC signal is alias-free up to
+    band_hi < sr/dec, so dec=8 can keep the full wide band), and a
+    per-alignment-class equalizer (one tap set per bit-window phase mod
+    dec/gcd(spb, dec)) drives the clean-signal floor to exactly 0 — but
+    noisy BER stays ~75% worse (9.2e-2 vs 5.3e-2 at 15 dB): with only
+    ~1.25 phasors per bit the discriminator loses half its noise-averaging
+    DOF, which no equalizer can restore. The cheap front-end win was taps
+    (see _mm_taps), not deeper decimation."""
     d = 1
     while (
         2 * d <= 8

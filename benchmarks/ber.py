@@ -27,6 +27,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon PJRT plugin registers itself from sitecustomize and IGNORES the
+# JAX_PLATFORMS env var; honor it here so `JAX_PLATFORMS=cpu python ber.py`
+# runs on the host even when a TPU tunnel is present (or wedged). Must run
+# before the first jnp use anywhere in the process.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _bit_errors(sent: bytes, received: bytes) -> float:
     """Fraction of differing bits over the aligned common prefix."""
