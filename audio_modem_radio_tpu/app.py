@@ -319,6 +319,9 @@ class ConsoleApp:
 
 
 def main() -> int:
+    from .utils.jaxenv import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ConsoleApp().run()
     return 0
 

@@ -297,16 +297,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    # Honor JAX_PLATFORMS=cpu even under PJRT plugins that register from
-    # sitecustomize and ignore the env var (the axon TPU tunnel does): apply
-    # it through jax.config before the first jnp use. Lets operators force a
-    # host-only run, e.g. when the accelerator link is down.
-    import os
+    from .utils.jaxenv import honor_jax_platforms_env
 
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

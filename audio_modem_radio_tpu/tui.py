@@ -173,6 +173,9 @@ def main() -> int:  # pragma: no cover - requires a terminal
     import curses
 
     from .observability import AnalyticsStore, PerformanceMonitor
+    from .utils.jaxenv import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     st = AppState()
     results: "queue.Queue[str]" = queue.Queue()
