@@ -82,6 +82,11 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
 
 # --- device-side batched demod -------------------------------------------------
 
+# Row granularity of the Pallas rotation matcher (its default block_rows);
+# the prefix-scan length must stay a multiple of it.
+_MATCH_BLOCK_ROWS = 256
+
+
 def psk4_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
     """The two-kernel DQPSK sync tail: Pallas matcher + fused relabel/pack.
 
@@ -99,27 +104,52 @@ def psk4_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
 
     n_dib = hi.shape[1]
     r_dib = n_dib // 128
-    first, found8 = rotation_match_batch(
-        hi.reshape(-1, r_dib, 128),
-        lo.reshape(-1, r_dib, 128),
-        MAGIC_BIT_PATTERN,
-        r_dib,
-        pattern2=MAGIC_BIT_PATTERN2,
-        interpret=interpret,
-    )
-    fe, fo = found8[:, :4], found8[:, 4:]
-    se, so = 2 * first[:, :4], 2 * first[:, 4:] + 1
-    if not cfo_retry:
-        fe = fe.at[:, 1:].set(False)
-        fo = fo.at[:, 1:].set(False)
-    s_k = jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0))
-    found_k = fe | fo
-    ksel = jnp.argmax(found_k, axis=1)
-    s = jnp.take_along_axis(s_k, ksel[:, None], 1)[:, 0]
-    found = jnp.take_along_axis(found_k, ksel[:, None], 1)[:, 0]
+    hi3 = hi.reshape(-1, r_dib, 128)
+    lo3 = lo.reshape(-1, r_dib, 128)
+
+    def fold(first, found8):
+        fe, fo = found8[:, :4], found8[:, 4:]
+        se, so = 2 * first[:, :4], 2 * first[:, 4:] + 1
+        if not cfo_retry:
+            fe = fe.at[:, 1:].set(False)
+            fo = fo.at[:, 1:].set(False)
+        s_k = jnp.where(fe & (~fo | (se <= so)), se, jnp.where(fo, so, 0))
+        found_k = fe | fo
+        ksel = jnp.argmax(found_k, axis=1)
+        s = jnp.take_along_axis(s_k, ksel[:, None], 1)[:, 0]
+        found = jnp.take_along_axis(found_k, ksel[:, None], 1)[:, 0]
+        return s, ksel, found
+
+    def match(h3, l3, rows):
+        return rotation_match_batch(
+            h3, l3, MAGIC_BIT_PATTERN, rows,
+            pattern2=MAGIC_BIT_PATTERN2, interpret=interpret,
+        )
+
+    # Prefix scan with escalation: the matcher is VPU-bound and dominates the
+    # sync tail, yet a genuine capture's magic sits in the frame header near
+    # the stream start. Scan the first ~1/8 of rows; accept iff EVERY capture
+    # matched hypothesis k=0 (either parity) there. Acceptance makes the fold
+    # provably equal to the full scan's: a prefix k=0 match is the global
+    # first for its parity, ksel = argmax(found_k) = 0 on both views, and any
+    # other-parity match beyond the prefix can only lose the `se <= so`
+    # position comparison. Everything else — rotated captures (true k != 0),
+    # late-starting transmissions, garbage with no match — escalates to the
+    # full-stream matcher under a scalar lax.cond (one branch executes), at
+    # the cost of the wasted prefix pass (~1/8 extra matcher work).
+    r_pre = -(-r_dib // 8 // _MATCH_BLOCK_ROWS) * _MATCH_BLOCK_ROWS
+    if 2 * r_pre <= r_dib:
+        first_p, found_p = match(hi3[:, :r_pre], lo3[:, :r_pre], r_pre)
+        pre = fold(first_p, found_p)
+        hit = jnp.all(found_p[:, 0] | found_p[:, 4])
+        s, ksel, found = jax.lax.cond(
+            hit, lambda: pre, lambda: fold(*match(hi3, lo3, r_dib))
+        )
+    else:
+        s, ksel, found = fold(*match(hi3, lo3, r_dib))
+
     packed = relabel_pack_batch(
-        hi.reshape(-1, r_dib, 128), lo.reshape(-1, r_dib, 128),
-        s, ksel, rows_per_capture=r_dib, interpret=interpret,
+        hi3, lo3, s, ksel, rows_per_capture=r_dib, interpret=interpret,
     )
     n_valid = (2 * jnp.int32(n_dib) - (s & 7)) // 8
     return packed, n_valid, found
@@ -135,20 +165,40 @@ def psk2_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
 
     n_bits = hi.shape[1]
     r_bit = n_bits // 128
-    first, found4 = rotation_match_batch(
-        hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
-        MAGIC_BIT_PATTERN, r_bit, family="bpsk",
-        pattern2=MAGIC_BIT_PATTERN2, interpret=interpret,
-    )
-    if not cfo_retry:
-        found4 = found4.at[:, 1:].set(False)
-    ksel = jnp.argmax(found4, axis=1)
-    s = jnp.take_along_axis(first, ksel[:, None], 1)[:, 0]
-    found = jnp.take_along_axis(found4, ksel[:, None], 1)[:, 0]
-    s = jnp.where(found, s, 0)
+    hi3 = hi.reshape(-1, r_bit, 128)
+    lo3 = lo.reshape(-1, r_bit, 128)
+
+    def fold(first, found4):
+        if not cfo_retry:
+            found4 = found4.at[:, 1:].set(False)
+        ksel = jnp.argmax(found4, axis=1)
+        s = jnp.take_along_axis(first, ksel[:, None], 1)[:, 0]
+        found = jnp.take_along_axis(found4, ksel[:, None], 1)[:, 0]
+        return jnp.where(found, s, 0), ksel, found
+
+    def match(h3, l3, rows):
+        return rotation_match_batch(
+            h3, l3, MAGIC_BIT_PATTERN, rows, family="bpsk",
+            pattern2=MAGIC_BIT_PATTERN2, interpret=interpret,
+        )
+
+    # Prefix scan with escalation (see psk4_kernel_sync_tail). Acceptance
+    # requires every capture to match hypothesis 0 (re, uninverted) in the
+    # prefix: then ksel = argmax(found4) = 0 on both views and first[:, 0]
+    # from the prefix IS the global first for that hypothesis.
+    r_pre = -(-r_bit // 8 // _MATCH_BLOCK_ROWS) * _MATCH_BLOCK_ROWS
+    if 2 * r_pre <= r_bit:
+        first_p, found_p = match(hi3[:, :r_pre], lo3[:, :r_pre], r_pre)
+        pre = fold(first_p, found_p)
+        hit = jnp.all(found_p[:, 0])
+        s, ksel, found = jax.lax.cond(
+            hit, lambda: pre, lambda: fold(*match(hi3, lo3, r_bit))
+        )
+    else:
+        s, ksel, found = fold(*match(hi3, lo3, r_bit))
+
     packed = bit_select_pack_batch(
-        hi.reshape(-1, r_bit, 128), lo.reshape(-1, r_bit, 128),
-        s, ksel, rows_per_capture=r_bit, interpret=interpret,
+        hi3, lo3, s, ksel, rows_per_capture=r_bit, interpret=interpret,
     )
     n_valid = (jnp.int32(n_bits) - (s & 7)) // 8
     return packed, n_valid, found

@@ -294,3 +294,89 @@ def test_relabel_pack_decodes_frame(rng):
         raw = np.asarray(packed[i]).tobytes()
         frames = parse_frames(raw)
         assert frames and frames[0].data == payload
+
+# --- prefix-scan escalation (round 3) -----------------------------------------
+
+
+def _embed_qpsk_magic(hi, lo, t0):
+    """Write the validated magic (pattern + follow-up) at even-parity dibit
+    position t0 for the k=0 hypothesis: hi[t]=p[2t], lo[t]=p[2t+1]."""
+    from audio_modem_radio_tpu.framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+
+    p = [int(c) for c in MAGIC_BIT_PATTERN + MAGIC_BIT_PATTERN2]
+    for t in range(len(p) // 2):
+        hi[t0 + t] = p[2 * t]
+        lo[t0 + t] = p[2 * t + 1]
+
+
+@pytest.mark.parametrize("placement", ["early", "late", "mixed", "absent"])
+def test_psk4_prefix_scan_equals_full(placement, rng, monkeypatch):
+    """The prefix-scan accept rule guarantees (s, ksel, found) equality with
+    the full scan for ANY input; late/absent magics force the escalation
+    branch. Compared against the same tail with the prefix disabled."""
+    import audio_modem_radio_tpu.parallel.batch as batch_mod
+    from audio_modem_radio_tpu.parallel.batch import psk4_kernel_sync_tail
+
+    b, r = 2, 512  # r_pre = 256 -> prefix enabled (2 * r_pre <= r)
+    m = r * 128
+    rng = np.random.default_rng(hash(placement) % 2**31)
+    hi = rng.integers(0, 2, (b, m), dtype=np.uint8)
+    lo = rng.integers(0, 2, (b, m), dtype=np.uint8)
+    prefix_dibits = 256 * 128
+    if placement == "early":
+        for i in range(b):
+            _embed_qpsk_magic(hi[i], lo[i], 10 + 3 * i)
+    elif placement == "late":
+        # No k=0 match can exist in an all-zero prefix (the magic has 1s).
+        hi[:, :prefix_dibits] = 0
+        lo[:, :prefix_dibits] = 0
+        for i in range(b):
+            _embed_qpsk_magic(hi[i], lo[i], prefix_dibits + 1000 + i)
+    elif placement == "mixed":
+        _embed_qpsk_magic(hi[0], lo[0], 17)
+        hi[1, :prefix_dibits] = 0
+        lo[1, :prefix_dibits] = 0
+        _embed_qpsk_magic(hi[1], lo[1], prefix_dibits + 555)
+    else:  # absent: nothing embedded; zero prefix keeps hit=False
+        hi[:, :prefix_dibits] = 0
+        lo[:, :prefix_dibits] = 0
+
+    hj, lj = jnp.asarray(hi), jnp.asarray(lo)
+    got = psk4_kernel_sync_tail(hj, lj, True, interpret=True)
+    monkeypatch.setattr(batch_mod, "_MATCH_BLOCK_ROWS", 1 << 20)  # disable prefix
+    ref = psk4_kernel_sync_tail(hj, lj, True, interpret=True)
+    for g, r_ in zip(got, ref):
+        assert np.array_equal(np.asarray(g), np.asarray(r_))
+    if placement in ("early", "late", "mixed"):
+        assert bool(np.asarray(got[2]).all())
+
+
+@pytest.mark.parametrize("placement", ["early", "late"])
+def test_psk2_prefix_scan_equals_full(placement, rng, monkeypatch):
+    from audio_modem_radio_tpu.framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+    import audio_modem_radio_tpu.parallel.batch as batch_mod
+    from audio_modem_radio_tpu.parallel.batch import psk2_kernel_sync_tail
+
+    b, r = 2, 512
+    m = r * 128
+    rng = np.random.default_rng(91 if placement == "early" else 92)
+    re = rng.integers(0, 2, (b, m), dtype=np.uint8)
+    im = rng.integers(0, 2, (b, m), dtype=np.uint8)
+    pat = np.asarray([int(c) for c in MAGIC_BIT_PATTERN + MAGIC_BIT_PATTERN2], np.uint8)
+    prefix_bits = 256 * 128
+    if placement == "early":
+        for i in range(b):
+            re[i, 20 + i : 20 + i + len(pat)] = pat
+    else:
+        re[:, :prefix_bits] = 0
+        im[:, :prefix_bits] = 0
+        for i in range(b):
+            re[i, prefix_bits + 777 + i : prefix_bits + 777 + i + len(pat)] = pat
+
+    rj, ij = jnp.asarray(re), jnp.asarray(im)
+    got = psk2_kernel_sync_tail(rj, ij, True, interpret=True)
+    monkeypatch.setattr(batch_mod, "_MATCH_BLOCK_ROWS", 1 << 20)
+    ref = psk2_kernel_sync_tail(rj, ij, True, interpret=True)
+    for g, r_ in zip(got, ref):
+        assert np.array_equal(np.asarray(g), np.asarray(r_))
+    assert bool(np.asarray(got[2]).all())
