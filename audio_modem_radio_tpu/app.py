@@ -37,6 +37,36 @@ MODES_HELP = (
 )
 
 
+def load_playlist_file(path: str):
+    """Read playlist.json -> (paths, played_set). Missing/corrupt -> empty.
+
+    Shared by the console app, the curses TUI and the tkinter GUI so all
+    three front ends persist the same playlist + played-state schema (the
+    reference loses both on restart; filebeep_advanced_v2.py:1159-1203).
+    """
+    import json
+
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        entries = data.get("entries", [])
+        return [e["path"] for e in entries], {e["path"] for e in entries if e.get("played")}
+    except (OSError, ValueError, KeyError, TypeError):
+        return None, set()
+
+
+def save_playlist_file(path: str, playlist, played) -> None:
+    """Write playlist.json ({entries: [{path, played}]}); never raises."""
+    import json
+
+    entries = [{"path": p, "played": p in played} for p in playlist]
+    try:
+        with open(path, "w") as f:
+            json.dump({"entries": entries}, f, indent=1)
+    except OSError:
+        pass
+
+
 class ConsoleApp:
     def __init__(self, analytics: Optional[AnalyticsStore] = None):
         self.logger = setup_logging(
@@ -61,35 +91,16 @@ class ConsoleApp:
     def _load_playlist(self) -> None:
         """Restore playlist + played-state (the reference loses both on
         restart; its colored playlist is filebeep_advanced_v2.py:1159-1203)."""
-        import json
-
         # Set both attributes unconditionally: callers construct this object
         # without __init__ (the TUI shares the persistence logic), so the
         # error path must leave a fully usable state.
-        self.playlist = getattr(self, "playlist", [])
-        self._restored_played = set()
-        try:
-            with open(self.playlist_path) as f:
-                data = json.load(f)
-            self.playlist = [e["path"] for e in data.get("entries", [])]
-            self._restored_played = {
-                e["path"] for e in data.get("entries", []) if e.get("played")
-            }
-        except (OSError, ValueError, KeyError):
-            pass
+        fallback = getattr(self, "playlist", [])
+        loaded, self._restored_played = load_playlist_file(self.playlist_path)
+        self.playlist = fallback if loaded is None else loaded
 
     def _save_playlist(self) -> None:
-        import json
-
-        entries = [
-            {"path": p, "played": p in self.player.played or p in self._restored_played}
-            for p in self.playlist
-        ]
-        try:
-            with open(self.playlist_path, "w") as f:
-                json.dump({"entries": entries}, f, indent=1)
-        except OSError:
-            pass
+        played = self.player.played | self._restored_played
+        save_playlist_file(self.playlist_path, self.playlist, played)
 
     def _input(self, prompt: str, default: str = "") -> str:
         try:

@@ -4,7 +4,8 @@ The reference ships PyInstaller one-file executables
 (/root/reference/build.spec:5-65). The modern Python analogs here:
 
 * a wheel (``pip wheel``) with console scripts ``amr-tpu`` / ``amr-tpu-app``
-  / ``amr-tpu-tui`` and the NEURAL codebook bundled as package data, and
+  / ``amr-tpu-tui`` / ``amr-tpu-gui`` and the NEURAL codebook bundled as
+  package data, and
 * a stdlib ``zipapp`` one-file executable ``amr-tpu.pyz`` (runs with any
   Python that has the jax/numpy runtime installed: ``python amr-tpu.pyz
   encode-file ...``).
