@@ -131,6 +131,7 @@ def measure(mode: str, symbol_rate: int, batch: int, n_samples: int, **kwargs) -
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", default=",".join(CONFIGS))
+    ap.add_argument("--batch", type=int, default=0, help="override the per-config batch size")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "honest_results.json"))
     args = ap.parse_args()
 
@@ -138,6 +139,8 @@ def main() -> int:
     for mode in args.modes.split(","):
         mode = mode.strip()
         srate, b, p, kw = CONFIGS[mode]
+        if args.batch:
+            b = args.batch
         try:
             r = measure(mode, srate, b, 1 << p, **kw)
         except Exception as e:  # record, keep sweeping
