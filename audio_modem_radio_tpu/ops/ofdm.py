@@ -164,6 +164,26 @@ def _ofdm_rows_per_block(S: int) -> int:
     return max(1, 1024 // S)
 
 
+def ofdm_blocked_row_shape(
+    n_samples: int, baud: float, n_sub: int, sample_rate: int
+) -> Optional[Tuple[int, int, int]]:
+    """(r, row=L*S, overlap=S) geometry for host-side overlapped-row shaping.
+
+    ``parallel.batch.host_shape_batch`` uses this to pre-build the
+    (r, L*S+S) rows :func:`_ofdm_decision_streams` consumes directly — the
+    rows are offset-independent (the timing offset selects a row-shifted
+    weight table), so the build is two numpy strided views on the host
+    instead of a pad+reshape+lane-concat relayout on the device. Returns
+    None when the capture is too short to demodulate (< 3 symbols)."""
+    S = _symbol_samples(sample_rate, int(baud), int(n_sub))
+    L = _ofdm_rows_per_block(S)
+    n_sym = int(n_samples) // S
+    if n_sym < 3:
+        return None
+    r = -(-n_sym // L)
+    return r, L * S, S
+
+
 def _ofdm_shift_tables(
     S: int, carrier: float, n_sub: int, sample_rate: int, L: int, guard: jnp.ndarray
 ) -> jnp.ndarray:
@@ -233,14 +253,35 @@ def _ofdm_decision_streams(
     K = n_sub
     K2 = 2 * K
     S = _symbol_samples(sample_rate, int(baud), K)
+    L = _ofdm_rows_per_block(S)
+    LS = L * S
     if n_offsets <= 0:
         n_offsets = S
-    n = samples.shape[-1]
-    n_sym = n // S
+
+    # Pre-shaped input (round 3): a (r, L*S+S) overlapped-row layout built on
+    # the HOST with cheap strided views (``ofdm_blocked_row_shape`` /
+    # ``parallel.batch.host_shape_batch``) — the overlapped rows do not
+    # depend on the timing offset (the offset selects a row-shifted weight
+    # table, see pass 2), so the device never pays the pad+reshape+lane-
+    # concat row build (the same relayout tax host shaping removed for the
+    # PSK and dual-tone FSK paths; PERF.md rule 4). Trailing zero symbols
+    # beyond the true capture only add zero projections: they scale every
+    # subcarrier gain by the same factor (decisions are signs — unaffected)
+    # and contribute nothing to the rotation estimate or the magic scan.
+    pre_shaped = samples.ndim == 2
+    if pre_shaped:
+        rows_ov = samples.astype(jnp.float32)
+        r = rows_ov.shape[0]
+        if rows_ov.shape[1] != LS + S:
+            raise ValueError("pre-shaped OFDM rows must be (r, L*S+S)")
+        n_sym = r * L
+    else:
+        n = samples.shape[-1]
+        n_sym = n // S
     if n_sym < 3:
         raise ValueError("signal shorter than three OFDM symbols")
-
-    xf = samples.astype(jnp.float32)[: n_sym * S]
+    if not pre_shaped:
+        xf = samples.astype(jnp.float32)[: n_sym * S]
     T = jnp.asarray(_ofdm_dual_templates(S, float(carrier), K, sample_rate, n_offsets))
 
     # --- pass 1: all-offset timing search on up to 3 SMALL symbol windows ---
@@ -250,9 +291,21 @@ def _ofdm_decision_streams(
     # capture is then projected once at the winning offset (pass 2).
     wsyms = min(n_sym - 1, 256)
     starts = sorted({0, max(0, n_sym // 2 - wsyms // 2), max(0, n_sym - 1 - wsyms)})
-    wins = [
-        jax.lax.dynamic_slice(xf, (s * S,), ((wsyms + 1) * S,)) for s in starts
-    ]
+    if pre_shaped:
+        # Slice evidence windows from the overlapped rows: round each start
+        # down to a row boundary; ``wrows`` rows plus the last row's overlap
+        # tail contain the window's (wsyms+1)*S contiguous samples.
+        wrows = -(-(wsyms + 1) // L)
+        wins = []
+        for s in starts:
+            r0 = min(s // L, r - wrows)
+            w = rows_ov[r0 : r0 + wrows]
+            flat_w = jnp.concatenate([w[:, :LS].reshape(-1), w[-1, LS:]])
+            wins.append(flat_w[: (wsyms + 1) * S])
+    else:
+        wins = [
+            jax.lax.dynamic_slice(xf, (s * S,), ((wsyms + 1) * S,)) for s in starts
+        ]
     xw = jnp.concatenate([w[: wsyms * S].reshape(wsyms, S) for w in wins], axis=0)
     xw_next = jnp.concatenate([w[S:].reshape(wsyms, S) for w in wins], axis=0)
     projw = (xw @ T[:S] + xw_next @ T[S:]).reshape(-1, n_offsets, K, 2)
@@ -280,18 +333,20 @@ def _ofdm_decision_streams(
     # matmul against the offset-selected table (_ofdm_shift_tables). The
     # old traced ``dynamic_slice`` of the stream cost 23 ms/batch on v5e —
     # TPU lowers a misaligned flat shift to a full lane rotation.
-    L = _ofdm_rows_per_block(S)
-    r = -(-n_sym // L)
-    LS, LK = L * S, L * K
+    LK = L * K
+    if not pre_shaped:
+        r = -(-n_sym // L)
     if tables is None:
         tables = _ofdm_shift_tables(
-            S, float(carrier), K, sample_rate, L, 1.0 + 0.0 * xf[0]
+            S, float(carrier), K, sample_rate, L,
+            1.0 + 0.0 * (rows_ov[0, 0] if pre_shaped else xf[0]),
         )
     off = best * S // n_offsets  # offset index -> sample offset (< S)
-    xpad = jnp.concatenate([xf, jnp.zeros(((r + 1) * LS - n_sym * S,), jnp.float32)])
-    main = xpad[: r * LS].reshape(r, LS)
-    nxt = xpad[LS:].reshape(r, LS)[:, :S]  # first S samples of each next row
-    rows_ov = jnp.concatenate([main, nxt], axis=1)  # (r, LS+S)
+    if not pre_shaped:
+        xpad = jnp.concatenate([xf, jnp.zeros(((r + 1) * LS - n_sym * S,), jnp.float32)])
+        main = xpad[: r * LS].reshape(r, LS)
+        nxt = xpad[LS:].reshape(r, LS)[:, :S]  # first S samples of each next row
+        rows_ov = jnp.concatenate([main, nxt], axis=1)  # (r, LS+S)
     proj = rows_ov @ tables[off]  # (r, 2*L*K): [re | im] lanes
     re = proj[:, :LK].reshape(-1)  # (r*L*K,) symbol-major, k-minor
     im = proj[:, LK:].reshape(-1)
@@ -383,17 +438,19 @@ def ofdm_decision_streams_batch(
     sample_rate: int,
     cfo: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, N) captures -> dual (hi, lo) dibit streams, each (B, n_dibits).
+    """Batched captures -> dual (hi, lo) dibit streams, each (B, n_dibits).
 
     The batched receive entry: vmapped core demod with NO bit interleave —
     the dual streams feed the same rotation-sync/pack tails as the DQPSK
     path (OFDM dibits are Gray pairs with the identical k*pi/2 relabeling
-    algebra), Pallas kernels included.
+    algebra), Pallas kernels included. Accepts (B, N) flat captures or the
+    host pre-shaped (B, r, L*S+S) overlapped rows (``ofdm_blocked_row_shape``
+    + ``host_shape_batch``), which skip the device-side row build.
     """
     S = _symbol_samples(sample_rate, int(baud), n_sub)
     L = _ofdm_rows_per_block(S)
     tables = _ofdm_shift_tables(
-        S, float(carrier), n_sub, sample_rate, L, 1.0 + 0.0 * samples[0, 0]
+        S, float(carrier), n_sub, sample_rate, L, 1.0 + 0.0 * samples.reshape(-1)[0]
     )
     hi, lo, _score, _gains, _dr, _di = jax.vmap(
         lambda x: _ofdm_decision_streams(

@@ -447,15 +447,30 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             # Dual-tone path: pre-overlapped (r, row+ov) rows built with two
             # numpy strided views — the device-side pad+reshape+lane-concat
             # this replaces cost ~half the dual-tone pipeline (PERF.md).
-            r, row, ov = shape
-            flat = np.zeros((b, (r + 1) * row), dtype=np.float32)
-            keep = min(batch.shape[1], r * row + ov)
-            flat[:, :keep] = batch[:, :keep]
-            shaped = np.empty((b, r, row + ov), dtype=np.float32)
-            shaped[:, :, :row] = flat[:, : r * row].reshape(b, r, row)
-            shaped[:, :, row:] = flat[:, row : (r + 1) * row].reshape(b, r, row)[:, :, :ov]
-            batch = shaped
+            batch = _overlap_rows(batch, *shape)
+    elif kind == "ofdm":
+        from ..ops.ofdm import ofdm_blocked_row_shape
+
+        baud, carrier, n_sub = params
+        shape = ofdm_blocked_row_shape(batch.shape[1], baud, int(n_sub), SAMPLE_RATE)
+        if shape is not None:
+            # Same treatment as dual-tone FSK: the overlapped rows are
+            # offset-independent (pass 2 selects a row-shifted weight table),
+            # so the row build is host strided views, not a device relayout.
+            batch = _overlap_rows(batch, *shape)
     return batch
+
+
+def _overlap_rows(batch: np.ndarray, r: int, row: int, ov: int) -> np.ndarray:
+    """(B, N) -> (B, r, row+ov) overlapped rows via two strided views."""
+    b = batch.shape[0]
+    flat = np.zeros((b, (r + 1) * row), dtype=np.float32)
+    keep = min(batch.shape[1], r * row + ov)
+    flat[:, :keep] = batch[:, :keep]
+    shaped = np.empty((b, r, row + ov), dtype=np.float32)
+    shaped[:, :, :row] = flat[:, : r * row].reshape(b, r, row)
+    shaped[:, :, row:] = flat[:, row : (r + 1) * row].reshape(b, r, row)[:, :, :ov]
+    return shaped
 
 
 def decode_sample_batch(

@@ -242,3 +242,46 @@ def test_ofdm_soft_threshold_equals_hard_decisions(rng):
     lo_soft = (0.5 + (di - dr) > 0.5).astype(np.uint8)  # b > 0
     assert (hi_soft == hi_hard).all()
     assert (lo_soft == lo_hard).all()
+
+
+def test_ofdm_host_shaped_rows_equal_flat(tmp_path, monkeypatch, rng):
+    """The host pre-shaped (B, r, L*S+S) overlapped-row path must recover the
+    same frames as the flat (B, N) path, under noise and leading silence
+    (it IS the flat path minus the device row build; pass-1 windows are
+    row-aligned, so evidence differs slightly — decisions must not)."""
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.parallel.batch import demod_pack_batch, host_shape_batch
+
+    for n_sub, noise, lead in ((4, 0.0, 0), (4, 0.05, 3000), (8, 0.05, 0)):
+        framed = _frame(PAYLOAD[:300])
+        wave = np.asarray(ofdm_modulate(framed, baud=4800, num_subcarriers=n_sub))
+        cap = np.concatenate([np.zeros(lead, np.float32), wave.astype(np.float32)])
+        cap = cap + noise * rng.standard_normal(len(cap)).astype(np.float32)
+        mode = f"OFDM{n_sub}"
+
+        flat = jnp.asarray(cap)[None, :]
+        p1, n1, f1 = demod_pack_batch(flat, mode, 4800)
+        shaped = host_shape_batch(cap[None, :], mode, 4800)
+        assert shaped.ndim == 3, "host shaping must produce overlapped rows"
+        p2, n2, f2 = demod_pack_batch(jnp.asarray(shaped), mode, 4800)
+
+        raw1 = bytes(np.asarray(p1[0])[: int(n1[0])])
+        raw2 = bytes(np.asarray(p2[0])[: int(n2[0])])
+        fr1, fr2 = parse_frames(raw1), parse_frames(raw2)
+        assert bool(f1[0]) and bool(f2[0]), (n_sub, noise, lead)
+        assert fr1 and fr2 and fr1[0].data == fr2[0].data == PAYLOAD[:300]
+
+
+def test_ofdm_row_shape_geometry():
+    from audio_modem_radio_tpu.ops.ofdm import (
+        _ofdm_rows_per_block,
+        ofdm_blocked_row_shape,
+    )
+
+    S = _symbol_samples(96000, 4800, 4)
+    L = _ofdm_rows_per_block(S)
+    got = ofdm_blocked_row_shape(100 * S, 4800, 4, 96000)
+    assert got == (-(-100 // L), L * S, S)
+    assert ofdm_blocked_row_shape(2 * S, 4800, 4, 96000) is None
