@@ -23,3 +23,5 @@ timeout 1800 python benchmarks/honest.py --modes FSK19200 --batch 64 \
 timeout 3600 python benchmarks/honest.py --out benchmarks/honest_results.json \
   || echo "FULL MATRIX FAILED"
 timeout 1200 python bench.py --smoke || echo "SMOKE FAILED"
+timeout 1800 python benchmarks/honest.py --modes OFDM4,OFDM8 \
+  --out benchmarks/honest_ofdm_rows.json || echo "OFDM ROWS FAILED"
