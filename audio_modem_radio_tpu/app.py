@@ -315,7 +315,12 @@ class ConsoleApp:
             "log": self.do_log,
         }
         while True:
-            cmd = self._input("menu")
+            try:
+                cmd = input("menu: ").strip()
+            except EOFError:
+                # Closed stdin (piped input exhausted, headless fallback):
+                # exit like "quit" instead of busy-looping on the default.
+                cmd = "quit"
             if cmd in ("quit", "exit", "q"):
                 self.analytics.save()
                 return

@@ -154,3 +154,16 @@ def test_tui_render_functions():
 
     bar = render_volume_bar(0.5, width=10)
     assert bar.count("#") == 5 and " 50%" in bar
+
+
+def test_run_exits_on_eof(monkeypatch, tmp_path, capsys):
+    """Closed stdin must exit the REPL like 'quit', not busy-loop on the
+    empty default (regression: piping empty input spun forever)."""
+    monkeypatch.chdir(tmp_path)
+    from audio_modem_radio_tpu.app import ConsoleApp
+
+    def eof_input(prompt=""):
+        raise EOFError
+
+    monkeypatch.setattr("builtins.input", eof_input)
+    ConsoleApp().run()  # returns instead of spinning
