@@ -510,6 +510,38 @@ def analytic_bandpass_fir_dec(
     return zr, zi
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("low_hz", "high_hz", "sample_rate", "decimate", "taps"),
+)
+def analytic_fir_dec_rows(
+    rows: jnp.ndarray,
+    low_hz: float,
+    high_hz: float,
+    sample_rate: int,
+    decimate: int,
+    taps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-shaped-rows variant of :func:`analytic_bandpass_fir_dec`.
+
+    ``rows`` are host-built (r, 128*decimate + taps - decimate) overlapped
+    windows of ``[zeros((taps-1)//2), x]`` (``ops.fsk.fsk_fir_row_shape`` /
+    ``parallel.batch.host_shape_batch``) — identical to the windows the flat
+    variant builds on device, so the outputs are bit-equal; the device just
+    never pays the pad+reshape+lane-concat relayout. Returns flat
+    ``(zr, zi)`` of length ``r*128`` (>= ceil(n/decimate); the tail rows are
+    zero-padding's zeros)."""
+    D, T, L = decimate, taps, 128
+    if rows.shape[-1] != L * D + T - D:
+        raise ValueError("rows must be (r, 128*decimate + taps - decimate)")
+    W = jnp.asarray(
+        _fir_dec_template(float(low_hz), float(high_hz), int(sample_rate), T, D, L)
+    )
+    z2 = rows.astype(jnp.float32) @ W  # (r, 2L)
+    r = rows.shape[0]
+    return z2[:, :L].reshape(r * L), z2[:, L:].reshape(r * L)
+
+
 _OLS_BLOCK = 1 << 17  # overlap-save FFT block (power of 2)
 
 

@@ -53,6 +53,7 @@ from .common import (
     analytic_bandpass,
     analytic_bandpass_fir,
     analytic_bandpass_fir_dec,
+    analytic_fir_dec_rows,
     bit_sync_and_pack,
     bytes_to_bits,
 )
@@ -518,6 +519,46 @@ def fsk_blocked_row_shape(
     return -(-n_bits // spr), row, ov
 
 
+def _fir_frontend_plan(
+    baud: float, mark: float, space: float, sample_rate: int
+) -> Tuple[float, float, int, int]:
+    """(band_lo, band_hi, dec, taps) of the matmul FIR front end for a
+    close/mid-tone config — the ONE place this geometry is defined, shared
+    by the device path (:func:`fsk_demod_bits`) and the host pre-shaper
+    (:func:`fsk_fir_row_shape`)."""
+    spb = _samples_per_bit(sample_rate, baud)
+    sep = _separation_cycles(baud, mark, space, sample_rate)
+    lo_f, hi_f = min(mark, space), max(mark, space)
+    band_lo = max(lo_f - baud, 10.0)
+    band_hi = min(hi_f + baud, sample_rate / 2 - 10.0)
+    if sep >= 0.4:  # mid separation: analytic image suppression only, dec=1
+        return band_lo, band_hi, 1, 129
+    dec = _discriminator_decimation(spb, band_hi, sample_rate)
+    return band_lo, band_hi, dec, _mm_taps(dec)
+
+
+def fsk_fir_row_shape(
+    n_samples: int, baud: float, mark: float, space: float, sample_rate: int
+):
+    """Host helper: (r, row=128*dec, ov=taps-dec, lead=(taps-1)//2) for
+    pre-shaping the matmul FIR front end's overlapped input windows on
+    close/mid-tone configs (FSK9600/FSK19200), or None for dual-tone configs
+    (:func:`fsk_blocked_row_shape` covers those) and too-short captures.
+    Build rows from ``[zeros(lead), x]`` — row i is
+    ``padded[i*row : i*row + row + ov]`` — and pass a (r, row+ov) array to
+    :func:`fsk_demod_bits` (``frontend='matmul'``, ``mlse=False`` only: MLSE
+    refinement correlates the RAW samples)."""
+    if _separation_cycles(baud, mark, space, sample_rate) >= 0.8:
+        return None
+    spb = _samples_per_bit(sample_rate, baud)
+    if n_samples // spb < 2:
+        return None
+    _lo, _hi, dec, taps = _fir_frontend_plan(baud, mark, space, sample_rate)
+    nd_out = -(-n_samples // dec)
+    r = -(-nd_out // 128)
+    return r, 128 * dec, taps - dec, (taps - 1) // 2
+
+
 def _rows_with_overlap(x: jnp.ndarray, n_used: int, r: int, row: int, ov: int) -> jnp.ndarray:
     """1-D samples -> (r, row+ov) overlapped lane rows (zero-padded)."""
     x_pad = jnp.pad(x[:n_used], (0, r * row + ov - n_used))
@@ -749,17 +790,35 @@ def fsk_demod_bits(
     spr, row, ov = _fsk_geometry(spb)
     sep = _separation_cycles(baud, mark, space, sample_rate)
     pre_shaped = samples.ndim == 2
-    if pre_shaped:
+    fir_rows = None
+    if pre_shaped and sep >= 0.8:
         # (r, row+ov) host-overlapped rows (see fsk_blocked_row_shape):
         # skips the device-side pad+reshape+lane-concat whose tiled-layout
         # shuffle costs more than the projection matmul (same finding as the
-        # PSK host row shaping, PERF.md). Dual-tone path only; trailing pad
-        # bits are garbage the sync/parse stage ignores.
-        if sep < 0.8 or samples.shape[1] != row + ov:
-            raise ValueError("pre-shaped rows require a dual-tone config and row+ov columns")
+        # PSK host row shaping, PERF.md). Trailing pad bits are garbage the
+        # sync/parse stage ignores.
+        if samples.shape[1] != row + ov:
+            raise ValueError("pre-shaped dual-tone rows must have row+ov columns")
         r = samples.shape[0]
         n_bits = r * spr
         xov = samples.astype(jnp.float32)
+    elif pre_shaped:
+        # Close/mid-tone configs: the rows are the matmul FIR front end's
+        # overlapped input windows (see fsk_fir_row_shape) — bit-equal to the
+        # windows analytic_bandpass_fir_dec builds on device from flat input.
+        if frontend != "matmul":
+            raise ValueError("pre-shaped FIR rows require frontend='matmul'")
+        if mlse:
+            raise ValueError(
+                "pre-shaped FIR rows are incompatible with MLSE refinement "
+                "(it correlates the raw samples); pass flat samples"
+            )
+        _plo, _phi, dec_p, taps_p = _fir_frontend_plan(baud, mark, space, sample_rate)
+        if samples.shape[1] != 128 * dec_p + taps_p - dec_p:
+            raise ValueError("pre-shaped FIR rows have the wrong column count")
+        fir_rows = samples.astype(jnp.float32)
+        n_bits = (fir_rows.shape[0] * 128 * dec_p) // spb
+        r = -(-n_bits // spr)
     else:
         n = samples.shape[-1]
         n_bits = n // spb
@@ -809,7 +868,9 @@ def fsk_demod_bits(
         # transform's only job is suppressing the negative-frequency image.
         b_lo = max(lo_f - baud, 10.0)
         b_hi = min(hi_f + baud, sample_rate / 2 - 10.0)
-        if frontend == "fir":
+        if fir_rows is not None:
+            zr, zi = analytic_fir_dec_rows(fir_rows, b_lo, b_hi, sample_rate, 1, 129)
+        elif frontend == "fir":
             z = analytic_bandpass_fir(x, b_lo, b_hi, sample_rate, taps=_FIR_TAPS)
             zr = jnp.real(z).astype(jnp.float32)
             zi = jnp.imag(z).astype(jnp.float32)
@@ -861,7 +922,11 @@ def fsk_demod_bits(
     band_lo = max(lo_f - baud, 10.0)
     band_hi = min(hi_f + baud, sample_rate / 2 - 10.0)
     dec = 1 if frontend == "fir" else _discriminator_decimation(spb, band_hi, sample_rate)
-    if frontend == "fir":
+    if fir_rows is not None:
+        zr, zi = analytic_fir_dec_rows(
+            fir_rows, band_lo, band_hi, sample_rate, dec, _mm_taps(dec)
+        )
+    elif frontend == "fir":
         z = analytic_bandpass_fir(x, band_lo, band_hi, sample_rate, taps=_FIR_TAPS)
         zr, zi = jnp.real(z).astype(jnp.float32), jnp.imag(z).astype(jnp.float32)
     elif frontend == "matmul":

@@ -439,7 +439,7 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             shaped[:, :keep] = batch[:, :keep]
             batch = shaped.reshape(b, r, row)
     elif kind == "fsk":
-        from ..ops.fsk import fsk_blocked_row_shape
+        from ..ops.fsk import fsk_blocked_row_shape, fsk_fir_row_shape
 
         baud, mark, space = params
         shape = fsk_blocked_row_shape(batch.shape[1], baud, mark, space, SAMPLE_RATE)
@@ -448,6 +448,16 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             # numpy strided views — the device-side pad+reshape+lane-concat
             # this replaces cost ~half the dual-tone pipeline (PERF.md).
             batch = _overlap_rows(batch, *shape)
+        elif not bool(CONFIG.get("modem.batch_mlse", False)):
+            # Close/mid-tone configs (FSK9600/FSK19200): pre-shape the matmul
+            # FIR front end's overlapped input windows instead — the same
+            # relayout the device otherwise builds inside
+            # analytic_bandpass_fir_dec. MLSE refinement needs the raw flat
+            # samples, so the (non-default) batch_mlse config keeps (B, N).
+            fshape = fsk_fir_row_shape(batch.shape[1], baud, mark, space, SAMPLE_RATE)
+            if fshape is not None:
+                r, rowl, ov, lead = fshape
+                batch = _overlap_rows(batch, r, rowl, ov, lead=lead)
     elif kind == "ofdm":
         from ..ops.ofdm import ofdm_blocked_row_shape
 
@@ -461,12 +471,19 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
     return batch
 
 
-def _overlap_rows(batch: np.ndarray, r: int, row: int, ov: int) -> np.ndarray:
-    """(B, N) -> (B, r, row+ov) overlapped rows via two strided views."""
+def _overlap_rows(
+    batch: np.ndarray, r: int, row: int, ov: int, lead: int = 0
+) -> np.ndarray:
+    """(B, N) -> (B, r, row+ov) overlapped rows via two strided views.
+
+    ``lead`` zero-samples are logically prepended first (the FIR front end's
+    center-tap alignment) without materializing the concatenation."""
+    if ov > row:
+        raise ValueError("overlap must not exceed the row length")
     b = batch.shape[0]
     flat = np.zeros((b, (r + 1) * row), dtype=np.float32)
-    keep = min(batch.shape[1], r * row + ov)
-    flat[:, :keep] = batch[:, :keep]
+    keep = min(batch.shape[1], r * row + ov - lead)
+    flat[:, lead : lead + keep] = batch[:, :keep]
     shaped = np.empty((b, r, row + ov), dtype=np.float32)
     shaped[:, :, :row] = flat[:, : r * row].reshape(b, r, row)
     shaped[:, :, row:] = flat[:, row : (r + 1) * row].reshape(b, r, row)[:, :, :ov]

@@ -211,3 +211,53 @@ def test_fsk_matmul_frontend_roundtrip_all_families(baud, mark, space):
         # floor with mlse=False (ops/fsk.py); allow single-bit residuals —
         # clean-audio file round-trips run MLSE and are exact.
         assert errs <= 3, f"frontend {fe}: {errs} bit errors on clean audio"
+
+
+@pytest.mark.parametrize(
+    "baud,mark,space",
+    [(9600.0, 1200.0, 2200.0), (19200.0, 8000.0, 16000.0)],
+)
+def test_fsk_fir_pre_shaped_rows_match_flat(baud, mark, space):
+    """Host-built FIR front-end windows must yield BIT-EQUAL output to the
+    flat path (same windows, same template, same op order) for both the
+    discriminator (FSK9600, dec=4) and the mid-separation matched filter
+    (FSK19200, dec=1)."""
+    from audio_modem_radio_tpu.ops.fsk import (
+        fsk_demod_bits,
+        fsk_fir_row_shape,
+        fsk_modulate,
+    )
+    from audio_modem_radio_tpu.parallel.batch import _overlap_rows
+
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+    wave = np.asarray(fsk_modulate(payload, baud, mark, space), np.float32)
+    wave = wave + 0.02 * rng.standard_normal(len(wave)).astype(np.float32)
+
+    bits_flat, _ = fsk_demod_bits(
+        jnp.asarray(wave), baud, mark, space, 96000, mlse=False
+    )
+
+    shape = fsk_fir_row_shape(len(wave), baud, mark, space, 96000)
+    assert shape is not None
+    r, row, ov, lead = shape
+    shaped = _overlap_rows(wave[None, :], r, row, ov, lead=lead)[0]
+    bits_pre, _ = fsk_demod_bits(
+        jnp.asarray(shaped), baud, mark, space, 96000, mlse=False
+    )
+
+    nb = min(bits_flat.shape[0], bits_pre.shape[0])
+    assert np.array_equal(np.asarray(bits_pre)[:nb], np.asarray(bits_flat)[:nb])
+    assert bits_pre.shape[0] >= bits_flat.shape[0]
+
+
+def test_fsk_fir_pre_shaped_rejects_mlse_and_dual_tone():
+    from audio_modem_radio_tpu.ops.fsk import fsk_demod_bits, fsk_fir_row_shape
+
+    # Dual-tone configs have no FIR-row geometry (detector rows cover them).
+    assert fsk_fir_row_shape(96000, 1200.0, 1200.0, 2200.0, 96000) is None
+    shape = fsk_fir_row_shape(96000, 9600.0, 1200.0, 2200.0, 96000)
+    r, row, ov, _lead = shape
+    rows = jnp.zeros((r, row + ov), jnp.float32)
+    with pytest.raises(ValueError, match="MLSE"):
+        fsk_demod_bits(rows, 9600.0, 1200.0, 2200.0, 96000, mlse=True)
