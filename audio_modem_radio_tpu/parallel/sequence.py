@@ -32,6 +32,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..ops.fsk import (
+    _fsk_blocked_templates,
+    _fsk_geometry,
+    _samples_per_bit,
+    _separation_cycles,
+)
 from ..ops.psk import (
     _BLOCK_SYM,
     _blocked_templates,
@@ -127,6 +133,72 @@ def demod_capture_sharded(
     return _shard_demod(x_dev)
 
 
+def demod_fsk_capture_sharded(
+    samples: np.ndarray,
+    baud: float,
+    mark: float,
+    space: float,
+    mesh: Mesh,
+    sample_rate: int = SAMPLE_RATE,
+    n_offsets: int = 8,
+) -> jnp.ndarray:
+    """Dual-tone FSK demod of ONE capture, sample axis sharded over ``mesh``.
+
+    Simpler couplings than the PSK case: the detector is per-bit noncoherent
+    energy (no differential), so the only cross-shard data is the row
+    overlap — each shard receives its right neighbor's first ``ov`` samples
+    via one ``ppermute``. Bit-offset scoring still needs the global ``psum``
+    consensus (a shard of leading silence must not pick its own offset).
+    Returns the bit array, still sharded on the mesh's data axis.
+    """
+    spb = _samples_per_bit(sample_rate, baud)
+    if _separation_cycles(baud, mark, space, sample_rate) < 0.8:
+        raise ValueError(
+            "sequence-parallel FSK covers dual-tone configs; close-tone "
+            "discriminator configs decode via the batched or single paths"
+        )
+    spr, row, ov = _fsk_geometry(spb)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    W = jnp.asarray(
+        _fsk_blocked_templates(spb, float(mark), float(space), sample_rate, n_offsets)
+    )
+    c = row + ov
+
+    n = len(samples)
+    r_total = max(2 * n_dev, -(-(-(-n // row)) // n_dev) * n_dev)
+    x = np.zeros(r_total * row, dtype=np.float32)
+    x[:n] = samples[: r_total * row]
+    r_local = r_total // n_dev
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS)
+    )
+    def _shard_demod(x_local: jnp.ndarray) -> jnp.ndarray:
+        xr = x_local.reshape(r_local, row)
+        head = x_local[:ov]  # right neighbor's head completes the last row
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        halo = jax.lax.ppermute(head[None], DATA_AXIS, perm)[0]
+        nxt = jnp.concatenate([xr[1:, :ov], halo[None]], axis=0)
+        xov = jnp.concatenate([xr, nxt], axis=1)  # (r_local, row+ov)
+
+        # Local offset margins -> global consensus.
+        pj = (xov @ W.transpose(1, 0, 2).reshape(c, -1)).reshape(
+            r_local, n_offsets, 4, spr
+        )
+        em = pj[:, :, 0] ** 2 + pj[:, :, 1] ** 2
+        es = pj[:, :, 2] ** 2 + pj[:, :, 3] ** 2
+        local_score = jnp.sum(jnp.abs(em - es), axis=(0, 2))  # (n_offsets,)
+        score = jax.lax.psum(local_score, DATA_AXIS)
+        best = jnp.argmax(score)
+
+        pj2 = (xov @ W[best]).reshape(r_local, 4, spr)
+        margin = (pj2[:, 0] ** 2 + pj2[:, 1] ** 2) - (pj2[:, 2] ** 2 + pj2[:, 3] ** 2)
+        return (margin > 0).astype(jnp.uint8).reshape(-1)
+
+    x_dev = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(DATA_AXIS)))
+    return _shard_demod(x_dev)
+
+
 def decode_capture_sharded(
     samples: np.ndarray,
     mode: str,
@@ -134,15 +206,26 @@ def decode_capture_sharded(
     mesh: Mesh,
     sample_rate: int = SAMPLE_RATE,
 ) -> bytes:
-    """Full sequence-parallel receive for a PSK-family mode: sharded demod,
-    then sync+pack on the logically-global bit array."""
+    """Full sequence-parallel receive: sharded demod, then sync+pack on the
+    logically-global bit array. PSK family and dual-tone FSK."""
     from ..framing import MAGIC_BIT_PATTERN
     from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
     from .batch import resolve_demod_plan
 
     kind, params = resolve_demod_plan(mode, symbol_rate)
+    if kind == "fsk":
+        baud_f, mark, space = params
+        bits = demod_fsk_capture_sharded(
+            samples, baud_f, mark, space, mesh, sample_rate=sample_rate
+        )
+        with mesh:
+            start, _found = jax.jit(
+                lambda b: find_bit_pattern(b, MAGIC_BIT_PATTERN)
+            )(bits)
+            packed, n_valid = jax.jit(pack_bits_from)(bits, start)
+        return bytes(np.asarray(packed)[: int(n_valid)])
     if kind not in ("psk2", "psk4"):
-        raise ValueError(f"sequence-parallel decode supports PSK modes, not {mode}")
+        raise ValueError(f"sequence-parallel decode supports PSK/FSK modes, not {mode}")
     baud, carrier = params
 
     d_re, d_im = demod_capture_sharded(

@@ -45,5 +45,44 @@ def test_sharded_with_leading_silence():
 
 
 def test_unsupported_mode_raises():
+    # Text-fax modes have no sequence-parallel path (FSK joined in round 3).
     with pytest.raises(ValueError):
-        decode_capture_sharded(np.zeros(96000, np.float32), "FSK1200", 1200, get_mesh())
+        decode_capture_sharded(
+            np.zeros(96000, np.float32), "HELLSCHREIBER", 1200, get_mesh()
+        )
+
+
+def test_sharded_fsk_roundtrip():
+    """Dual-tone FSK through the sequence-parallel path: ppermute row-overlap
+    halo + psum offset consensus, then global magic sync."""
+    wave = _tx("FSK1200", 1200)
+    raw = decode_capture_sharded(wave, "FSK1200", 1200, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
+
+
+def test_sharded_fsk_with_leading_silence():
+    wave = _tx("FSK1200", 1200)
+    capture = np.concatenate([np.zeros(40_000, np.float32), wave])
+    raw = decode_capture_sharded(capture, "FSK1200", 1200, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
+
+
+def test_sharded_fsk_matches_single_device():
+    from audio_modem_radio_tpu.ops.fsk import fsk_demodulate
+
+    wave = _tx("FSK1200", 1200)
+    raw_sharded = decode_capture_sharded(wave, "FSK1200", 1200, get_mesh())
+    raw_single = fsk_demodulate(wave, 1200, 1200.0, 2200.0, 96000)
+    f_sh, f_si = parse_frames(raw_sharded), parse_frames(raw_single)
+    assert f_sh and f_si and f_sh[0].data == f_si[0].data == PAYLOAD
+
+
+def test_sharded_fsk_discriminator_config_raises():
+    from audio_modem_radio_tpu.parallel.sequence import demod_fsk_capture_sharded
+
+    with pytest.raises(ValueError, match="dual-tone"):
+        demod_fsk_capture_sharded(
+            np.zeros(96000, np.float32), 9600.0, 1200.0, 2200.0, get_mesh()
+        )
