@@ -199,6 +199,112 @@ def demod_fsk_capture_sharded(
     return _shard_demod(x_dev)
 
 
+def demod_ofdm_capture_sharded(
+    samples: np.ndarray,
+    baud: float,
+    carrier: float,
+    n_sub: int,
+    mesh: Mesh,
+    sample_rate: int = SAMPLE_RATE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """OFDM demod of ONE capture, sample axis sharded over ``mesh``.
+
+    Cross-shard couplings: the S-sample row overlap (one ``ppermute`` of the
+    right neighbor's head), the timing-offset consensus (each shard scores a
+    window of its OWN symbols — 8 shards give better evidence coverage than
+    the single-device core's 3 windows — and a ``psum`` combines them), and
+    the per-subcarrier differential at the shard boundary (one ``ppermute``
+    of the neighbor's first symbol's projections). Subcarrier-gain
+    equalization is skipped: it scales each subcarrier's differential by a
+    positive constant, and the Gray decisions are signs. Like the PSK
+    sequence path this assumes a carrier-exact capture (no blind CFO
+    derotation); CFO-robust decode is the batched path's job. Returns the
+    dual (hi, lo) dibit streams, still sharded on the mesh's data axis.
+    """
+    from ..ops.ofdm import (
+        _ofdm_dual_templates,
+        _ofdm_rows_per_block,
+        _ofdm_shift_tables,
+        _symbol_samples,
+    )
+
+    K = int(n_sub)
+    S = _symbol_samples(sample_rate, int(baud), K)
+    L = _ofdm_rows_per_block(S)
+    LS, LK = L * S, L * K
+    n_offsets = S
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    n = len(samples)
+    r_total = max(n_dev, -(-(-(-n // LS)) // n_dev) * n_dev)
+    x = np.zeros(r_total * LS, dtype=np.float32)
+    x[:n] = samples[: r_total * LS]
+    r_local = r_total // n_dev
+    if r_local * L < 3:
+        raise ValueError("capture too short per shard for OFDM timing search")
+
+    T = jnp.asarray(_ofdm_dual_templates(S, float(carrier), K, sample_rate, n_offsets))
+    tables = _ofdm_shift_tables(
+        S, float(carrier), K, sample_rate, L, jnp.float32(1.0)
+    )
+
+    wsyms = min(r_local * L - 1, 256)
+    wrows = -(-(wsyms + 1) // L)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    def _shard_demod(x_local, T_, tables_):
+        xr = x_local.reshape(r_local, LS)
+        head = x_local[:S]
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        halo = jax.lax.ppermute(head[None], DATA_AXIS, perm)[0]
+        nxt = jnp.concatenate([xr[1:, :S], halo[None]], axis=0)
+        rows_ov = jnp.concatenate([xr, nxt], axis=1)  # (r_local, LS+S)
+
+        # Pass 1: this shard's leading window scores every offset; psum
+        # combines the shards (per-window gain normalization stays local,
+        # exactly like the core's per-window estimate).
+        w = rows_ov[:wrows]
+        flat_w = jnp.concatenate([w[:, :LS].reshape(-1), w[-1, LS:]])
+        xw = flat_w[: wsyms * S].reshape(wsyms, S)
+        xw_next = flat_w[S : (wsyms + 1) * S].reshape(wsyms, S)
+        projw = (xw @ T_[:S] + xw_next @ T_[S:]).reshape(wsyms, n_offsets, K, 2)
+        rew, imw = projw[..., 0], projw[..., 1]
+        gains_w = jnp.sqrt(jnp.mean(rew**2 + imw**2, axis=0)) + 1e-9
+        rew, imw = rew / gains_w[None], imw / gains_w[None]
+        d_re_w = rew[1:] * rew[:-1] + imw[1:] * imw[:-1]
+        d_im_w = imw[1:] * rew[:-1] - rew[1:] * imw[:-1]
+        a, b = d_re_w * d_re_w, d_im_w * d_im_w
+        local_score = jnp.sum(((a - b) ** 2 - 4 * a * b) / (a + b + 1e-20), axis=(0, 2))
+        score = jax.lax.psum(local_score, DATA_AXIS)
+        best = jnp.argmax(score)
+        off = best * S // n_offsets
+
+        # Pass 2 + boundary differential.
+        proj = rows_ov @ tables_[off]  # (r_local, 2*L*K)
+        re = proj[:, :LK].reshape(-1)
+        im = proj[:, LK:].reshape(-1)
+        nb = jnp.concatenate([re[:K], im[:K]])  # first symbol -> left neighbor
+        nb = jax.lax.ppermute(nb[None], DATA_AXIS, perm)[0]
+        re_n = jnp.concatenate([re[K:], nb[:K]])
+        im_n = jnp.concatenate([im[K:], nb[K:]])
+        dr = re_n * re + im_n * im
+        di = im_n * re - re_n * im
+
+        swap = jnp.abs(di) > jnp.abs(dr)
+        neg = jnp.where(swap, di < 0, dr < 0)
+        hi = neg.astype(jnp.uint8)
+        lo = jnp.where(swap, ~neg, neg).astype(jnp.uint8)
+        return hi, lo
+
+    x_dev = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(DATA_AXIS)))
+    return _shard_demod(x_dev, T, tables)
+
+
 def decode_capture_sharded(
     samples: np.ndarray,
     mode: str,
@@ -207,7 +313,7 @@ def decode_capture_sharded(
     sample_rate: int = SAMPLE_RATE,
 ) -> bytes:
     """Full sequence-parallel receive: sharded demod, then sync+pack on the
-    logically-global bit array. PSK family and dual-tone FSK."""
+    logically-global bit array. PSK family, dual-tone FSK, and OFDM."""
     from ..framing import MAGIC_BIT_PATTERN
     from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
     from .batch import resolve_demod_plan
@@ -224,8 +330,18 @@ def decode_capture_sharded(
             )(bits)
             packed, n_valid = jax.jit(pack_bits_from)(bits, start)
         return bytes(np.asarray(packed)[: int(n_valid)])
+    if kind == "ofdm":
+        baud_o, carrier_o, n_sub = params
+        hi, lo = demod_ofdm_capture_sharded(
+            samples, baud_o, carrier_o, int(n_sub), mesh, sample_rate=sample_rate
+        )
+        with mesh:
+            packed, n_valid, _found = jax.jit(
+                lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
+            )(hi, lo)
+        return bytes(np.asarray(packed)[: int(n_valid)])
     if kind not in ("psk2", "psk4"):
-        raise ValueError(f"sequence-parallel decode supports PSK/FSK modes, not {mode}")
+        raise ValueError(f"sequence-parallel decode supports PSK/FSK/OFDM modes, not {mode}")
     baud, carrier = params
 
     d_re, d_im = demod_capture_sharded(

@@ -86,3 +86,20 @@ def test_sharded_fsk_discriminator_config_raises():
         demod_fsk_capture_sharded(
             np.zeros(96000, np.float32), 9600.0, 1200.0, 2200.0, get_mesh()
         )
+
+
+def test_sharded_ofdm_roundtrip():
+    """OFDM through the sequence-parallel path: S-sample row-overlap halo,
+    per-shard window scoring psum-combined, boundary-differential ppermute."""
+    wave = _tx("OFDM4", 4800)
+    raw = decode_capture_sharded(wave, "OFDM4", 4800, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
+
+
+def test_sharded_ofdm_with_leading_silence():
+    wave = _tx("OFDM8", 4800)
+    capture = np.concatenate([np.zeros(50_000, np.float32), wave])
+    raw = decode_capture_sharded(capture, "OFDM8", 4800, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
