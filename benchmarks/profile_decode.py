@@ -27,19 +27,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _pipelined(fn, *args, reps: int = 8, inflight: int = 4) -> float:
-    import jax
+def _pipelined(fn, *args, reps: int = 8) -> float:
+    """Honest per-dispatch seconds (value-fetch synced slope; _timing.py —
+    block_until_ready does NOT sync over the axon tunnel, PERF.md)."""
+    from _timing import timed
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    outs = []
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        outs.append(fn(*args))
-        if len(outs) > inflight:
-            jax.block_until_ready(outs.pop(0))
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / reps
+    return timed(fn, *args, reps=reps)
 
 
 def main() -> int:
@@ -89,6 +82,22 @@ def main() -> int:
     total = B * N
     print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
     print(f"workload: {args.mode}@{baud}Bd, batch {B} x 2^{args.samples} samples\n")
+
+    # DMA-floor probe: one full HBM read of the input, no compute to speak
+    # of. The fused pipeline can't beat this; the gap to it says whether the
+    # decide kernel is DMA-bound (chase layouts/dtypes) or VPU-bound (chase
+    # in-kernel work).
+    f_floor = jax.jit(lambda x: jnp.sum(x, axis=tuple(range(1, x.ndim))))
+    t = _pipelined(f_floor, x, reps=args.reps)
+    print(f"HBM read floor (sum):       {t * 1e3:8.1f} ms  ({total / t / 1e9:5.1f} GS/s)")
+
+    from audio_modem_radio_tpu.ops.psk import psk_decision_streams_batch
+
+    f_decide = jax.jit(
+        lambda x: psk_decision_streams_batch(x, float(baud), 3000.0, 96000, cfo=True)
+    )
+    t = _pipelined(f_decide, x, reps=args.reps)
+    print(f"fused decide kernel alone:  {t * 1e3:8.1f} ms  ({total / t / 1e9:5.1f} GS/s)")
 
     f_streams = jax.jit(lambda x: psk_demod_streams_batch(x, float(baud), 3000.0, 96000))
     t = _pipelined(f_streams, x, reps=args.reps)

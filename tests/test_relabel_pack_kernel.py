@@ -351,7 +351,7 @@ def test_psk4_prefix_scan_equals_full(placement, rng, monkeypatch):
         assert bool(np.asarray(got[2]).all())
 
 
-@pytest.mark.parametrize("placement", ["early", "late"])
+@pytest.mark.parametrize("placement", ["early", "late", "mixed", "absent"])
 def test_psk2_prefix_scan_equals_full(placement, rng, monkeypatch):
     from audio_modem_radio_tpu.framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
     import audio_modem_radio_tpu.parallel.batch as batch_mod
@@ -359,7 +359,7 @@ def test_psk2_prefix_scan_equals_full(placement, rng, monkeypatch):
 
     b, r = 2, 512
     m = r * 128
-    rng = np.random.default_rng(91 if placement == "early" else 92)
+    rng = np.random.default_rng(hash(placement) % 2**31)
     re = rng.integers(0, 2, (b, m), dtype=np.uint8)
     im = rng.integers(0, 2, (b, m), dtype=np.uint8)
     pat = np.asarray([int(c) for c in MAGIC_BIT_PATTERN + MAGIC_BIT_PATTERN2], np.uint8)
@@ -367,11 +367,19 @@ def test_psk2_prefix_scan_equals_full(placement, rng, monkeypatch):
     if placement == "early":
         for i in range(b):
             re[i, 20 + i : 20 + i + len(pat)] = pat
-    else:
+    elif placement == "late":
         re[:, :prefix_bits] = 0
         im[:, :prefix_bits] = 0
         for i in range(b):
             re[i, prefix_bits + 777 + i : prefix_bits + 777 + i + len(pat)] = pat
+    elif placement == "mixed":
+        re[0, 31 : 31 + len(pat)] = pat
+        re[1, :prefix_bits] = 0
+        im[1, :prefix_bits] = 0
+        re[1, prefix_bits + 99 : prefix_bits + 99 + len(pat)] = pat
+    else:  # absent: zero prefix keeps hit=False; nothing embedded anywhere
+        re[:, :prefix_bits] = 0
+        im[:, :prefix_bits] = 0
 
     rj, ij = jnp.asarray(re), jnp.asarray(im)
     got = psk2_kernel_sync_tail(rj, ij, True, interpret=True)
@@ -379,4 +387,5 @@ def test_psk2_prefix_scan_equals_full(placement, rng, monkeypatch):
     ref = psk2_kernel_sync_tail(rj, ij, True, interpret=True)
     for g, r_ in zip(got, ref):
         assert np.array_equal(np.asarray(g), np.asarray(r_))
-    assert bool(np.asarray(got[2]).all())
+    if placement in ("early", "late", "mixed"):
+        assert bool(np.asarray(got[2]).all())
