@@ -193,3 +193,33 @@ def test_decode_wav_batch_survives_corrupt_wav(tmp_path, monkeypatch, rng):
     assert res[1] == []
     for saved, p in ((res[0], pays[0]), (res[2], pays[2])):
         assert saved and open(saved[0], "rb").read() == p
+
+
+def test_overlap_rows_property():
+    """_overlap_rows == the naive pad-then-slice construction for random
+    geometry, including lead offsets and ov == row (hypothesis-style sweep;
+    the helper now feeds the FSK dual-tone, FSK FIR and OFDM shaping)."""
+    from audio_modem_radio_tpu.parallel.batch import _overlap_rows
+
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        r = int(rng.integers(1, 6))
+        row = int(rng.integers(2, 40))
+        ov = int(rng.integers(0, row + 1))
+        lead = int(rng.integers(0, 3))
+        n = int(rng.integers(1, r * row + ov + 10))
+        x = rng.standard_normal((2, n)).astype(np.float32)
+
+        got = _overlap_rows(x, r, row, ov, lead=lead)
+        flat = np.zeros((2, r * row + ov), np.float32)
+        keep = min(n, r * row + ov - lead)
+        flat[:, lead : lead + keep] = x[:, :keep]
+        want = np.stack(
+            [flat[:, i * row : i * row + row + ov] for i in range(r)], axis=1
+        )
+        assert np.array_equal(got, want), (r, row, ov, lead, n)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _overlap_rows(np.zeros((1, 8), np.float32), 2, 3, 4)
