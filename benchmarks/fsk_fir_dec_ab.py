@@ -25,7 +25,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS=cpu through jax.config: the axon tunnel plugin
+# ignores the env var, and a wedged tunnel hangs any backend probe.
+from audio_modem_radio_tpu.utils.jaxenv import honor_jax_platforms_env  # noqa: E402
 
+honor_jax_platforms_env()
 def _pipelined(fn, *args, reps: int = 8, rounds: int = 2, inflight: int = 1) -> float:
     """Best-of-rounds mean seconds per call, <=inflight dispatches in flight
     (stage outputs can be GB-scale; a full 8-deep queue OOMs the chip)."""
