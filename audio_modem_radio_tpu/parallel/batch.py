@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ import numpy as np
 
 from ..assembly import AssemblyRegistry
 from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, parse_frames_detailed
-from ..modem import MODES, SAMPLE_RATE
+from ..modem import SAMPLE_RATE
 from ..config import CONFIG
 from ..ops.common import (
     bit_sync_and_pack_rotations,
