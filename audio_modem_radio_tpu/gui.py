@@ -210,6 +210,8 @@ class GuiViewModel:
         self.ptt_method = "RTS"
         self._player = None
         self._busy = threading.Event()
+        self._monitor_stop = threading.Event()
+        self._worker_name: Optional[str] = None
 
     # -- infrastructure ----------------------------------------------------
 
@@ -241,9 +243,11 @@ class GuiViewModel:
                 self.logger.exception("%s failed", name)
                 self._emit("error", name, str(e))
             finally:
+                self._worker_name = None
                 self._busy.clear()
 
         self._busy.set()
+        self._worker_name = name
         t = threading.Thread(target=run, name=f"amr-gui-{name}", daemon=True)
         t.start()
         return t
@@ -337,6 +341,64 @@ class GuiViewModel:
             self._emit("decoded", saved)
 
         return self._spawn("record", work)
+
+    def start_monitor(self, recorder=None, poll_s: float = 1.0) -> threading.Thread:
+        """Continuous receive: drain the mic into a StreamingDecoder so files
+        surface AS FRAMES COMPLETE (the reference can only record a fixed
+        30 s window and decode at the end, filebeep_advanced_v2.py:282-331).
+        Runs until :meth:`stop_monitor`; each newly saved file arrives as a
+        ("decoded", [paths]) event."""
+
+        def work():
+            from .audio_io import Recorder, SOUNDDEVICE_AVAILABLE
+            from .streaming import StreamingDecoder
+
+            rec = recorder
+            if rec is None:
+                if not SOUNDDEVICE_AVAILABLE:
+                    raise RuntimeError("sounddevice not installed; live capture unavailable")
+                rec = Recorder()
+            rec.volume_callback = lambda level: self._emit("level", level)
+            dec = StreamingDecoder(
+                self.mode, self.symbol_rate, sample_rate=rec.sample_rate
+            )
+            self._monitor_stop.clear()
+            rec.start()
+            self.log(f"monitoring ({self.mode}@{self.symbol_rate}); files surface live")
+            quiet = 0
+            try:
+                while not self._monitor_stop.wait(poll_s):
+                    chunk = rec.drain()
+                    if len(chunk):
+                        quiet = 0
+                        saved = dec.feed(chunk)
+                        if saved:
+                            self._emit("decoded", saved)
+                    else:
+                        # A live mic always produces samples (silence
+                        # included); empty drains mean the stream paused or
+                        # ended — decode what's pending instead of sitting
+                        # on a partial window.
+                        quiet += 1
+                        if quiet == 2 and dec.pending:
+                            saved = dec.flush()
+                            if saved:
+                                self._emit("decoded", saved)
+            finally:
+                tail = rec.stop()
+                saved = (dec.feed(tail) if len(tail) else []) + dec.flush()
+                if saved:
+                    self._emit("decoded", saved)
+                self.log("monitor stopped")
+
+        return self._spawn("monitor", work)
+
+    def stop_monitor(self) -> None:
+        self._monitor_stop.set()
+
+    @property
+    def monitoring(self) -> bool:
+        return self.busy and self._worker_name == "monitor"
 
     def reception_stats(self) -> dict:
         from .decoder import get_reception_stats
@@ -577,6 +639,8 @@ class FileBeepWindow:
         f = self._labeled(tab, "Capture")
         self.record_button = self.ttk.Button(f, text="🔴 Record 30 s", command=self._start_record)
         self.record_button.pack(side="left")
+        self.monitor_button = self.ttk.Button(f, text="📡 Monitor", command=self._toggle_monitor)
+        self.monitor_button.pack(side="left", padx=4)
         self.ttk.Label(f, text="level:").pack(side="left", padx=(14, 4))
         self.meter = self.tk.Canvas(f, width=200, height=14, bg="#1b1e20", highlightthickness=0)
         self.meter.pack(side="left")
@@ -723,6 +787,15 @@ class FileBeepWindow:
         self._sync_vm()
         self.vm.start_record(30.0)
 
+    def _toggle_monitor(self):
+        if self.vm.monitoring:
+            self.vm.stop_monitor()
+            self.monitor_button.configure(text="📡 Monitor")
+        else:
+            self._sync_vm()
+            self.vm.start_monitor()
+            self.monitor_button.configure(text="⏹ Stop monitor")
+
     def _play_selected(self):
         sel = self.playlist_box.curselection()
         if sel:
@@ -834,6 +907,7 @@ class FileBeepWindow:
         self.root.after(5000, self._refresh_assemblies)
 
     def _on_close(self):
+        self.vm.stop_monitor()
         self.vm.stop()
         self.vm.save_playlist()
         self.vm.analytics.save()

@@ -62,6 +62,11 @@ class StreamingDecoder:
         self._seen: Set[Tuple[str, int, int]] = set()
         self.saved_files: List[str] = []
 
+    @property
+    def pending(self) -> int:
+        """Samples buffered but not yet decoded (under one window)."""
+        return len(self._buf)
+
     def feed(self, samples: np.ndarray) -> List[str]:
         """Append captured samples; returns newly saved file paths."""
         chunk = np.asarray(samples, dtype=np.float32)

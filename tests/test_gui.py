@@ -209,3 +209,31 @@ def test_window_smoke(vm):
     window._refresh_playlist_box()
     window.root.update_idletasks()
     window.root.destroy()
+
+
+def test_monitor_streams_files_live(vm, tmp_path):
+    """The monitor workflow surfaces files as frames complete (continuous
+    StreamingDecoder drain; the reference can only one-shot 30 s windows)."""
+    from audio_modem_radio_tpu.audio_io import FileRecorder
+    from audio_modem_radio_tpu.encoder import encode_file
+
+    src = tmp_path / "live.bin"
+    src.write_bytes(b"monitored payload " * 8)
+    wav = encode_file(str(src), "QPSK", True, 9600)
+
+    rec = FileRecorder(wav)
+    t = vm.start_monitor(recorder=rec, poll_s=0.1)
+    deadline = time.time() + 90
+    saved = []
+    while time.time() < deadline and not saved:
+        try:
+            e = vm.events.get(timeout=0.5)
+        except queue.Empty:
+            continue
+        if e[0] == "decoded" and e[1]:
+            saved = e[1]
+    vm.stop_monitor()
+    t.join(timeout=60)
+    assert saved, "monitor never surfaced the file"
+    assert open(saved[0], "rb").read() == src.read_bytes()
+    assert not vm.monitoring
