@@ -235,10 +235,19 @@ def psk_demod_streams(
     """
     spsym = _samples_per_symbol(sample_rate, baud)
     n = samples.shape[-1]
-    n_frames = n // spsym
+    # CEIL, not floor: at a timing offset o > 0 the final symbol's last o
+    # samples fall in the trailing partial block — flooring truncated them,
+    # corrupting exactly the frame's LAST dibit (the tail of the part CRC)
+    # whenever a capture's leading-silence length was ≢ 0 mod spsym
+    # (found by the round-3 randomized chaos sweep; the zero-pad below keeps
+    # every real sample and an all-zero tail adds only one garbage dibit,
+    # which the parser ignores).
+    n_frames = -(-n // spsym)
     if n_frames < 2:
         raise ValueError("signal shorter than two symbols")
     x_flat = samples.astype(jnp.float32)
+    if n_frames * spsym > n:
+        x_flat = jnp.pad(x_flat, (0, n_frames * spsym - n))
     T = jnp.asarray(_offset_templates(spsym, float(carrier), sample_rate, n_offsets))
     dims = (((1,), (1,)), ((), ()))
 
@@ -254,6 +263,9 @@ def psk_demod_streams(
     bot = jax.lax.dot_general(T[spsym:].T, sub, dims)
     proj = top + jnp.concatenate([bot[:, 1:], jnp.zeros((bot.shape[0], 1), jnp.float32)], axis=1)
     re, im = proj[0::2], proj[1::2]
+    # Raw matched-energy units for cross-offset comparison (see _gram_scale).
+    grams = jnp.asarray(_offset_grams(spsym, float(carrier), sample_rate, n_offsets))
+    re, im = _gram_scale(re, im, grams, offset_axis=0)
     s_re = re[:, 1:] * re[:, :-1] + im[:, 1:] * im[:, :-1]
     s_im = im[:, 1:] * re[:, :-1] - re[:, 1:] * im[:, :-1]
     # Score = energy-weighted 4-fold phase coherence |Σ |d|²e^{j4θ_d}|.
@@ -322,6 +334,18 @@ def _fourth_power(d_re: jnp.ndarray, d_im: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     return (u * u - v * v) / w, (2 * u * v) / w
 
 
+def _coherence_parts(
+    d_re: jnp.ndarray, d_im: jnp.ndarray, axis
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Σre4, Σim4) — the summed parts of the coherence score.
+
+    Exposed separately so distributed callers (parallel/sequence.py) can
+    psum the complex-sum components before taking the magnitude (summing
+    local magnitudes would over-count incoherent shards)."""
+    re4, im4 = _fourth_power(d_re, d_im)
+    return jnp.sum(re4, axis=axis), jnp.sum(im4, axis=axis)
+
+
 def _coherence_score(d_re: jnp.ndarray, d_im: jnp.ndarray, axis) -> jnp.ndarray:
     """Energy-weighted 4-fold phase coherence |Σ |z|² e^{j4θ}|.
 
@@ -329,9 +353,67 @@ def _coherence_score(d_re: jnp.ndarray, d_im: jnp.ndarray, axis) -> jnp.ndarray:
     carrier-frequency offset rotates every differential phasor by the same
     angle, which would scale Σcos4θ by cos(4·rotation) (zero at a π/8
     rotation — timing selection would collapse). The magnitude is
-    rotation-invariant, so timing sync survives CFO."""
-    re4, im4 = _fourth_power(d_re, d_im)
-    return jnp.hypot(jnp.sum(re4, axis=axis), jnp.sum(im4, axis=axis))
+    rotation-invariant, so timing sync survives CFO.
+
+    The energy weight must be the RAW matched-filter energy — callers scale
+    the symbol phasors with :func:`_gram_scale` before differentials. The
+    dual (Gram-inverse) projection this pipeline uses for phase recovery
+    AMPLIFIES misaligned-window output at small spsym (measured: QPSK at
+    spsym=5 — the wrong offset's unscaled weighted sum beat the true
+    offset's 4.5x and every clean capture failed), while a PURELY normalized
+    coherence fraction cannot rank BPSK offsets at all (an antipodal
+    mixture stays perfectly 4-fold coherent; only its matched energy drops
+    — measured as a CFO-tolerance regression at spsym=80). Weighting the
+    4-fold coherence by ‖G·z‖² handles both regimes and picked the true
+    offset in every measured case."""
+    num_re, num_im = _coherence_parts(d_re, d_im, axis)
+    return jnp.hypot(num_re, num_im)
+
+
+@functools.lru_cache(maxsize=64)
+def _offset_grams(spsym: int, carrier: float, sample_rate: int, n_offsets: int) -> np.ndarray:
+    """(n_offsets, 3) per-offset Gram entries (gxx, gxy, gyy) of the raw
+    symbol basis — used to convert dual-projection phasors back to raw
+    matched-filter energy units for timing scoring (see _gram_scale)."""
+    t = np.arange(2 * spsym, dtype=np.float64)
+    w = 2 * np.pi * carrier * t / sample_rate
+    env = np.ones(spsym)
+    ramp = int(spsym * 0.1)
+    if ramp > 0:
+        env[:ramp] = np.linspace(0, 1, ramp)
+        env[-ramp:] = np.linspace(1, 0, ramp)
+    G = np.zeros((n_offsets, 3), dtype=np.float32)
+    for i in range(n_offsets):
+        o = i * spsym // n_offsets
+        B = np.stack(
+            [np.sin(w[o : o + spsym]) * env, np.cos(w[o : o + spsym]) * env], axis=1
+        )
+        g = B.T @ B
+        G[i] = (g[0, 0], g[0, 1], g[1, 1])
+    return G
+
+
+def _gram_scale(
+    re: jnp.ndarray, im: jnp.ndarray, grams: jnp.ndarray, offset_axis: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scale dual-basis phasors to raw matched-energy magnitude, per offset.
+
+    ``z = G⁻¹·(Bᵀx)`` is the unbiased phase estimate; ``G·z = Bᵀx`` is the
+    raw correlation. Multiplying ``z`` by the SCALAR ‖G·z‖/‖z‖ preserves its
+    angle (so differentials and the 4-fold coherence are untouched) while
+    making ‖z'‖² the raw matched energy — the valid cross-offset weight for
+    timing scoring (the dual's amplification of misaligned windows cancels).
+    ``grams`` is ``_offset_grams``'s (n_offsets, 3); ``offset_axis`` is the
+    axis of ``re``/``im`` indexing the offset hypothesis."""
+    shape = [1] * re.ndim
+    shape[offset_axis] = grams.shape[0]
+    gxx = grams[:, 0].reshape(shape)
+    gxy = grams[:, 1].reshape(shape)
+    gyy = grams[:, 2].reshape(shape)
+    a = gxx * re + gxy * im
+    c = gxy * re + gyy * im
+    s = jnp.sqrt((a * a + c * c) / (re * re + im * im + 1e-20))
+    return re * s, im * s
 
 
 def estimate_cfo(
@@ -457,6 +539,8 @@ def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offse
     proj = wins.reshape(b, -1, c) @ W_all  # (B, nw, K*256)
     proj = proj.reshape(b, -1, n_offsets, 2, _BLOCK_SYM)
     re, im = proj[:, :, :, 0], proj[:, :, :, 1]  # (B, nw, K, 128)
+    grams = jnp.asarray(_offset_grams(spsym, float(carrier), sample_rate, n_offsets))
+    re, im = _gram_scale(re, im, grams, offset_axis=2)
     # In-row differentials (127 per row) are plenty for scoring.
     dr = re[..., 1:] * re[..., :-1] + im[..., 1:] * im[..., :-1]
     di = im[..., 1:] * re[..., :-1] - re[..., 1:] * im[..., :-1]

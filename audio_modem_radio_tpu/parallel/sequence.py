@@ -41,7 +41,9 @@ from ..ops.fsk import (
 from ..ops.psk import (
     _BLOCK_SYM,
     _blocked_templates,
-    _coherence_score,
+    _coherence_parts,
+    _gram_scale,
+    _offset_grams,
     _samples_per_symbol,
     qpsk_gray_streams,
 )
@@ -81,6 +83,7 @@ def demod_capture_sharded(
     r_local = r_total // n_dev
 
     W8j = jnp.asarray(W8)
+    grams_j = jnp.asarray(_offset_grams(spsym, float(carrier), sample_rate, n_offsets))
 
     @functools.partial(
         shard_map,
@@ -109,10 +112,16 @@ def demod_capture_sharded(
         proj_all = xov @ W8j.transpose(1, 0, 2).reshape(c, -1)
         pa = proj_all.reshape(r_local, n_offsets, 2, _BLOCK_SYM)
         re_a, im_a = pa[:, :, 0], pa[:, :, 1]
+        re_a, im_a = _gram_scale(re_a, im_a, grams_j, offset_axis=1)
         dr_a = re_a[..., 1:] * re_a[..., :-1] + im_a[..., 1:] * im_a[..., :-1]
         di_a = im_a[..., 1:] * re_a[..., :-1] - re_a[..., 1:] * im_a[..., :-1]
-        local_score = _coherence_score(dr_a, di_a, axis=(0, 2))  # (K,)
-        score = jax.lax.psum(local_score, DATA_AXIS)
+        # Coherence combine: psum the complex-sum components, THEN take the
+        # magnitude (summing local magnitudes would over-count shards whose
+        # phasors are incoherent with the rest).
+        nr, ni = _coherence_parts(dr_a, di_a, axis=(0, 2))  # (K,) each
+        nr = jax.lax.psum(nr, DATA_AXIS)
+        ni = jax.lax.psum(ni, DATA_AXIS)
+        score = jnp.hypot(nr, ni)
         best = jnp.argmax(score)
 
         out = xov @ W8j[best]  # (r_local, 256)

@@ -218,3 +218,21 @@ def test_slow_hell_roundtrip():
     # Half the pixel rate => twice the FELD_HELL duration for the same text.
     fast = modulate("FELD_HELL", b"SLOW HELL 42", 0)
     assert abs(len(wave) / len(fast) - 2.0) < 0.05
+
+
+@pytest.mark.parametrize(
+    "mode,rate,spsym",
+    [("QPSK", 9600, 10), ("QPSK", 19200, 5), ("BPSK", 9600, 10)],
+)
+def test_psk_every_timing_offset_with_leading_silence(mode, rate, spsym, rng):
+    """Regression (round-3 chaos sweep): leading silence whose length is
+    ≢ 0 mod spsym corrupted the frame's LAST dibit (floor-truncated tail
+    block) and misled offset selection (dual-basis energy amplification /
+    BPSK coherence degeneracy). Every sample offset must decode."""
+    payload = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+    framed = pack_frame("o.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate(mode, framed, rate), np.float32)
+    for off in range(spsym):
+        cap = np.concatenate([np.zeros(137 * spsym + off, np.float32), wave])
+        frames = parse_frames(demodulate(mode, cap, rate))
+        assert frames and frames[0].data == payload, (mode, rate, off)
