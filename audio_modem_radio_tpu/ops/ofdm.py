@@ -277,11 +277,20 @@ def _ofdm_decision_streams(
         n_sym = r * L
     else:
         n = samples.shape[-1]
-        n_sym = n // S
+        # CEIL, not floor: at a timing offset o > 0 the final symbol's last o
+        # samples fall in the trailing partial block — flooring truncated
+        # them, corrupting the frame's LAST dibits (the tail of the part CRC)
+        # whenever a capture's leading-silence length was ≢ 0 mod S (the same
+        # defect the round-3 chaos sweep exposed in psk_demod_streams; the
+        # zero-pad keeps every real sample and the all-zero tail adds only
+        # garbage trailing dibits, which the parser ignores).
+        n_sym = -(-n // S)
     if n_sym < 3:
         raise ValueError("signal shorter than three OFDM symbols")
     if not pre_shaped:
-        xf = samples.astype(jnp.float32)[: n_sym * S]
+        xf = samples.astype(jnp.float32)
+        if n_sym * S > n:
+            xf = jnp.pad(xf, (0, n_sym * S - n))
     T = jnp.asarray(_ofdm_dual_templates(S, float(carrier), K, sample_rate, n_offsets))
 
     # --- pass 1: all-offset timing search on up to 3 SMALL symbol windows ---

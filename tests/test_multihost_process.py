@@ -76,7 +76,9 @@ def test_two_process_multihost_decode(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        # 600 s: the distributed init + 2x jit compile fit easily, but a
+        # loaded CI host (parallel suites) was observed to push past 300.
+        out, _ = p.communicate(timeout=600)
         outs.append(out.decode())
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"

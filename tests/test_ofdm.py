@@ -48,6 +48,23 @@ def test_ofdm_roundtrip_random_payload(rng):
     assert frames and frames[0].data == data
 
 
+@pytest.mark.parametrize("lead", [13, 27, 41773])
+def test_ofdm_fractional_symbol_lead(rng, lead):
+    """Leading silence ≢ 0 mod S must not corrupt the frame tail.
+
+    Regression for the floor-vs-ceil symbol count in _ofdm_decision_streams:
+    at a timing offset o > 0 the final symbol's last o samples fall past
+    n_sym*S, and flooring dropped real samples — corrupting the payload's
+    last bytes exactly when the final OFDM symbol carried data (found by the
+    round-3 randomized chaos sweep, OFDM4@4800 + 41773-sample lead)."""
+    data = rng.integers(0, 256, 989, dtype=np.uint8).tobytes()
+    framed = _frame(data)
+    wave = ofdm_modulate(framed, baud=4800, num_subcarriers=4)
+    cap = np.concatenate([np.zeros(lead, np.float32), wave.astype(np.float32)])
+    frames = parse_frames(ofdm_demodulate(cap, baud=4800, num_subcarriers=4))
+    assert frames and frames[0].data == data
+
+
 def test_ofdm_survives_awgn_and_offset(rng):
     framed = _frame()
     wave = ofdm_modulate(framed, baud=4800, num_subcarriers=4)
