@@ -508,10 +508,16 @@ def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offse
     ov = c - row
     blk = 256
     if x3d is None:
-        r0 = n_frames // _BLOCK_SYM
+        # CEIL row count and keep EVERY input sample (pad, don't slice):
+        # flooring either dropped the trailing partial block — at a timing
+        # offset > 0 that truncates the final symbol's tail and corrupts the
+        # frame's last dibits (the part-CRC tail), the same defect the
+        # round-3 chaos sweep exposed in the single-capture paths. The
+        # host pre-shaping path (blocked_row_shape) already keeps the tail.
+        r0 = -(-n_frames // _BLOCK_SYM)
         r = max(blk, -(-r0 // blk) * blk)
         x = samples.astype(jnp.float32)
-        x_pad = jnp.pad(x[:, : n_frames * spsym], ((0, 0), (0, r * row - n_frames * spsym)))
+        x_pad = jnp.pad(x, ((0, 0), (0, r * row - x.shape[1])))
         x3d = x_pad.reshape(b, r, row)
     else:
         r = r0 = r_pre
@@ -593,7 +599,7 @@ def psk_demod_streams_batch(
         x3d = samples.astype(jnp.float32)
     else:
         b, n = samples.shape
-        n_frames = n // spsym
+        n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
         if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
             d_re, d_im, _ = jax.vmap(
                 lambda s: psk_demod_streams(s, baud, carrier, sample_rate, n_offsets)
@@ -672,7 +678,7 @@ def psk_decision_streams_batch(
         x3d = samples.astype(jnp.float32)
     else:
         b, n = samples.shape
-        n_frames = n // spsym
+        n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
         if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
             d_re, d_im = psk_demod_streams_batch(
                 samples, baud, carrier, sample_rate, n_offsets
@@ -727,12 +733,16 @@ def blocked_row_shape(n_samples: int, baud: float, sample_rate: int) -> Optional
     spsym = _samples_per_symbol(sample_rate, baud)
     if spsym > _BLOCK_MAX_SPSYM:
         return None
-    n_frames = n_samples // spsym
+    # Ceil everywhere (symbols, then rows): flooring dropped the trailing
+    # partial symbol/block, corrupting the frame's final dibits whenever a
+    # capture's leading silence was ≢ 0 mod spsym (round-3 chaos sweep).
+    n_frames = -(-n_samples // spsym)
     if n_frames < 2 * _BLOCK_SYM:
         return None
     row = _BLOCK_SYM * spsym
     blk = 256
-    r = max(blk, -(-(n_frames // _BLOCK_SYM) // blk) * blk)
+    rows = -(-n_frames // _BLOCK_SYM)
+    r = max(blk, -(-rows // blk) * blk)
     return r, row
 
 

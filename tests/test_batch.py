@@ -223,3 +223,40 @@ def test_overlap_rows_property():
 
     with _pytest.raises(ValueError):
         _overlap_rows(np.zeros((1, 8), np.float32), 2, 3, 4)
+
+
+@pytest.mark.parametrize("mode,rate", [("QPSK", 9600), ("BPSK", 4800)])
+def test_batch_fractional_symbol_lead(mode, rate, rng):
+    """Flat (B, N) batch demod must keep the trailing partial symbol.
+
+    Regression for the floor-vs-ceil frame count in psk_demod_streams_batch /
+    _batch_pass1: leading silence ≢ 0 mod spsym put the winning timing offset
+    at o > 0, and flooring sliced off the final symbol's last o samples —
+    corrupting each frame's last dibits (the payload/CRC tail). The host
+    pre-shaping path kept the tail; the flat device path did not."""
+    payloads, leads, waves = [], [], []
+    for i in range(4):
+        data = rng.integers(0, 256, 700 + 13 * i, dtype=np.uint8).tobytes()
+        framed = pack_frame(f"f{i}.bin", data, 0, 1, len(data), crc32(data))
+        payloads.append(data)
+        lead = int(rng.integers(1, 60)) * 2 + 1  # odd: never ≡ 0 mod spsym
+        leads.append(lead)
+        waves.append(
+            np.concatenate(
+                [np.zeros(lead, np.float32),
+                 np.asarray(modulate(mode, framed, rate), np.float32)]
+            )
+        )
+    n = max(len(w) for w in waves)
+    batch = np.zeros((len(waves), n), dtype=np.float32)
+    for i, w in enumerate(waves):
+        batch[i, : len(w)] = w
+
+    from audio_modem_radio_tpu.parallel.batch import demod_pack_batch
+
+    packed, n_valid, _found = demod_pack_batch(batch, mode, rate)  # flat path
+    packed, n_valid = np.asarray(packed), np.asarray(n_valid)
+    for i, (expected, lead) in enumerate(zip(payloads, leads)):
+        raw = bytes(packed[i, : int(n_valid[i])])
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == expected, (mode, rate, lead)
