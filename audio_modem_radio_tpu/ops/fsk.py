@@ -349,7 +349,16 @@ def _mlse_refine(
     # u' = u e^{-j theta} on the RAW correlations (the metric model uses u).
     sp = s_corr * ct + c_corr * st  # Re(u')
     cp = c_corr * ct - s_corr * st  # Im(u')
-    a_half = jnp.maximum(jnp.mean(mag), 2e-6) / 2
+    # Energy-weighted amplitude (Σm²/Σm), not the plain mean: a capture with
+    # a long quiet lead has thousands of near-zero-magnitude noise "bits"
+    # whose plain mean drags â far below the true signal amplitude, biasing
+    # every branch metric's energy correction (the round-3 chaos sweep's
+    # 26768-sample-lead FSK9600 capture: MLSE *added* errors over the
+    # equalizer seed until â was estimated this way). Strong bits dominate
+    # the weighted mean, so silence dilutes it by at most a few percent.
+    a_half = jnp.maximum(
+        jnp.sum(mag * mag) / jnp.maximum(jnp.sum(mag), 1e-9), 2e-6
+    ) / 2
 
     # Hypothesis energies at the θ-SHIFTED grid: ||h(φ_s + θ)||² is NOT
     # invariant under grid rotations (its ripple has period π), so the energy
@@ -956,8 +965,23 @@ def fsk_demod_bits(
     wins_r = jnp.concatenate([pr[s : s + wr] for s in starts], axis=0) @ Wb_all
     wins_i = jnp.concatenate([pi[s : s + wr] for s in starts], axis=0) @ Wb_all
     f_win = jnp.arctan2(wins_i, wins_r) * scale
+    # Energy-weighted, deviation-clamped offset score. The raw Σ|f − mid|
+    # is not noise-robust: a window row inside a silent/noise lead yields a
+    # RANDOM phasor angle whose |f − mid| can reach ~sr/(2·dec) — 20×+ the
+    # genuine tone deviation — so a few lead rows swamped every signal row
+    # and the winning offset became a coin toss (round-3 chaos sweep:
+    # FSK9600 capture with a 26768-sample lead decoded error-free at the
+    # true offset but failed end-to-end). Weight each window frequency by
+    # its vector magnitude (quiet noise → negligible weight) and clamp the
+    # deviation at the tone half-separation, the largest deviation a genuine
+    # bit can produce (loud noise → bounded, offset-unbiased contribution).
+    dev = (hi_f - lo_f) / 2.0
+    mag_w = jnp.sqrt(wins_r**2 + wins_i**2)
     score = jnp.sum(
-        jnp.abs(f_win - mid).reshape(-1, n_offsets, spr_d), axis=(0, 2)
+        (mag_w * jnp.minimum(jnp.abs(f_win - mid), dev)).reshape(
+            -1, n_offsets, spr_d
+        ),
+        axis=(0, 2),
     )
     best = jnp.argmax(score)
 

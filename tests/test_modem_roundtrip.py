@@ -236,3 +236,21 @@ def test_psk_every_timing_offset_with_leading_silence(mode, rate, spsym, rng):
         cap = np.concatenate([np.zeros(137 * spsym + off, np.float32), wave])
         frames = parse_frames(demodulate(mode, cap, rate))
         assert frames and frames[0].data == payload, (mode, rate, off)
+
+
+def test_fsk_quiet_lead_with_clipping(rng):
+    """Regression (round-3 chaos sweep): a long QUIET lead before a clipped
+    FSK9600 capture broke MLSE — the branch metrics' amplitude estimate was a
+    plain mean over all per-bit magnitudes, so thousands of near-zero noise
+    "bits" in the lead dragged â far below the signal amplitude and the
+    refinement ADDED errors over its equalizer seed. The energy-weighted
+    estimate (Σm²/Σm) must shrug the lead off and decode bit-exact."""
+    payload = rng.integers(0, 256, 1400, dtype=np.uint8).tobytes()
+    framed = pack_frame("q.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(modulate("FSK9600", framed, 9600), np.float32)
+    cap = np.concatenate([np.zeros(26768, np.float32), wave])
+    p = float(np.mean(cap**2))
+    cap = cap + rng.normal(0, np.sqrt(p / 10**3.1), len(cap)).astype(np.float32)
+    cap = np.clip(cap * 1.29, -1, 1).astype(np.float32)
+    frames = parse_frames(demodulate("FSK9600", cap, 9600))
+    assert frames and frames[0].data == payload
