@@ -222,8 +222,44 @@ def psk_project_diff(
     )(xpad, xpad, w)
 
 
+def _project_diff_body_succ(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Successor-column tile math: the differential from ONE matmul's slices.
+
+    ``w2d`` is a 4*_BLOCK_SYM-wide template (see
+    ``ops.psk._blocked_templates_succ``): columns [re | im | re_succ |
+    im_succ]. The roll-based body pays three VPU relayouts per tile — the
+    (blk+8, ROW) extended-tile concat+roll for the next rows, the (blk,
+    ROW+OV) lane concat of the overlap view, and the concat+roll+iota/where
+    successor patching of both projection streams. Here the only lane work
+    left is the (blk+8, OV) next-row-head build; the overlap contribution is
+    a second small dot (OV columns) and the successor symbols are matmul
+    output columns. Bitwise identical to :func:`_project_diff_body` (same
+    template rows, same dot accumulation).
+    """
+    x = x_ref[:]  # (blk, ROW)
+    blk, row = x.shape
+    ov = w2d.shape[0] - row
+
+    # Next-row heads, built only OV lanes wide (the roll body builds the full
+    # ROW-wide extended tile).
+    ext_h = jnp.concatenate([x[:, :ov], xn_ref[:, :ov]], axis=0)  # (blk+8, OV)
+    nxt_h = pltpu.roll(ext_h, ext_h.shape[0] - 1, axis=0)[:blk]  # (blk, OV)
+
+    out = jnp.dot(x.astype(w2d.dtype), w2d[:row], preferred_element_type=jnp.float32)
+    out = out + jnp.dot(
+        nxt_h.astype(w2d.dtype), w2d[row:], preferred_element_type=jnp.float32
+    )  # (blk, 512)
+
+    r0 = out[:, 0 * _BLOCK_SYM : 1 * _BLOCK_SYM]
+    i0 = out[:, 1 * _BLOCK_SYM : 2 * _BLOCK_SYM]
+    r1 = out[:, 2 * _BLOCK_SYM : 3 * _BLOCK_SYM]
+    i1 = out[:, 3 * _BLOCK_SYM : 4 * _BLOCK_SYM]
+    return r1 * r0 + i1 * i0, i1 * r0 - r1 * i0
+
+
 def _kernel_decide(
-    best_ref, rot_ref, x_ref, xn_ref, w_ref, hi_ref, lo_ref, *, steps_per_capture, n_psk
+    best_ref, rot_ref, x_ref, xn_ref, w_ref, hi_ref, lo_ref, *, steps_per_capture, n_psk,
+    variant="roll",
 ):
     """Projection + differential + per-capture derotation + bit decision.
 
@@ -234,7 +270,10 @@ def _kernel_decide(
     identity rotation makes this the plain (cfo-off) pipeline.
     """
     del best_ref  # consumed by the template index_map
-    dre, dim = _project_diff_body(x_ref, xn_ref, w_ref[0])
+    if variant == "succ":
+        dre, dim = _project_diff_body_succ(x_ref, xn_ref[:], w_ref[0])
+    else:
+        dre, dim = _project_diff_body(x_ref, xn_ref, w_ref[0])
     cap = pl.program_id(0) // steps_per_capture
     c = rot_ref[cap, 0]
     s = rot_ref[cap, 1]
@@ -255,7 +294,7 @@ def _kernel_decide(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows_per_capture", "n_psk", "block_rows", "interpret"),
+    static_argnames=("rows_per_capture", "n_psk", "block_rows", "interpret", "variant"),
 )
 def psk_project_decide_batch(
     x3d: jnp.ndarray,
@@ -266,6 +305,7 @@ def psk_project_decide_batch(
     n_psk: int = 4,
     block_rows: int = 256,
     interpret: bool = False,
+    variant: str = "roll",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-batch fused projection+differential+derotate+decide kernel.
 
@@ -276,7 +316,11 @@ def psk_project_decide_batch(
     Args:
       x3d: (B, R, ROW) sample rows (R = rows_per_capture, multiple of
         block_rows).
-      w_all: (n_offsets, ROW+OV, 256) stacked templates.
+      w_all: (n_offsets, ROW+OV, 256) stacked templates for
+        ``variant="roll"``; (n_offsets, ROW+OV, 512) successor-column
+        templates (``ops.psk._blocked_templates_succ``) for
+        ``variant="succ"``, which trades a second (cheap, MXU) dot for the
+        roll body's three per-tile VPU relayouts.
       best: (B,) int32 winning timing offset per capture.
       rot: (B, 2) float32 per-capture (cosθ, sinθ) derotation.
     Returns (hi, lo) uint8 of shape (B, R, 128); capture-tail entries are
@@ -285,6 +329,11 @@ def psk_project_decide_batch(
     b, r, row = x3d.shape
     if r != rows_per_capture or r % block_rows:
         raise ValueError("rows_per_capture mismatch or not a multiple of block_rows")
+    w_width = 4 * _BLOCK_SYM if variant == "succ" else 2 * _BLOCK_SYM
+    if w_all.shape[2] != w_width:
+        raise ValueError(
+            f"template width {w_all.shape[2]} does not match variant {variant!r}"
+        )
     c = w_all.shape[1]
     steps_per_capture = r // block_rows
     grid = (b * steps_per_capture,)
@@ -304,7 +353,7 @@ def psk_project_decide_batch(
                 ),
             ),
             pl.BlockSpec(
-                (1, c, 2 * _BLOCK_SYM),
+                (1, c, w_width),
                 lambda i, best_ref, rot_ref, spc=steps_per_capture: (
                     best_ref[i // spc],
                     0,
@@ -318,7 +367,7 @@ def psk_project_decide_batch(
         ],
     )
     kern = functools.partial(
-        _kernel_decide, steps_per_capture=steps_per_capture, n_psk=n_psk
+        _kernel_decide, steps_per_capture=steps_per_capture, n_psk=n_psk, variant=variant
     )
     hi, lo = pl.pallas_call(
         kern,
@@ -484,6 +533,75 @@ def _kernel_relabel_pack(
     out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _kernel_relabel_pack_w(
+    sc_ref, hi_ref, hin_ref, lo_ref, lon_ref, wa_ref, wb_ref, waw_ref, wbw_ref,
+    out_ref, *, steps_per_capture
+):
+    """Shifted-weights relabel+pack: the mod-8 sync shift lives in the pack
+    WEIGHTS, not the stream.
+
+    The "shift" kernel builds 11 lane-rolled stream variants per tile
+    (select_shift over d and d+1 for three streams) — all VPU relayout work.
+    Here the shifted byte assembly is algebra: out_byte[c] = Σ_i
+    bits[8c+s8+i]·2^(7-i) with bits[2t]=rh[t], bits[2t+1]=rl[t], so the byte
+    is ONE matmul of the unshifted (rh, rl) against per-s8 weight tables
+    (+ a wrap matmul against the next-row streams for the last byte's
+    spill). The tables are selected per capture by the scalar-prefetch
+    index_map — zero in-kernel select cost. Byte sums are sums of distinct
+    powers of two (< 256, exact in f32 at any accumulation order), so the
+    output is bitwise equal to the shift kernel's.
+    """
+    blk = out_ref.shape[0]
+    cap = pl.program_id(0) // steps_per_capture
+    k = sc_ref[cap, 0]
+
+    def relab(h8, l8):
+        h = h8.astype(jnp.int32)
+        l = l8.astype(jnp.int32)
+        s2 = (2 * h + (h ^ l) + 4 - k) & 3  # inverse Gray, rotate back
+        rh = (s2 >= 2).astype(jnp.float32)
+        rl = ((s2 == 1) | (s2 == 2)).astype(jnp.float32)
+        return rh, rl
+
+    rh, rl = relab(hi_ref[:], lo_ref[:])
+    rh_n8, rl_n8 = relab(hin_ref[:], lon_ref[:])
+    exth = jnp.concatenate([rh, rh_n8], axis=0)
+    extl = jnp.concatenate([rl, rl_n8], axis=0)
+    rhn = pltpu.roll(exth, exth.shape[0] - 1, axis=0)[:blk]  # row r+1 streams
+    rln = pltpu.roll(extl, extl.shape[0] - 1, axis=0)[:blk]
+    acc = jnp.dot(rh, wa_ref[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(rl, wb_ref[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(rhn, waw_ref[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(rln, wbw_ref[0], preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=2)
+def _shifted_pack_weights_qpsk() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(8, 128, 32) weight tables for the shifted-weights relabel+pack.
+
+    For bit shift s8 (= 2*dibit_shift + parity), byte c of a 128-dibit row
+    sums flat bits 8c+s8 .. 8c+s8+7 MSB-first; even flat positions read rh,
+    odd read rl. Positions past lane 255 (the last byte's spill) land in the
+    wrap tables, applied to the NEXT row's streams.
+    """
+    wa = np.zeros((8, 128, 32), np.float32)
+    wb = np.zeros((8, 128, 32), np.float32)
+    waw = np.zeros((8, 128, 32), np.float32)
+    wbw = np.zeros((8, 128, 32), np.float32)
+    for s8 in range(8):
+        for c in range(32):
+            for i in range(8):
+                p = 8 * c + s8 + i
+                t, odd = divmod(p, 2)
+                w = float(1 << (7 - i))
+                if t < 128:
+                    (wb if odd else wa)[s8, t, c] += w
+                else:
+                    (wbw if odd else waw)[s8, t - 128, c] += w
+    return wa, wb, waw, wbw
+
+
 @functools.lru_cache(maxsize=2)
 def _pack_weights() -> Tuple[np.ndarray, np.ndarray]:
     """(128, 32) byte-assembly weights: byte c sums dibit lanes 4c..4c+3."""
@@ -495,8 +613,15 @@ def _pack_weights() -> Tuple[np.ndarray, np.ndarray]:
     return wa, wb
 
 
+# Sync-tail pack kernel generation: "shift" (lane-rolled stream variants) or
+# "weights" (per-shift pack weight tables selected by the scalar-prefetch
+# index_map — bitwise-equal output, no in-kernel stream shifting). A/B on
+# chip before flipping.
+PACK_KERNEL_VARIANT = "shift"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("rows_per_capture", "block_rows", "interpret")
+    jax.jit, static_argnames=("rows_per_capture", "block_rows", "interpret", "variant")
 )
 def relabel_pack_batch(
     hi3: jnp.ndarray,
@@ -506,6 +631,7 @@ def relabel_pack_batch(
     rows_per_capture: int,
     block_rows: int = 256,
     interpret: bool = False,
+    variant: str = "shift",
 ) -> jnp.ndarray:
     """Whole-batch fused rotation-relabel + byte pack (Pallas).
 
@@ -533,32 +659,60 @@ def relabel_pack_batch(
     grid = (b * steps_per_capture,)
     hi2 = hi3.reshape(b * r, _BLOCK_SYM)
     lo2 = lo3.reshape(b * r, _BLOCK_SYM)
+    last_block32 = b * r // 32 - 1
+
+    stream_specs = [
+        pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
+        pl.BlockSpec(
+            (32, _BLOCK_SYM),
+            lambda i, sc: (
+                jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
+                0,
+            ),
+        ),
+        pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
+        pl.BlockSpec(
+            (32, _BLOCK_SYM),
+            lambda i, sc: (
+                jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
+                0,
+            ),
+        ),
+    ]
+    if variant == "weights":
+        scal = jnp.stack([ksel.astype(jnp.int32), s & 7], axis=1).astype(jnp.int32)
+        wa, wb, waw, wbw = _shifted_pack_weights_qpsk()
+        spc = steps_per_capture
+        wspec = pl.BlockSpec((1, 128, 32), lambda i, sc, spc=spc: (sc[i // spc, 1], 0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=stream_specs + [wspec, wspec, wspec, wspec],
+            out_specs=pl.BlockSpec((block_rows, 32), lambda i, sc: (i, 0)),
+        )
+        kern = functools.partial(
+            _kernel_relabel_pack_w, steps_per_capture=steps_per_capture
+        )
+        packed = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b * r, 32), jnp.uint8),
+            interpret=interpret,
+        )(
+            scal, hi2, hi2, lo2, lo2,
+            jnp.asarray(wa), jnp.asarray(wb), jnp.asarray(waw), jnp.asarray(wbw),
+        )
+        return packed.reshape(b, r * 32)
+
     scal = jnp.stack(
         [ksel.astype(jnp.int32), (s >> 1) & 3, s & 1], axis=1
     ).astype(jnp.int32)
     wa, wb = _pack_weights()
-    last_block32 = b * r // 32 - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
-            pl.BlockSpec(
-                (32, _BLOCK_SYM),
-                lambda i, sc: (
-                    jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
-                    0,
-                ),
-            ),
-            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
-            pl.BlockSpec(
-                (32, _BLOCK_SYM),
-                lambda i, sc: (
-                    jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
-                    0,
-                ),
-            ),
+        in_specs=stream_specs + [
             pl.BlockSpec((128, 32), lambda i, sc: (0, 0)),
             pl.BlockSpec((128, 32), lambda i, sc: (0, 0)),
         ],
@@ -597,6 +751,50 @@ def _kernel_bit_select_pack(
     out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _kernel_bit_select_pack_w(
+    sc_ref, re_ref, ren_ref, im_ref, imn_ref, wp_ref, wpw_ref, out_ref,
+    *, steps_per_capture
+):
+    """Shifted-weights DBPSK tail: stream select + complement + byte pack
+    with the mod-8 shift folded into per-shift weight tables (the "shift"
+    kernel builds 16 lane-rolled stream variants per tile). Complement
+    commutes with packing — every byte's weights sum to 255, so the inverted
+    hypothesis is 255 - acc. Bitwise equal to the shift kernel (exact
+    power-of-two sums)."""
+    blk = out_ref.shape[0]
+    cap = pl.program_id(0) // steps_per_capture
+    ksel = sc_ref[cap, 0]
+    use_im = (ksel & 1).astype(jnp.float32)
+    inv = (ksel >= 2).astype(jnp.float32)
+    to_f = lambda v: v.astype(jnp.int32).astype(jnp.float32)
+    v = use_im * to_f(im_ref[:]) + (1.0 - use_im) * to_f(re_ref[:])
+    vn8 = use_im * to_f(imn_ref[:]) + (1.0 - use_im) * to_f(ren_ref[:])
+    ext = jnp.concatenate([v, vn8], axis=0)
+    vn = pltpu.roll(ext, ext.shape[0] - 1, axis=0)[:blk]  # row r+1 stream
+    acc = jnp.dot(v, wp_ref[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(vn, wpw_ref[0], preferred_element_type=jnp.float32)
+    acc = inv * (255.0 - acc) + (1.0 - inv) * acc
+    out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=2)
+def _shifted_pack_weights_bpsk() -> Tuple[np.ndarray, np.ndarray]:
+    """(8, 128, 16) MSB-first byte-assembly weights per bit shift d, plus the
+    wrap tables for the last byte's spill into the next row."""
+    wp = np.zeros((8, 128, 16), np.float32)
+    wpw = np.zeros((8, 128, 16), np.float32)
+    for d in range(8):
+        for c in range(16):
+            for i in range(8):
+                p = 8 * c + d + i
+                w = float(1 << (7 - i))
+                if p < 128:
+                    wp[d, p, c] += w
+                else:
+                    wpw[d, p - 128, c] += w
+    return wp, wpw
+
+
 @functools.lru_cache(maxsize=2)
 def _bit_pack_weights() -> np.ndarray:
     """(128, 16) MSB-first byte-assembly weights: byte c sums bit lanes
@@ -608,7 +806,7 @@ def _bit_pack_weights() -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows_per_capture", "block_rows", "interpret")
+    jax.jit, static_argnames=("rows_per_capture", "block_rows", "interpret", "variant")
 )
 def bit_select_pack_batch(
     re3: jnp.ndarray,
@@ -618,6 +816,7 @@ def bit_select_pack_batch(
     rows_per_capture: int,
     block_rows: int = 256,
     interpret: bool = False,
+    variant: str = "shift",
 ) -> jnp.ndarray:
     """Whole-batch fused DBPSK stream-select + complement + byte pack.
 
@@ -643,31 +842,52 @@ def bit_select_pack_batch(
     re2 = re3.reshape(b * r, _BLOCK_SYM)
     im2 = im3.reshape(b * r, _BLOCK_SYM)
     scal = jnp.stack([ksel.astype(jnp.int32), s & 7], axis=1).astype(jnp.int32)
-    wp = _bit_pack_weights()
     last_block32 = b * r // 32 - 1
 
+    stream_specs = [
+        pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
+        pl.BlockSpec(
+            (32, _BLOCK_SYM),
+            lambda i, sc: (
+                jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
+                0,
+            ),
+        ),
+        pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
+        pl.BlockSpec(
+            (32, _BLOCK_SYM),
+            lambda i, sc: (
+                jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
+                0,
+            ),
+        ),
+    ]
+    if variant == "weights":
+        wp, wpw = _shifted_pack_weights_bpsk()
+        spc = steps_per_capture
+        wspec = pl.BlockSpec((1, 128, 16), lambda i, sc, spc=spc: (sc[i // spc, 1], 0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=stream_specs + [wspec, wspec],
+            out_specs=pl.BlockSpec((block_rows, 16), lambda i, sc: (i, 0)),
+        )
+        kern = functools.partial(
+            _kernel_bit_select_pack_w, steps_per_capture=steps_per_capture
+        )
+        packed = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b * r, 16), jnp.uint8),
+            interpret=interpret,
+        )(scal, re2, re2, im2, im2, jnp.asarray(wp), jnp.asarray(wpw))
+        return packed.reshape(b, r * 16)
+
+    wp = _bit_pack_weights()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
-            pl.BlockSpec(
-                (32, _BLOCK_SYM),
-                lambda i, sc: (
-                    jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
-                    0,
-                ),
-            ),
-            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, sc: (i, 0)),
-            pl.BlockSpec(
-                (32, _BLOCK_SYM),
-                lambda i, sc: (
-                    jnp.minimum(i * (block_rows // 32) + block_rows // 32, last_block32),
-                    0,
-                ),
-            ),
-            pl.BlockSpec((128, 16), lambda i, sc: (0, 0)),
-        ],
+        in_specs=stream_specs + [pl.BlockSpec((128, 16), lambda i, sc: (0, 0))],
         out_specs=pl.BlockSpec((block_rows, 16), lambda i, sc: (i, 0)),
     )
     kern = functools.partial(_kernel_bit_select_pack, steps_per_capture=steps_per_capture)

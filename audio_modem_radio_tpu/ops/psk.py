@@ -181,6 +181,10 @@ def _offset_templates(spsym: int, carrier: float, sample_rate: int, n_offsets: i
 # Symbols per row in the blocked fast path (row width = _BLOCK_SYM * spsym
 # lanes, always a multiple of 128 — zero layout padding).
 _BLOCK_SYM = 128
+# Decide-kernel body: "roll" (lane-concat overlap + roll successor) or "succ"
+# (successor-column templates — bitwise-identical math, fewer VPU relayouts;
+# see pallas_kernels._project_diff_body_succ). A/B on chip before flipping.
+DECIDE_KERNEL_VARIANT = "roll"
 # Blocked path applies when spsym <= this (template stack stays small and the
 # (n_frames, spsym) layout padding it avoids is >= 4x there).
 _BLOCK_MAX_SPSYM = 32
@@ -204,6 +208,34 @@ def _blocked_templates(spsym: int, carrier: float, sample_rate: int, n_offsets: 
         for s in range(_BLOCK_SYM):
             W[i, s * spsym : s * spsym + 2 * spsym, s] = T[:, 2 * i]
             W[i, s * spsym : s * spsym + 2 * spsym, _BLOCK_SYM + s] = T[:, 2 * i + 1]
+    return W
+
+
+@functools.lru_cache(maxsize=64)
+def _blocked_templates_succ(
+    spsym: int, carrier: float, sample_rate: int, n_offsets: int
+) -> np.ndarray:
+    """(n_offsets, ROW+OV, 4*_BLOCK_SYM) templates with successor columns.
+
+    Columns [re x128 | im x128 | re_succ x128 | im_succ x128]: the extra pairs
+    project symbol s+1's window directly (symbol 128's window sits wholly in
+    the OV tail, since OV >= 2*spsym), so the fused decide kernel's
+    differential becomes slices of ONE matmul output — no lane concats, no
+    roll-based successor patching, no separate next-row projection. The first
+    256 columns are exactly :func:`_blocked_templates`, and the successor
+    column for symbol s equals column s+1 (same rows of T, shifted one symbol)
+    — the matmul results are bitwise identical to the roll formulation.
+    """
+    T = _offset_templates(spsym, float(carrier), sample_rate, n_offsets)
+    row = _BLOCK_SYM * spsym
+    ov = 128 * int(np.ceil(2 * spsym / 128))
+    W = np.zeros((n_offsets, row + ov, 4 * _BLOCK_SYM), dtype=np.float32)
+    W[:, :, : 2 * _BLOCK_SYM] = _blocked_templates(spsym, carrier, sample_rate, n_offsets)
+    for i in range(n_offsets):
+        for s in range(_BLOCK_SYM):
+            w0 = (s + 1) * spsym
+            W[i, w0 : w0 + 2 * spsym, 2 * _BLOCK_SYM + s] = T[:, 2 * i]
+            W[i, w0 : w0 + 2 * spsym, 3 * _BLOCK_SYM + s] = T[:, 2 * i + 1]
     return W
 
 
@@ -642,7 +674,9 @@ def _decide_streams(d_re, d_im, n_psk: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("baud", "carrier", "sample_rate", "n_psk", "cfo", "n_offsets"),
+    static_argnames=(
+        "baud", "carrier", "sample_rate", "n_psk", "cfo", "n_offsets", "kernel_variant",
+    ),
 )
 def psk_decision_streams_batch(
     samples: jnp.ndarray,
@@ -652,6 +686,7 @@ def psk_decision_streams_batch(
     n_psk: int = 4,
     cfo: bool = True,
     n_offsets: int = 8,
+    kernel_variant: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched decision streams — the production receive hot path.
 
@@ -709,8 +744,18 @@ def psk_decision_streams_batch(
         # drives the matmul precision) and measured IDENTICAL throughput —
         # the kernel is DMA/VPU-bound, not MXU-bound — so there is no reason
         # to carry the precision loss (PERF.md).
+        # The explicit static arg exists so A/B harnesses can switch variants
+        # without stale-jit-cache hazards (a module-global read inside a
+        # cached trace would not retrace on change).
+        variant = kernel_variant or DECIDE_KERNEL_VARIANT
+        Wk = W8
+        if variant == "succ":
+            Wk = jnp.asarray(
+                _blocked_templates_succ(spsym, float(carrier), sample_rate, n_offsets)
+            )
         hi, lo = psk_project_decide_batch(
-            x3d, W8, best, rot, rows_per_capture=r, n_psk=n_psk, block_rows=blk
+            x3d, Wk, best, rot, rows_per_capture=r, n_psk=n_psk, block_rows=blk,
+            variant=variant,
         )
         return hi.reshape(b, -1), lo.reshape(b, -1)
 

@@ -87,7 +87,8 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
 _MATCH_BLOCK_ROWS = 256
 
 
-def psk4_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
+def psk4_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False,
+                          pack_variant: Optional[str] = None):
     """The two-kernel DQPSK sync tail: Pallas matcher + fused relabel/pack.
 
     One VMEM sweep computes all 8 rotation/parity magic hypotheses (this
@@ -100,8 +101,13 @@ def psk4_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
     carrier-exact semantics). ``interpret=True`` lets the CPU test suite
     execute this exact production wiring.
     """
-    from ..ops.pallas_kernels import relabel_pack_batch, rotation_match_batch
+    from ..ops.pallas_kernels import (
+        PACK_KERNEL_VARIANT,
+        relabel_pack_batch,
+        rotation_match_batch,
+    )
 
+    pack_variant = pack_variant or PACK_KERNEL_VARIANT
     n_dib = hi.shape[1]
     r_dib = n_dib // 128
     hi3 = hi.reshape(-1, r_dib, 128)
@@ -150,19 +156,26 @@ def psk4_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
 
     packed = relabel_pack_batch(
         hi3, lo3, s, ksel, rows_per_capture=r_dib, interpret=interpret,
+        variant=pack_variant,
     )
     n_valid = (2 * jnp.int32(n_dib) - (s & 7)) // 8
     return packed, n_valid, found
 
 
-def psk2_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
+def psk2_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False,
+                          pack_variant: Optional[str] = None):
     """The two-kernel DBPSK sync tail: generic matcher with the 4 DBPSK
     hypotheses (re/im x inverted), then the fused select+complement+pack
     kernel. cfo_retry=False accepts only the k=0 (re, uninverted)
     hypothesis. ``interpret=True`` for CPU-suite execution of the
     production wiring."""
-    from ..ops.pallas_kernels import bit_select_pack_batch, rotation_match_batch
+    from ..ops.pallas_kernels import (
+        PACK_KERNEL_VARIANT,
+        bit_select_pack_batch,
+        rotation_match_batch,
+    )
 
+    pack_variant = pack_variant or PACK_KERNEL_VARIANT
     n_bits = hi.shape[1]
     r_bit = n_bits // 128
     hi3 = hi.reshape(-1, r_bit, 128)
@@ -199,12 +212,16 @@ def psk2_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False):
 
     packed = bit_select_pack_batch(
         hi3, lo3, s, ksel, rows_per_capture=r_bit, interpret=interpret,
+        variant=pack_variant,
     )
     n_valid = (jnp.int32(n_bits) - (s & 7)) // 8
     return packed, n_valid, found
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "symbol_rate", "cfo_retry", "fsk_mlse")
+    jax.jit,
+    static_argnames=(
+        "mode", "symbol_rate", "cfo_retry", "fsk_mlse", "psk_variant", "pack_variant",
+    ),
 )
 def demod_pack_batch(
     samples: jnp.ndarray,
@@ -212,6 +229,8 @@ def demod_pack_batch(
     symbol_rate: int,
     cfo_retry: bool = True,
     fsk_mlse: bool = False,
+    psk_variant: Optional[str] = None,
+    pack_variant: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(B, N) samples -> (packed_bytes (B, max_bytes), n_valid (B,), found (B,)).
 
@@ -303,7 +322,8 @@ def demod_pack_batch(
         # modem.cfo_retry) to skip the rotation machinery.
         n_psk = 4 if kind == "psk4" else 2
         hi, lo = psk_decision_streams_batch(
-            samples, baud, carrier, SAMPLE_RATE, n_psk=n_psk, cfo=cfo_retry
+            samples, baud, carrier, SAMPLE_RATE, n_psk=n_psk, cfo=cfo_retry,
+            kernel_variant=psk_variant,
         )
         # CONFIG tpu.demod_backend == 'xla' forces the vmapped XLA sync
         # tails even on TPU (chicken bit for kernel triage); 'auto' (default)
@@ -315,7 +335,7 @@ def demod_pack_batch(
         if kind == "psk4":
             n_dib = hi.shape[1]
             if use_kernels and n_dib % (128 * 256) == 0:
-                return psk4_kernel_sync_tail(hi, lo, cfo_retry)
+                return psk4_kernel_sync_tail(hi, lo, cfo_retry, pack_variant=pack_variant)
             if not cfo_retry:
                 # Validated like the kernel path — same accept behavior on
                 # every backend; a match the validation rejects is the
@@ -331,7 +351,7 @@ def demod_pack_batch(
         # psk2: (hi, lo) are the (re, im) sign-bit streams.
         n_bits = hi.shape[1]
         if use_kernels and n_bits % (128 * 256) == 0:
-            return psk2_kernel_sync_tail(hi, lo, cfo_retry)
+            return psk2_kernel_sync_tail(hi, lo, cfo_retry, pack_variant=pack_variant)
         if cfo_retry:
             return jax.vmap(
                 lambda br, bi: bit_sync_and_pack_rotations(br, bi, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2)
@@ -368,7 +388,7 @@ def demod_pack_batch(
             if pad:
                 hi = jnp.pad(hi, ((0, 0), (0, pad)))
                 lo = jnp.pad(lo, ((0, 0), (0, pad)))
-            return psk4_kernel_sync_tail(hi, lo, cfo_retry)
+            return psk4_kernel_sync_tail(hi, lo, cfo_retry, pack_variant=pack_variant)
         if not cfo_retry:
             return jax.vmap(
                 lambda h, l: dibit_sync_and_pack(

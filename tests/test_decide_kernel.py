@@ -78,6 +78,64 @@ def test_decide_kernel_interpret_matches_xla(n_psk, rng):
     assert np.array_equal(lo_k[:, :n_sym_sig], lo_x[:, :n_sym_sig])
 
 
+@pytest.mark.parametrize("n_psk", [2, 4])
+def test_decide_kernel_succ_variant_bitwise_equal(n_psk):
+    """The successor-column body == the roll body, bitwise (same template
+    rows, same dot accumulation — see _blocked_templates_succ)."""
+    from audio_modem_radio_tpu.ops.psk import (
+        _batch_pass1,
+        _blocked_templates,
+        _blocked_templates_succ,
+        _samples_per_symbol,
+    )
+    from audio_modem_radio_tpu.ops.pallas_kernels import psk_project_decide_batch
+
+    baud, carrier, sr = 9600.0, 3000.0, 96000
+    spsym = _samples_per_symbol(sr, baud)
+    mode = "QPSK" if n_psk == 4 else "BPSK"
+    batch, _ = _make_batch(mode, int(baud), n_captures=2, seed=11 + n_psk)
+    # Shift one capture so the winning timing offsets differ across captures.
+    batch[1] = np.roll(batch[1], 7)
+    b, n = batch.shape
+    samples = jnp.asarray(batch)
+    x3d, r, best, theta = _batch_pass1(
+        samples, None, b, n // spsym, spsym, carrier, sr, 8, 0
+    )
+    rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+    W = jnp.asarray(_blocked_templates(spsym, carrier, sr, 8))
+    Ws = jnp.asarray(_blocked_templates_succ(spsym, carrier, sr, 8))
+    assert np.array_equal(np.asarray(Ws[:, :, :256]), np.asarray(W))
+
+    hi_r, lo_r = psk_project_decide_batch(
+        x3d, W, best, rot, rows_per_capture=r, n_psk=n_psk, interpret=True
+    )
+    hi_s, lo_s = psk_project_decide_batch(
+        x3d, Ws, best, rot, rows_per_capture=r, n_psk=n_psk, interpret=True,
+        variant="succ",
+    )
+    assert np.array_equal(np.asarray(hi_r), np.asarray(hi_s))
+    if n_psk == 4:
+        assert np.array_equal(np.asarray(lo_r), np.asarray(lo_s))
+    else:
+        # DBPSK's imaginary differential is ~0 at every symbol (the data
+        # lives on the real axis), so ``lo`` is the sign of rounding noise;
+        # the succ variant's two-dot split associates the row-straddling
+        # lanes' accumulation differently (1 ulp), legitimately flipping
+        # those meaningless signs. Assert the mismatches are confined to
+        # near-zero d_im positions of the roll variant's own float stream.
+        from audio_modem_radio_tpu.ops.pallas_kernels import psk_project_diff_batch
+        from audio_modem_radio_tpu.ops.psk import derotate
+
+        d_re, d_im = psk_project_diff_batch(x3d, W, best, rows_per_capture=r, interpret=True)
+        d_re, d_im = derotate(
+            d_re.reshape(len(batch), -1), d_im.reshape(len(batch), -1), theta
+        )
+        d_re, d_im = np.asarray(d_re), np.asarray(d_im)
+        mism = (np.asarray(lo_r) != np.asarray(lo_s)).reshape(len(batch), -1)
+        tiny = np.abs(d_im) <= 1e-4 * np.median(np.abs(d_re[d_re != 0]))
+        assert np.all(tiny[mism])
+
+
 @pytest.mark.parametrize("cfo", [True, False])
 def test_decision_streams_batch_decodes(cfo):
     """decode via psk_decision_streams_batch end to end (XLA path on CPU)."""

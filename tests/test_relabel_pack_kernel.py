@@ -97,7 +97,8 @@ def test_bpsk_match_and_pack(hyp, rng):
 
 @pytest.mark.parametrize("mode,n_psk", [("QPSK", 4), ("BPSK", 2)])
 @pytest.mark.parametrize("cfo_retry", [True, False])
-def test_production_kernel_sync_tail_wiring(mode, n_psk, cfo_retry, rng):
+@pytest.mark.parametrize("pack_variant", ["shift", "weights"])
+def test_production_kernel_sync_tail_wiring(mode, n_psk, cfo_retry, pack_variant, rng):
     """The EXACT production kernel-branch wiring (matcher -> ksel/s
     derivation -> fused pack kernel), executed in interpret mode — the
     backend gate otherwise keeps this code TPU-only and out of CI."""
@@ -124,7 +125,9 @@ def test_production_kernel_sync_tail_wiring(mode, n_psk, cfo_retry, rng):
         hi = jnp.pad(hi, ((0, 0), (0, target - hi.shape[1])))
         lo = jnp.pad(lo, ((0, 0), (0, target - lo.shape[1])))
     tail = psk4_kernel_sync_tail if n_psk == 4 else psk2_kernel_sync_tail
-    packed, n_valid, found = tail(hi, lo, cfo_retry, interpret=True)
+    packed, n_valid, found = tail(
+        hi, lo, cfo_retry, interpret=True, pack_variant=pack_variant
+    )
     assert bool(np.asarray(found).all())
     for i in range(2):
         raw = np.asarray(packed[i])[: int(n_valid[i])].tobytes()
@@ -294,6 +297,55 @@ def test_relabel_pack_decodes_frame(rng):
         raw = np.asarray(packed[i]).tobytes()
         frames = parse_frames(raw)
         assert frames and frames[0].data == payload
+
+# --- shifted-weights pack variant (round 3) -------------------------------------
+
+
+def test_relabel_pack_weights_variant_bitwise_equal(rng):
+    """variant="weights" (per-shift pack tables via the scalar-prefetch
+    index_map) == variant="shift" (lane-rolled stream variants), bitwise,
+    across every (bit shift, rotation) combination. Byte sums are exact
+    power-of-two sums < 256, so equality is guaranteed, not probabilistic."""
+    b, r = 32, 256
+    rng = np.random.default_rng(99)
+    hi = rng.integers(0, 2, (b, r, 128), dtype=np.uint8)
+    lo = rng.integers(0, 2, (b, r, 128), dtype=np.uint8)
+    # All 8 bit shifts x all 4 rotations.
+    s = np.asarray([(i % 8) + 8 * (i // 8) for i in range(b)], np.int32)
+    ksel = np.asarray([i // 8 for i in range(b)], np.int32)
+
+    a = relabel_pack_batch(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(s), jnp.asarray(ksel),
+        rows_per_capture=r, interpret=True,
+    )
+    w = relabel_pack_batch(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(s), jnp.asarray(ksel),
+        rows_per_capture=r, interpret=True, variant="weights",
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(w))
+
+
+def test_bit_select_pack_weights_variant_bitwise_equal(rng):
+    from audio_modem_radio_tpu.ops.pallas_kernels import bit_select_pack_batch
+
+    b, r = 32, 256
+    rng = np.random.default_rng(98)
+    re = rng.integers(0, 2, (b, r, 128), dtype=np.uint8)
+    im = rng.integers(0, 2, (b, r, 128), dtype=np.uint8)
+    # All 8 bit shifts x all 4 hypotheses (re/im x inverted).
+    s = np.asarray([i % 8 for i in range(b)], np.int32)
+    ksel = np.asarray([i // 8 for i in range(b)], np.int32)
+
+    a = bit_select_pack_batch(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(s), jnp.asarray(ksel),
+        rows_per_capture=r, interpret=True,
+    )
+    w = bit_select_pack_batch(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(s), jnp.asarray(ksel),
+        rows_per_capture=r, interpret=True, variant="weights",
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(w))
+
 
 # --- prefix-scan escalation (round 3) -----------------------------------------
 
