@@ -748,6 +748,12 @@ def psk_decision_streams_batch(
         # without stale-jit-cache hazards (a module-global read inside a
         # cached trace would not retrace on change).
         variant = kernel_variant or DECIDE_KERNEL_VARIANT
+        if variant == "succ" and spsym > 16:
+            # VMEM budget (~16 MB/core): the 512-wide succ template is
+            # 4*(128*spsym+ov)*512 bytes (8.7 MB at spsym=32) on top of the
+            # double-buffered (256, 128*spsym) sample tiles — too tight past
+            # spsym=16. Large-symbol configs keep the roll body.
+            variant = "roll"
         Wk = W8
         if variant == "succ":
             Wk = jnp.asarray(
