@@ -86,6 +86,12 @@ _DEFAULTS: Dict[str, Any] = {
         # 'xla' forces the vmapped XLA tails everywhere (chicken bit).
         "demod_backend": "auto",
         "batch_bucket_sizes": [1 << 16, 1 << 18, 1 << 20, 1 << 22, 1 << 24, 1 << 25],
+        # PSK batch rows ship to the device as int16 (production WAVs are
+        # int16 PCM and the receive pipeline is scale-invariant): halves the
+        # HBM read of the DMA-bound decide kernel. None = auto (TPU backend
+        # only); True/False force. Exact for int16-sourced audio; resampled/
+        # denoised floats requantize at -90 dB, far below any channel noise.
+        "int16_rows": None,
     },
 }
 

@@ -269,6 +269,164 @@ def _td_supported(chip_len: int) -> bool:
     return 128 % (CHIPS_PER_SYMBOL * chip_len) == 0 and chip_len <= 4
 
 
+@functools.lru_cache(maxsize=8)
+def _energy_table(P: int) -> np.ndarray:
+    """(128+P, 128) banded ones: sliding window energy at every in-row lag
+    as one matmul on the correlation row layout."""
+    T = np.zeros((128 + P, 128), np.float32)
+    for l in range(128):
+        T[l : l + P, l] = 1.0
+    return T
+
+
+@functools.lru_cache(maxsize=8)
+def _preamble_energy(chip_len: int) -> float:
+    pre = _preamble_baseband(chip_len)
+    return float(np.sum(np.abs(pre) ** 2))
+
+
+# Prefix-sync accept threshold on the normalized correlation peak
+# rho = |corr|^2 / (E_pre * E_window). Cauchy-Schwarz bounds rho <= 1; a
+# clean capture measures ~0.5 (the conjugate-image term of real-passband
+# downconversion without low-pass halves the matched energy) and pure noise
+# ~1/P ~ 0.002 (tests/test_neural_mode.py pins both). 0.12 escalates below
+# roughly -5 dB SNR — where a full-lag search is warranted anyway.
+TD_PREFIX_RHO = 0.12
+
+
+def demod_td_batch(samples: jnp.ndarray, chip_len: int) -> jnp.ndarray:
+    """(B, N) -> (B, n_sym) uint8 symbols: batched TD demod, prefix sync.
+
+    The preamble opens every transmission, so the matched filter searches
+    lags only in the first ~1/8 of each capture first and accepts iff EVERY
+    capture's normalized peak clears ``TD_PREFIX_RHO``; the escalation
+    ``lax.cond`` sits OUTSIDE the capture vmap (a vmapped cond executes
+    both branches, which would erase the saving — the PSK sync tails'
+    all-capture consensus structure). Late transmissions or silence
+    escalate to the full-lag search. One deliberate difference from the
+    global argmax: when two transmissions share a capture and both pass the
+    threshold, the prefix peak (the FIRST preamble) wins — previously the
+    stronger one did.
+    """
+    chip_tab = _chip_shift_table(chip_len, 1.0 + 0.0 * samples[0, 0])
+    cb_b = jnp.asarray(_codebook_blocked(chip_len))
+    corr_t = jnp.asarray(_corr_table(chip_len))
+    P = corr_t.shape[0] - 128
+    e_tab = jnp.asarray(_energy_table(P))
+    e_pre = _preamble_energy(chip_len)
+
+    zr, zi = jax.vmap(_td_prep)(samples)
+    r3 = zr.shape[1] // 128
+    r_pre = max(1, r3 // 8)
+
+    def prefix_peak(a, b):
+        cre, cim = _td_corr(a, b, corr_t, r_pre)
+        k0, pr, pi, pk = _td_peak(cre, cim)
+        nb = P // 128
+        e2 = _td_corr_rows(a * a + b * b, r_pre, nb) @ e_tab  # (r_pre, 128)
+        ew = e2.reshape(-1)[k0]
+        rho = pk / (e_pre * ew + 1e-12)
+        return k0, pr, pi, rho
+
+    def full_peak(a, b):
+        cre, cim = _td_corr(a, b, corr_t, r3)
+        k0, pr, pi, _pk = _td_peak(cre, cim)
+        return k0, pr, pi
+
+    if 2 * r_pre <= r3:
+        k0p, prp, pip, rho = jax.vmap(prefix_peak)(zr, zi)
+        hit = jnp.all(rho >= TD_PREFIX_RHO)
+        k0, pr, pi = jax.lax.cond(
+            hit, lambda: (k0p, prp, pip), lambda: jax.vmap(full_peak)(zr, zi)
+        )
+    else:
+        k0, pr, pi = jax.vmap(full_peak)(zr, zi)
+
+    return jax.vmap(
+        lambda a, b, k, cr, ci: _td_extract(a, b, k, cr, ci, cb_b, chip_tab)
+    )(zr, zi, k0, pr, pi)
+
+
+def _td_prep(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fs/4 downconversion by sign masks (no trig, all-real); pads to the
+    128-lane tile."""
+    pad = (-x.shape[0]) % 128
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
+    n = x.shape[0]
+    zr = x * jnp.tile(jnp.asarray([1.0, 0.0, -1.0, 0.0], jnp.float32), -(-n // 4))[:n]
+    zi = x * jnp.tile(jnp.asarray([0.0, -1.0, 0.0, 1.0], jnp.float32), -(-n // 4))[:n]
+    return zr, zi
+
+
+def _td_corr_rows(z: jnp.ndarray, rows: int, nb: int) -> jnp.ndarray:
+    """(rows, 128*(nb+1)) overlapped correlation rows for lags [0, rows*128).
+
+    Lag l needs samples l .. l+P; slicing real samples (prefix search) and
+    zero-padding (full search past the capture end) are both just 'take
+    (rows+nb+1)*128 samples, padding with zeros if short'."""
+    need = (rows + nb + 1) * 128
+    if need > z.shape[0]:
+        z = jnp.concatenate([z, jnp.zeros((need - z.shape[0],), jnp.float32)])
+    z2 = z[:need].reshape(rows + nb + 1, 128)
+    return jnp.concatenate([z2[t : rows + t] for t in range(nb + 1)], axis=1)
+
+
+def _td_corr(
+    zr: jnp.ndarray, zi: jnp.ndarray, corr_table: jnp.ndarray, rows: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Preamble matched filter over lags [0, rows*128): ONE blocked matmul."""
+    nb = (corr_table.shape[0] - 128) // 128
+    rr = jnp.concatenate(
+        [_td_corr_rows(zr, rows, nb), _td_corr_rows(zi, rows, nb)], axis=0
+    )  # (2*rows, 128+P)
+    UV = rr @ corr_table  # (2*rows, 256)
+    U, V = UV[:rows], UV[rows:]
+    corr_re = (U[:, :128] + V[:, 128:]).reshape(-1)
+    corr_im = (V[:, :128] - U[:, 128:]).reshape(-1)
+    return corr_re, corr_im
+
+
+def _td_peak(
+    corr_re: jnp.ndarray, corr_im: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """argmax lag, unit channel phasor and peak |corr|^2."""
+    mag2 = corr_re * corr_re + corr_im * corr_im
+    k0 = jnp.argmax(mag2)
+    norm = jnp.sqrt(mag2[k0]) + 1e-12
+    return k0, corr_re[k0] / norm, corr_im[k0] / norm, mag2[k0]
+
+
+def _td_extract(
+    zr: jnp.ndarray,
+    zi: jnp.ndarray,
+    k0: jnp.ndarray,
+    ph_re: jnp.ndarray,
+    ph_im: jnp.ndarray,
+    codebook_blocked: jnp.ndarray,
+    chip_table: jnp.ndarray,
+) -> jnp.ndarray:
+    """Chips at k0 via aligned tile slice + offset-table projection, then
+    block-diagonal codebook scoring."""
+    r3 = zr.shape[0] // 128
+    q, s = k0 // 128, k0 % 128
+    tiles = jnp.concatenate([zr.reshape(r3, 128), zi.reshape(r3, 128)], axis=1)
+    tiles2 = jnp.concatenate([tiles, tiles], axis=0)  # circular, like _rot
+    t = jax.lax.dynamic_slice(tiles2, (q, 0), (r3 + 1, 256))
+    rows = jnp.concatenate(  # (r3, 512): two-tile window per component
+        [t[:-1, :128], t[1:, :128], t[:-1, 128:], t[1:, 128:]], axis=1
+    )
+    # reorder to [zr tile pair | zi tile pair] = (r3, 512) @ (512, 2*cpr)
+    chips = rows @ chip_table[s]  # (r3, 2*cpr): [re chips | im chips]
+    cpr = chips.shape[1] // 2
+    cr, ci = chips[:, :cpr], chips[:, cpr:]
+    # z * conj(phase), applied on chip tiles (commutes with the box mean).
+    cr, ci = cr * ph_re + ci * ph_im, ci * ph_re - cr * ph_im
+    scores = jnp.concatenate([cr, ci], axis=1) @ codebook_blocked
+    spr = scores.shape[1] // 256
+    return jnp.argmax(scores.reshape(r3 * spr, 256), axis=-1).astype(jnp.uint8)
+
+
 def _demod_td(
     x: jnp.ndarray,
     codebook_blocked: jnp.ndarray,
@@ -294,51 +452,14 @@ def _demod_td(
     Tables are built/selected OUTSIDE any vmap. Arbitrary input lengths are
     zero-padded up to the 128-lane tile (extra tail symbols decode to
     garbage the frame parser ignores, exactly like the bucket padding).
+    The batched path (parallel/batch.py) composes the same phases with a
+    prefix-limited sync search and all-capture consensus escalation.
     """
-    pad = (-x.shape[0]) % 128
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
-    n = x.shape[0]
-    r3 = n // 128
-    P = corr_table.shape[0] - 128
-    nb = P // 128
-    osc = jnp.tile(jnp.asarray([1.0, 0.0, -1.0, 0.0], jnp.float32), -(-n // 4))[:n]
-    zr = x * osc
-    zi = x * jnp.tile(jnp.asarray([0.0, -1.0, 0.0, 1.0], jnp.float32), -(-n // 4))[:n]
-
-    # --- sync: blocked cross-correlation over every lag in [0, n) ---------
-    def corr_rows(z):
-        zp = jnp.concatenate([z, jnp.zeros(((nb + 1) * 128,), jnp.float32)])
-        z2 = zp.reshape(r3 + nb + 1, 128)
-        return jnp.concatenate([z2[t : r3 + t] for t in range(nb + 1)], axis=1)
-
-    rr = jnp.concatenate([corr_rows(zr), corr_rows(zi)], axis=0)  # (2r3, 128+P)
-    UV = rr @ corr_table  # (2r3, 256)
-    U, V = UV[:r3], UV[r3:]
-    corr_re = (U[:, :128] + V[:, 128:]).reshape(-1)
-    corr_im = (V[:, :128] - U[:, 128:]).reshape(-1)
-    mag2 = corr_re * corr_re + corr_im * corr_im
-    k0 = jnp.argmax(mag2)
-    norm = jnp.sqrt(mag2[k0]) + 1e-12
-    ph_re, ph_im = corr_re[k0] / norm, corr_im[k0] / norm
-
-    # --- chips at k0: aligned tile slice + offset-table projection --------
-    q, s = k0 // 128, k0 % 128
-    tiles = jnp.concatenate([zr.reshape(r3, 128), zi.reshape(r3, 128)], axis=1)
-    tiles2 = jnp.concatenate([tiles, tiles], axis=0)  # circular, like _rot
-    t = jax.lax.dynamic_slice(tiles2, (q, 0), (r3 + 1, 256))
-    rows = jnp.concatenate(  # (r3, 512): two-tile window per component
-        [t[:-1, :128], t[1:, :128], t[:-1, 128:], t[1:, 128:]], axis=1
-    )
-    # reorder to [zr tile pair | zi tile pair] = (r3, 512) @ (512, 2*cpr)
-    chips = rows @ chip_table[s]  # (r3, 2*cpr): [re chips | im chips]
-    cpr = chips.shape[1] // 2
-    cr, ci = chips[:, :cpr], chips[:, cpr:]
-    # z * conj(phase), applied on chip tiles (commutes with the box mean).
-    cr, ci = cr * ph_re + ci * ph_im, ci * ph_re - cr * ph_im
-    scores = jnp.concatenate([cr, ci], axis=1) @ codebook_blocked
-    spr = scores.shape[1] // 256
-    sym = jnp.argmax(scores.reshape(r3 * spr, 256), axis=-1).astype(jnp.uint8)
+    zr, zi = _td_prep(x)
+    r3 = zr.shape[0] // 128
+    corr_re, corr_im = _td_corr(zr, zi, corr_table, r3)
+    k0, ph_re, ph_im, _pk = _td_peak(corr_re, corr_im)
+    sym = _td_extract(zr, zi, k0, ph_re, ph_im, codebook_blocked, chip_table)
     return sym, k0
 
 

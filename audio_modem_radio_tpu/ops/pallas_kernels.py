@@ -34,18 +34,34 @@ from jax.experimental.pallas import tpu as pltpu
 _BLOCK_SYM = 128  # symbols per lane row (matches ops.psk)
 
 
+def _to_f32(v: jnp.ndarray) -> jnp.ndarray:
+    """VMEM-side cast to f32. int16 input rows halve the kernel's HBM read
+    (the decide kernel runs at the f32 DMA floor — PERF.md); Mosaic has no
+    direct i16->f32, so integers route through i32."""
+    if jnp.issubdtype(v.dtype, jnp.integer):
+        return v.astype(jnp.int32).astype(jnp.float32)
+    return v
+
+
+def _look_rows(dtype) -> int:
+    """Sublane count of the next-rows lookahead block: 16-bit dtypes have a
+    (16, 128) minimal tile, so an 8-row block would be illegal."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
 def _project_diff_body(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shared tile math: overlap build + projection matmul + differential.
 
     Returns the (blk, 128) differential (d_re, d_im) tiles in registers/VMEM.
     """
-    x = x_ref[:]  # (blk, ROW)
+    x = _to_f32(x_ref[:])  # (blk, ROW)
     blk = x.shape[0]
     ov = w2d.shape[0] - x.shape[1]
 
-    # Rows r+1 for every row in the tile: roll the (blk+8)-row extended tile
-    # up by one and keep the first blk rows.
-    ext_rows = jnp.concatenate([x, xn_ref[:]], axis=0)  # (blk+8, ROW)
+    xn = _to_f32(xn_ref[:])
+    # Rows r+1 for every row in the tile: roll the extended tile (blk + the
+    # lookahead rows) up by one and keep the first blk rows.
+    ext_rows = jnp.concatenate([x, xn], axis=0)  # (blk+LOOK, ROW)
     nxt_rows = pltpu.roll(ext_rows, ext_rows.shape[0] - 1, axis=0)[:blk]
     xov = jnp.concatenate([x, nxt_rows[:, :ov]], axis=1)  # (blk, ROW+OV)
 
@@ -57,7 +73,16 @@ def _project_diff_body(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
     xov = xov.astype(w2d.dtype)
     out = jnp.dot(xov, w2d, preferred_element_type=jnp.float32)
     # The next tile's first row, projected (for the cross-tile differential).
-    xov_n = jnp.concatenate([xn_ref[0:1], xn_ref[1:2, :ov]], axis=1).astype(w2d.dtype)
+    if jnp.issubdtype(x_ref.dtype, jnp.integer):
+        # A row-1 slice of the CAST tile carries a {1,0} sublane-offset
+        # layout Mosaic cannot lane-concatenate ("result/input offset
+        # mismatch on non-concat dimension") — realign row 1 to sublane 0
+        # with a roll before slicing. The f32 branch below keeps the raw ref
+        # slices the measured production kernel uses.
+        xn1 = pltpu.roll(xn, xn.shape[0] - 1, axis=0)[0:1, :ov]
+        xov_n = jnp.concatenate([xn[0:1], xn1], axis=1).astype(w2d.dtype)
+    else:
+        xov_n = jnp.concatenate([xn_ref[0:1], xn_ref[1:2, :ov]], axis=1).astype(w2d.dtype)
     nxt = jnp.dot(xov_n, w2d, preferred_element_type=jnp.float32)  # (1, 256)
 
     re = out[:, :_BLOCK_SYM]
@@ -129,7 +154,8 @@ def psk_project_diff_batch(
     # window instead of padding the (huge) input: its diffs land in the
     # capture's zero-pad tail, which is garbage either way. Saves a full-array
     # pad copy that profiled at ~17% of the whole pipeline.
-    last_block8 = b * r // 8 - 1
+    look = _look_rows(x3d.dtype)
+    last_look = b * r // look - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -137,9 +163,9 @@ def psk_project_diff_batch(
         in_specs=[
             pl.BlockSpec((block_rows, row), lambda i, best_ref: (i, 0)),
             pl.BlockSpec(
-                (8, row),
-                lambda i, best_ref: (
-                    jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8),
+                (look, row),
+                lambda i, best_ref, lk=look: (
+                    jnp.minimum(i * (block_rows // lk) + block_rows // lk, last_look),
                     0,
                 ),
             ),
@@ -193,19 +219,20 @@ def psk_project_diff(
     if not row >= c - row >= 0:
         raise ValueError(f"overlap {c - row} must be within one row ({row})")
     grid = (r // block_rows,)
+    look = _look_rows(x2d.dtype)
     # Zero rows appended so the last program's "next rows" load stays in bounds.
-    xpad = jnp.concatenate([x2d, jnp.zeros((8, row), x2d.dtype)], axis=0)
+    xpad = jnp.concatenate([x2d, jnp.zeros((look, row), x2d.dtype)], axis=0)
 
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_rows, row), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            # 8-row window starting at the next tile's first row (block units
-            # of 8 rows).
+            # lookahead window starting at the next tile's first row (block
+            # units of `look` rows).
             pl.BlockSpec(
-                (8, row),
-                lambda i: (i * (block_rows // 8) + block_rows // 8, 0),
+                (look, row),
+                lambda i, lk=look: (i * (block_rows // lk) + block_rows // lk, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((c, 2 * _BLOCK_SYM), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -236,13 +263,13 @@ def _project_diff_body_succ(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarra
     output columns. Bitwise identical to :func:`_project_diff_body` (same
     template rows, same dot accumulation).
     """
-    x = x_ref[:]  # (blk, ROW)
+    x = _to_f32(x_ref[:])  # (blk, ROW)
     blk, row = x.shape
     ov = w2d.shape[0] - row
 
     # Next-row heads, built only OV lanes wide (the roll body builds the full
     # ROW-wide extended tile).
-    ext_h = jnp.concatenate([x[:, :ov], xn_ref[:, :ov]], axis=0)  # (blk+8, OV)
+    ext_h = jnp.concatenate([x[:, :ov], _to_f32(xn_ref[:, :ov])], axis=0)
     nxt_h = pltpu.roll(ext_h, ext_h.shape[0] - 1, axis=0)[:blk]  # (blk, OV)
 
     out = jnp.dot(x.astype(w2d.dtype), w2d[:row], preferred_element_type=jnp.float32)
@@ -338,7 +365,8 @@ def psk_project_decide_batch(
     steps_per_capture = r // block_rows
     grid = (b * steps_per_capture,)
     x2d = x3d.reshape(b * r, row)
-    last_block8 = b * r // 8 - 1
+    look = _look_rows(x3d.dtype)
+    last_look = b * r // look - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -346,9 +374,9 @@ def psk_project_decide_batch(
         in_specs=[
             pl.BlockSpec((block_rows, row), lambda i, best_ref, rot_ref: (i, 0)),
             pl.BlockSpec(
-                (8, row),
-                lambda i, best_ref, rot_ref: (
-                    jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8),
+                (look, row),
+                lambda i, best_ref, rot_ref, lk=look: (
+                    jnp.minimum(i * (block_rows // lk) + block_rows // lk, last_look),
                     0,
                 ),
             ),
@@ -615,9 +643,11 @@ def _pack_weights() -> Tuple[np.ndarray, np.ndarray]:
 
 # Sync-tail pack kernel generation: "shift" (lane-rolled stream variants) or
 # "weights" (per-shift pack weight tables selected by the scalar-prefetch
-# index_map — bitwise-equal output, no in-kernel stream shifting). A/B on
-# chip before flipping.
-PACK_KERNEL_VARIANT = "shift"
+# index_map — bitwise-equal output, no in-kernel stream shifting). Measured
+# on v5e (64 x 2^24, benchmarks/psk_decide_variant_ab.py): weights wins 48%
+# end-to-end on DBPSK (18.0 -> 12.2 ms; the shift kernel built 16 rolled
+# stream variants per tile) and ~3% on DQPSK (12.6 -> 12.2 ms).
+PACK_KERNEL_VARIANT = "weights"
 
 
 @functools.partial(

@@ -182,8 +182,13 @@ def _offset_templates(spsym: int, carrier: float, sample_rate: int, n_offsets: i
 # lanes, always a multiple of 128 — zero layout padding).
 _BLOCK_SYM = 128
 # Decide-kernel body: "roll" (lane-concat overlap + roll successor) or "succ"
-# (successor-column templates — bitwise-identical math, fewer VPU relayouts;
-# see pallas_kernels._project_diff_body_succ). A/B on chip before flipping.
+# (successor-column templates — identical decisions, fewer VPU relayouts; see
+# pallas_kernels._project_diff_body_succ). Measured on v5e (64 x 2^24,
+# benchmarks/psk_decide_variant_ab.py): roll 6.4-6.6 ms vs succ 6.8-7.0 ms —
+# the kernel runs AT the f32 HBM read floor (~168 GS/s), so trading VPU work
+# for a 2x-wide template only adds DMA. Negative result; succ stays in-tree
+# as the A/B switch. The remaining lever on a DMA-bound kernel is narrower
+# input (int16 rows), not less compute.
 DECIDE_KERNEL_VARIANT = "roll"
 # Blocked path applies when spsym <= this (template stack stays small and the
 # (n_frames, spsym) layout padding it avoids is >= 4x there).
@@ -572,7 +577,15 @@ def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offse
     ]
     wins = jnp.concatenate(
         [jnp.concatenate([m, nx], axis=2) for m, nx in zip(mains, nexts)], axis=1
-    )  # (B, len(starts)*wr, row+ov)
+    ).astype(jnp.float32)  # (B, len(starts)*wr, row+ov); int16 rows cast here
+    # Normalize the SCORING/CFO windows per capture: the 4th-power rotation
+    # estimate raises differential phasors (~scale^2) to the 4th, so int16-
+    # scaled input (x32768 -> ~1e36 per term) overflows f32 to inf and the
+    # arctan2 to nan. The estimate is mathematically scale-invariant; this
+    # keeps it numerically so for ANY input scale. Pass 2's sign decisions
+    # are scale-invariant and keep the raw values.
+    wscale = jnp.maximum(jnp.max(jnp.abs(wins), axis=(1, 2), keepdims=True), 1e-12)
+    wins = wins / wscale
     W_all = jnp.concatenate([W8[i] for i in range(n_offsets)], axis=1)  # (c, K*256)
     proj = wins.reshape(b, -1, c) @ W_all  # (B, nw, K*256)
     proj = proj.reshape(b, -1, n_offsets, 2, _BLOCK_SYM)
@@ -628,7 +641,7 @@ def psk_demod_streams_batch(
         if row != _BLOCK_SYM * spsym:
             raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
         n_frames = r * _BLOCK_SYM
-        x3d = samples.astype(jnp.float32)
+        x3d = samples if jnp.issubdtype(samples.dtype, jnp.integer) else samples.astype(jnp.float32)
     else:
         b, n = samples.shape
         n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
@@ -655,6 +668,7 @@ def psk_demod_streams_batch(
         d2r, d2i = psk_project_diff_batch(x3d, W8, best, rows_per_capture=r, block_rows=blk)
         return d2r.reshape(b, -1), d2i.reshape(b, -1)
 
+    x3d = x3d.astype(jnp.float32)  # XLA fallback: integer rows cast here
     x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
     xov_rows = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
     out = jnp.einsum("brc,bck->brk", xov_rows, W8[best])  # (B, r, 256)
@@ -710,7 +724,7 @@ def psk_decision_streams_batch(
         if row != _BLOCK_SYM * spsym:
             raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
         n_frames = r * _BLOCK_SYM
-        x3d = samples.astype(jnp.float32)
+        x3d = samples if jnp.issubdtype(samples.dtype, jnp.integer) else samples.astype(jnp.float32)
     else:
         b, n = samples.shape
         n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
@@ -765,6 +779,7 @@ def psk_decision_streams_batch(
         )
         return hi.reshape(b, -1), lo.reshape(b, -1)
 
+    x3d = x3d.astype(jnp.float32)  # XLA fallback: integer rows cast here
     x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
     xov_rows = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
     out = jnp.einsum("brc,bck->brk", xov_rows, W8[best])  # (B, r, 256)

@@ -258,32 +258,28 @@ def demod_pack_batch(
             CHIPS_PER_SYMBOL,
             PREAMBLE_LEN,
             _chip_len,
-            _chip_shift_table,
             _codebook,
-            _codebook_blocked,
-            _corr_table,
             _demod,
-            _demod_td,
             _preamble_spectra,
             _td_supported,
+            demod_td_batch,
         )
 
         chip_len = _chip_len(int(params[0]))
         if _td_supported(chip_len):
             # All-matmul time-domain path (round 3): blocked correlation
             # sync + aligned chip-table extraction — the FFT matched filter
-            # alone cost ~250 ms/batch on v5e. Tables built ONCE outside
-            # the vmap (a vmapped build would batch ~8-32 MB per capture).
-            chip_tab = _chip_shift_table(chip_len, 1.0 + 0.0 * samples[0, 0])
-            cb_b = jnp.asarray(_codebook_blocked(chip_len))
-            corr_t = jnp.asarray(_corr_table(chip_len))
-
-            def neural_td_one(x):
-                syms, _k0 = _demod_td(x, cb_b, corr_t, chip_tab, chip_len)
-                payload = syms[PREAMBLE_LEN:]
-                return payload, jnp.asarray(payload.shape[0]), jnp.asarray(True)
-
-            return jax.vmap(neural_td_one)(samples)
+            # alone cost ~250 ms/batch on v5e. The sync search is
+            # prefix-limited with all-capture consensus escalation (the
+            # correlation matmul over every lag was half the NEURAL FLOPs).
+            syms = demod_td_batch(samples, chip_len)
+            payload = syms[:, PREAMBLE_LEN:]
+            b = payload.shape[0]
+            return (
+                payload,
+                jnp.full((b,), payload.shape[1], jnp.int32),
+                jnp.ones((b,), bool),
+            )
 
         n_fft = 1 << int(
             np.ceil(np.log2(samples.shape[-1] + PREAMBLE_LEN * CHIPS_PER_SYMBOL * chip_len))
@@ -454,9 +450,23 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
         shape = blocked_row_shape(batch.shape[1], params[0], SAMPLE_RATE)
         if shape is not None:
             r, row = shape
-            shaped = np.zeros((b, r * row), dtype=np.float32)
             keep = min(batch.shape[1], r * row)
-            shaped[:, :keep] = batch[:, :keep]
+            i16 = CONFIG.get("tpu.int16_rows", None)
+            if i16 is None:
+                i16 = jax.default_backend() == "tpu"
+            if i16:
+                # int16 rows halve the h2d transfer AND the decide kernel's
+                # HBM read (it runs at the f32 DMA floor — PERF.md); the
+                # kernels cast to f32 in VMEM. Scale 32768 reproduces
+                # int16-PCM sources exactly (read_wav divides by 32768);
+                # other sources requantize ~-90 dB below full scale.
+                shaped = np.zeros((b, r * row), dtype=np.int16)
+                shaped[:, :keep] = np.clip(
+                    np.round(batch[:, :keep] * 32768.0), -32768, 32767
+                ).astype(np.int16)
+            else:
+                shaped = np.zeros((b, r * row), dtype=np.float32)
+                shaped[:, :keep] = batch[:, :keep]
             batch = shaped.reshape(b, r, row)
     elif kind == "fsk":
         from ..ops.fsk import fsk_blocked_row_shape, fsk_fir_row_shape

@@ -69,7 +69,13 @@ def main() -> int:
     x = jnp.tile(base, (1, reps_tile))[:, : r * row]
     x = jnp.where(  # zero the tail beyond the 5-minute capture, like the host path
         jnp.arange(r * row)[None, :] < n_samples, x, 0.0
-    ).reshape(b, r, row)
+    )
+    # int16 rows — the production host_shape_batch default on TPU.
+    x = (
+        jnp.clip(jnp.round(x * 32768.0), -32768, 32767)
+        .astype(jnp.int16)
+        .reshape(b, r, row)
+    )
     x = jax.block_until_ready(x)
 
     out = demod_pack_batch(x, "QPSK", baud)  # compile + warm

@@ -136,6 +136,71 @@ def test_decide_kernel_succ_variant_bitwise_equal(n_psk):
         assert np.all(tiny[mism])
 
 
+def test_decide_kernel_int16_rows_bitwise_equal():
+    """int16 input rows (cast to f32 in VMEM) == the same values as float32
+    rows, bitwise: the pipeline is scale-invariant and an int16 cast to f32
+    is exact, so only the HBM read width changes."""
+    from audio_modem_radio_tpu.ops.psk import (
+        _batch_pass1,
+        _blocked_templates,
+        _samples_per_symbol,
+    )
+    from audio_modem_radio_tpu.ops.pallas_kernels import psk_project_decide_batch
+
+    baud, carrier, sr = 9600.0, 3000.0, 96000
+    spsym = _samples_per_symbol(sr, baud)
+    batch, _ = _make_batch("QPSK", 9600, n_captures=2, seed=21)
+    q = np.clip(np.round(batch * 32768.0), -32768, 32767).astype(np.int16)
+    f = q.astype(np.float32)  # exactly the values the kernel's cast produces
+
+    b, n = batch.shape
+    x3f = jnp.asarray(f)
+    # pass-1 on the int16 rows (the scoring windows cast internally)
+    r0 = -(-(n // spsym) // 128)
+    r = max(256, -(-r0 // 256) * 256)
+    row = 128 * spsym
+    pad = np.zeros((b, r * row), np.float32)
+    pad[:, : min(n, r * row)] = f[:, : r * row]
+    x3d_f = jnp.asarray(pad.reshape(b, r, row))
+    x3d_i = jnp.asarray(
+        np.clip(np.round(pad), -32768, 32767).astype(np.int16).reshape(b, r, row)
+    )
+    _x, r_, best, theta = _batch_pass1(None, x3d_i, b, r * 128, spsym, carrier, sr, 8, r)
+    rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+    W = jnp.asarray(_blocked_templates(spsym, carrier, sr, 8))
+
+    hi_f, lo_f = psk_project_decide_batch(
+        x3d_f, W, best, rot, rows_per_capture=r, n_psk=4, interpret=True
+    )
+    hi_i, lo_i = psk_project_decide_batch(
+        x3d_i, W, best, rot, rows_per_capture=r, n_psk=4, interpret=True
+    )
+    assert np.array_equal(np.asarray(hi_f), np.asarray(hi_i))
+    assert np.array_equal(np.asarray(lo_f), np.asarray(lo_i))
+
+
+def test_int16_rows_e2e_decode(monkeypatch):
+    """decode_sample_batch with tpu.int16_rows forced on (CPU XLA path):
+    the int16 rows flow through host shaping, pass-1 and the fallback
+    einsum, and the frame round-trips."""
+    from audio_modem_radio_tpu.config import CONFIG
+    from audio_modem_radio_tpu.framing import parse_frames
+    from audio_modem_radio_tpu.parallel.batch import decode_sample_batch, host_shape_batch
+
+    batch, payload = _make_batch("QPSK", 9600, n_captures=2, seed=33)
+    old = CONFIG.get("tpu.int16_rows", None)
+    CONFIG.set("tpu.int16_rows", True)
+    try:
+        shaped = host_shape_batch(batch, "QPSK", 9600)
+        assert shaped.dtype == np.int16 and shaped.ndim == 3
+        raws = decode_sample_batch(batch, "QPSK", 9600)
+    finally:
+        CONFIG.set("tpu.int16_rows", old)
+    for raw in raws:
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == payload
+
+
 @pytest.mark.parametrize("cfo", [True, False])
 def test_decision_streams_batch_decodes(cfo):
     """decode via psk_decision_streams_batch end to end (XLA path on CPU)."""

@@ -138,6 +138,80 @@ def _framed_named(name: str, payload: bytes) -> bytes:
     return pack_frame(name, payload, 0, 1, len(payload), crc32(payload))
 
 
+def test_neural_prefix_sync_equals_full_and_escalates(rng):
+    """demod_td_batch: prefix-accepted captures decode identically to the
+    full-lag scan, a long-quiet-lead capture (preamble past the prefix)
+    forces the escalation branch and still decodes, and the rho separation
+    the threshold relies on is pinned (clean >> threshold >> noise)."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.ops.neural import (
+        TD_PREFIX_RHO,
+        _chip_len,
+        _chip_shift_table,
+        _codebook_blocked,
+        _corr_table,
+        _demod_td,
+        _td_supported,
+        demod_td_batch,
+    )
+
+    rate = 3000
+    chip_len = _chip_len(rate)
+    assert _td_supported(chip_len)
+    rng = np.random.default_rng(31)
+    payload = rng.integers(0, 256, 600, dtype=np.uint8).tobytes()
+    wave = np.asarray(modulate("NEURAL", _framed_named("p.bin", payload), rate), np.float32)
+    n = 1 << int(np.ceil(np.log2(len(wave) * 2)))
+    early = np.zeros(n, np.float32)
+    early[1000 : 1000 + len(wave)] = wave
+    late = np.zeros(n, np.float32)  # preamble far past the n//8 prefix
+    late[n // 2 : n // 2 + len(wave)] = wave[: n - n // 2]
+
+    # All-early batch: the prefix branch must reproduce the full scan.
+    batch = np.stack([early, np.roll(early, 321)])
+    syms_p = np.asarray(demod_td_batch(jnp.asarray(batch), chip_len))
+    cb_b = jnp.asarray(_codebook_blocked(chip_len))
+    corr_t = jnp.asarray(_corr_table(chip_len))
+    tab = _chip_shift_table(chip_len, jnp.float32(1.0))
+    for i in range(2):
+        ref, _k0 = _demod_td(jnp.asarray(batch[i]), cb_b, corr_t, tab, chip_len)
+        assert np.array_equal(syms_p[i], np.asarray(ref))
+
+    # Mixed batch with a long-lead capture: escalation, same decodes.
+    batch2 = np.stack([early, late])
+    syms_e = np.asarray(demod_td_batch(jnp.asarray(batch2), chip_len))
+    for i in range(2):
+        ref, _k0 = _demod_td(jnp.asarray(batch2[i]), cb_b, corr_t, tab, chip_len)
+        assert np.array_equal(syms_e[i], np.asarray(ref))
+
+    # rho separation: clean prefix-resident preamble far above the
+    # threshold, pure noise far below (the accept rule's safety margins).
+    from audio_modem_radio_tpu.ops.neural import (
+        _energy_table,
+        _preamble_energy,
+        _td_corr,
+        _td_corr_rows,
+        _td_peak,
+        _td_prep,
+    )
+
+    def rho_of(x):
+        zr, zi = _td_prep(jnp.asarray(x))
+        r_pre = max(1, zr.shape[0] // 128 // 8)
+        cre, cim = _td_corr(zr, zi, corr_t, r_pre)
+        _k0, _pr, _pi, pk = _td_peak(cre, cim)
+        P = corr_t.shape[0] - 128
+        e2 = _td_corr_rows(zr * zr + zi * zi, r_pre, P // 128) @ jnp.asarray(
+            _energy_table(P)
+        )
+        ew = e2.reshape(-1)[_k0]
+        return float(pk / (_preamble_energy(chip_len) * ew + 1e-12))
+
+    assert rho_of(early) > 2 * TD_PREFIX_RHO
+    assert rho_of(rng.normal(0, 0.3, n).astype(np.float32)) < TD_PREFIX_RHO / 3
+
+
 def test_codebook_loads_zip_safe(monkeypatch):
     """The codebook loads through importlib.resources when the filesystem
     path is absent (zipapp / wheel-in-zip deployment)."""
