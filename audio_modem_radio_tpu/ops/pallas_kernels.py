@@ -59,11 +59,14 @@ def _project_diff_body(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
     ov = w2d.shape[0] - x.shape[1]
 
     xn = _to_f32(xn_ref[:])
-    # Rows r+1 for every row in the tile: roll the extended tile (blk + the
-    # lookahead rows) up by one and keep the first blk rows.
-    ext_rows = jnp.concatenate([x, xn], axis=0)  # (blk+LOOK, ROW)
-    nxt_rows = pltpu.roll(ext_rows, ext_rows.shape[0] - 1, axis=0)[:blk]
-    xov = jnp.concatenate([x, nxt_rows[:, :ov]], axis=1)  # (blk, ROW+OV)
+    # Next-row HEADS (rows r+1, first OV lanes) for every row in the tile:
+    # build the extended column only OV lanes wide and roll it up by one.
+    # (The first formulation concatenated + rolled the full (blk+LOOK, ROW)
+    # tile and then used ov/ROW of it — 10x the sublane-roll work at the
+    # 9600-baud geometry.)
+    ext_h = jnp.concatenate([x[:, :ov], xn[:, :ov]], axis=0)  # (blk+LOOK, OV)
+    nxt_h = pltpu.roll(ext_h, ext_h.shape[0] - 1, axis=0)[:blk]
+    xov = jnp.concatenate([x, nxt_h], axis=1)  # (blk, ROW+OV)
 
     # (blk, ROW+OV) @ (ROW+OV, 256) -> (blk, 256); cols [re x128 | im x128].
     # The template dtype drives the matmul precision: bf16 templates run the
