@@ -132,27 +132,32 @@ def psk4_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False,
             pattern2=MAGIC_BIT_PATTERN2, interpret=interpret,
         )
 
-    # Prefix scan with escalation: the matcher is VPU-bound and dominates the
-    # sync tail, yet a genuine capture's magic sits in the frame header near
-    # the stream start. Scan the first ~1/8 of rows; accept iff EVERY capture
-    # matched hypothesis k=0 (either parity) there. Acceptance makes the fold
-    # provably equal to the full scan's: a prefix k=0 match is the global
-    # first for its parity, ksel = argmax(found_k) = 0 on both views, and any
-    # other-parity match beyond the prefix can only lose the `se <= so`
-    # position comparison. Everything else — rotated captures (true k != 0),
-    # late-starting transmissions, garbage with no match — escalates to the
-    # full-stream matcher under a scalar lax.cond (one branch executes), at
-    # the cost of the wasted prefix pass (~1/8 extra matcher work).
-    r_pre = -(-r_dib // 8 // _MATCH_BLOCK_ROWS) * _MATCH_BLOCK_ROWS
-    if 2 * r_pre <= r_dib:
-        first_p, found_p = match(hi3[:, :r_pre], lo3[:, :r_pre], r_pre)
+    # Tiered prefix scan with escalation: the matcher is VPU-bound and
+    # dominates the sync tail, yet a genuine capture's magic sits in the
+    # frame header near the stream start. Scan a small prefix first (one
+    # matcher block = 32k dibits, ~3.4 s of lead at QPSK@9600), then ~1/8 of
+    # rows, then the full stream; each tier accepts iff EVERY capture
+    # matched hypothesis k=0 (either parity) inside it. Acceptance makes
+    # the fold provably equal to the full scan's AT ANY TIER: a prefix k=0
+    # match is the global first for its parity, ksel = argmax(found_k) = 0
+    # on both views, and any other-parity match beyond the prefix can only
+    # lose the `se <= so` position comparison. Rotated captures (true
+    # k != 0), long leads, and garbage escalate tier by tier under scalar
+    # lax.conds (one branch executes per tier), at the cost of the wasted
+    # smaller-tier passes.
+    def scan_tiered(tiers):
+        if not tiers:
+            return fold(*match(hi3, lo3, r_dib))
+        p = tiers[0]
+        first_p, found_p = match(hi3[:, :p], lo3[:, :p], p)
         pre = fold(first_p, found_p)
         hit = jnp.all(found_p[:, 0] | found_p[:, 4])
-        s, ksel, found = jax.lax.cond(
-            hit, lambda: pre, lambda: fold(*match(hi3, lo3, r_dib))
-        )
-    else:
-        s, ksel, found = fold(*match(hi3, lo3, r_dib))
+        return jax.lax.cond(hit, lambda: pre, lambda: scan_tiered(tiers[1:]))
+
+    r_pre = -(-r_dib // 8 // _MATCH_BLOCK_ROWS) * _MATCH_BLOCK_ROWS
+    tiers = sorted({_MATCH_BLOCK_ROWS, r_pre})
+    tiers = [p for p in tiers if 2 * p <= r_dib]
+    s, ksel, found = scan_tiered(tiers)
 
     packed = relabel_pack_batch(
         hi3, lo3, s, ksel, rows_per_capture=r_dib, interpret=interpret,
@@ -195,20 +200,24 @@ def psk2_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False,
             pattern2=MAGIC_BIT_PATTERN2, interpret=interpret,
         )
 
-    # Prefix scan with escalation (see psk4_kernel_sync_tail). Acceptance
-    # requires every capture to match hypothesis 0 (re, uninverted) in the
-    # prefix: then ksel = argmax(found4) = 0 on both views and first[:, 0]
-    # from the prefix IS the global first for that hypothesis.
-    r_pre = -(-r_bit // 8 // _MATCH_BLOCK_ROWS) * _MATCH_BLOCK_ROWS
-    if 2 * r_pre <= r_bit:
-        first_p, found_p = match(hi3[:, :r_pre], lo3[:, :r_pre], r_pre)
+    # Tiered prefix scan with escalation (see psk4_kernel_sync_tail).
+    # Acceptance requires every capture to match hypothesis 0 (re,
+    # uninverted) inside the tier: then ksel = argmax(found4) = 0 on both
+    # views and first[:, 0] from the prefix IS the global first for that
+    # hypothesis.
+    def scan_tiered(tiers):
+        if not tiers:
+            return fold(*match(hi3, lo3, r_bit))
+        p = tiers[0]
+        first_p, found_p = match(hi3[:, :p], lo3[:, :p], p)
         pre = fold(first_p, found_p)
         hit = jnp.all(found_p[:, 0])
-        s, ksel, found = jax.lax.cond(
-            hit, lambda: pre, lambda: fold(*match(hi3, lo3, r_bit))
-        )
-    else:
-        s, ksel, found = fold(*match(hi3, lo3, r_bit))
+        return jax.lax.cond(hit, lambda: pre, lambda: scan_tiered(tiers[1:]))
+
+    r_pre = -(-r_bit // 8 // _MATCH_BLOCK_ROWS) * _MATCH_BLOCK_ROWS
+    tiers = sorted({_MATCH_BLOCK_ROWS, r_pre})
+    tiers = [p for p in tiers if 2 * p <= r_bit]
+    s, ksel, found = scan_tiered(tiers)
 
     packed = bit_select_pack_batch(
         hi3, lo3, s, ksel, rows_per_capture=r_bit, interpret=interpret,

@@ -298,6 +298,33 @@ def test_relabel_pack_decodes_frame(rng):
         frames = parse_frames(raw)
         assert frames and frames[0].data == payload
 
+@pytest.mark.parametrize("placement", ["tier1", "tier2", "late"])
+def test_psk4_tiered_prefix_equals_full(placement, rng, monkeypatch):
+    """With r_dib large enough for two prefix tiers (256 and r/8 rows), a
+    magic landing in each region — and past both — still yields exactly the
+    full scan's (s, ksel, found)."""
+    import audio_modem_radio_tpu.parallel.batch as batch_mod
+    from audio_modem_radio_tpu.parallel.batch import psk4_kernel_sync_tail
+
+    b, r = 2, 4096  # tiers: [256, 512]
+    m = r * 128
+    rng = np.random.default_rng(7 + len(placement))
+    hi = np.zeros((b, m), dtype=np.uint8)
+    lo = np.zeros((b, m), dtype=np.uint8)
+    t1, t2 = 256 * 128, 512 * 128
+    pos = {"tier1": 100, "tier2": t1 + 50, "late": t2 + 1234}[placement]
+    for i in range(b):
+        _embed_qpsk_magic(hi[i], lo[i], pos + i)
+
+    hj, lj = jnp.asarray(hi), jnp.asarray(lo)
+    got = psk4_kernel_sync_tail(hj, lj, True, interpret=True)
+    monkeypatch.setattr(batch_mod, "_MATCH_BLOCK_ROWS", 1 << 20)  # full scan
+    ref = psk4_kernel_sync_tail(hj, lj, True, interpret=True)
+    for g, r_ in zip(got, ref):
+        assert np.array_equal(np.asarray(g), np.asarray(r_))
+    assert bool(np.asarray(got[2]).all())
+
+
 # --- shifted-weights pack variant (round 3) -------------------------------------
 
 
