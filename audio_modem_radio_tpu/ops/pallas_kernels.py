@@ -44,9 +44,10 @@ def _to_f32(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _look_rows(dtype) -> int:
-    """Sublane count of the next-rows lookahead block: 16-bit dtypes have a
-    (16, 128) minimal tile, so an 8-row block would be illegal."""
-    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    """Sublane count of the next-rows lookahead block: narrow dtypes have
+    taller minimal tiles ((16, 128) for 16-bit, (32, 128) for 8-bit), so an
+    8-row block would be illegal for them."""
+    return {1: 32, 2: 16}.get(jnp.dtype(dtype).itemsize, 8)
 
 
 def _project_diff_body(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarray]:

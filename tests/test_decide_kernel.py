@@ -179,6 +179,70 @@ def test_decide_kernel_int16_rows_bitwise_equal():
     assert np.array_equal(np.asarray(lo_f), np.asarray(lo_i))
 
 
+def test_int8_rows_e2e_decode():
+    """decode_sample_batch with the opt-in tpu.int8_rows: host shaping emits
+    int8 rows, pass-1 + the decide path cast in place, and the frame still
+    round-trips — the ~-50 dB quantization noise is far below the decision
+    margins on a clean capture."""
+    from audio_modem_radio_tpu.config import CONFIG
+    from audio_modem_radio_tpu.framing import parse_frames
+    from audio_modem_radio_tpu.parallel.batch import decode_sample_batch, host_shape_batch
+
+    batch, payload = _make_batch("QPSK", 9600, n_captures=2, seed=34)
+    old8 = CONFIG.get("tpu.int8_rows", False)
+    CONFIG.set("tpu.int8_rows", True)
+    try:
+        shaped = host_shape_batch(batch, "QPSK", 9600)
+        assert shaped.dtype == np.int8 and shaped.ndim == 3
+        raws = decode_sample_batch(batch, "QPSK", 9600)
+    finally:
+        CONFIG.set("tpu.int8_rows", old8)
+    for raw in raws:
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == payload
+
+
+def test_decide_kernel_int8_rows_bitwise_equal():
+    """int8 input rows == float32 rows holding the same quantized values,
+    bitwise, through the decide kernel (interpreter): the int8->i32->f32
+    VMEM cast is exact, so only the HBM read width changes."""
+    from audio_modem_radio_tpu.ops.psk import (
+        _batch_pass1,
+        _blocked_templates,
+        _samples_per_symbol,
+    )
+    from audio_modem_radio_tpu.ops.pallas_kernels import psk_project_decide_batch
+
+    baud, carrier, sr = 9600.0, 3000.0, 96000
+    spsym = _samples_per_symbol(sr, baud)
+    batch, _ = _make_batch("QPSK", 9600, n_captures=2, seed=22)
+    q = np.clip(np.round(batch * 128.0), -128, 127).astype(np.int8)
+    f = q.astype(np.float32)
+
+    b, n = batch.shape
+    r0 = -(-(n // spsym) // 128)
+    r = max(256, -(-r0 // 256) * 256)
+    row = 128 * spsym
+    pad = np.zeros((b, r * row), np.float32)
+    pad[:, : min(n, r * row)] = f[:, : r * row]
+    x3d_f = jnp.asarray(pad.reshape(b, r, row))
+    x3d_i = jnp.asarray(
+        np.clip(np.round(pad), -128, 127).astype(np.int8).reshape(b, r, row)
+    )
+    _x, r_, best, theta = _batch_pass1(None, x3d_i, b, r * 128, spsym, carrier, sr, 8, r)
+    rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+    W = jnp.asarray(_blocked_templates(spsym, carrier, sr, 8))
+
+    hi_f, lo_f = psk_project_decide_batch(
+        x3d_f, W, best, rot, rows_per_capture=r, n_psk=4, interpret=True
+    )
+    hi_i, lo_i = psk_project_decide_batch(
+        x3d_i, W, best, rot, rows_per_capture=r, n_psk=4, interpret=True
+    )
+    assert np.array_equal(np.asarray(hi_f), np.asarray(hi_i))
+    assert np.array_equal(np.asarray(lo_f), np.asarray(lo_i))
+
+
 def test_int16_rows_e2e_decode(monkeypatch):
     """decode_sample_batch with tpu.int16_rows forced on (CPU XLA path):
     the int16 rows flow through host shaping, pass-1 and the fallback
