@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -753,6 +753,81 @@ def fsk_demod_bits_batch(
         )
         bits = (margin > 0).astype(jnp.uint8).reshape(b, r * spr)
     return bits[:, :n_bits]
+
+
+def fsk_dual_rows_batch_plan(spb: int, r: int) -> Optional[int]:
+    """Kernel block_rows for :func:`fsk_dual_bits_rows_batch`, or ``None``
+    when the geometry can't feed full-lane bit tiles (spr too small for a
+    (>=8, 128) uint8 output block at a reasonable block size)."""
+    spr, _row, _ov = _fsk_geometry(spb)
+    if spr < 8 or (256 * spr) % 128:
+        return None
+    blk = 256
+    return blk if r % blk == 0 else None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "mark", "space", "sample_rate", "n_offsets", "kernel"),
+)
+def fsk_dual_bits_rows_batch(
+    x3d: jnp.ndarray,
+    baud: float,
+    mark: float,
+    space: float,
+    sample_rate: int,
+    n_offsets: int = 8,
+    kernel: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Batched dual-tone FSK demod over PRE-OVERLAPPED (B, r, row+ov) rows.
+
+    The batched counterpart of :func:`fsk_demod_bits`'s dual-tone branch for
+    host-shaped rows (``host_shape_batch``): pass 1 scores timing offsets on
+    3 static row windows, pass 2 projects the whole batch — through the
+    full-lane-store Pallas kernel (``fsk_tile_bits_batch``) on TPU, or one
+    XLA einsum elsewhere. Rows may be float32 or int16 (the kernel casts in
+    VMEM; the decisions are scale-invariant). Returns uint8 bits
+    (B, r*spr); capture-tail entries are pad garbage.
+    """
+    spb = _samples_per_bit(sample_rate, baud)
+    if _separation_cycles(baud, mark, space, sample_rate) < 0.8:
+        raise ValueError("fsk_dual_bits_rows_batch requires a dual-tone config")
+    spr, row, ov = _fsk_geometry(spb)
+    b, r, c = x3d.shape
+    if c != row + ov:
+        raise ValueError("pre-shaped dual-tone rows must have row+ov columns")
+    W = jnp.asarray(
+        _fsk_blocked_templates(spb, float(mark), float(space), sample_rate, n_offsets)
+    )
+
+    # Pass 1: offset scoring on up to 3 static row windows per capture.
+    wr = min(32, r)
+    starts = sorted({0, max(0, r // 2 - wr // 2), max(0, r - wr)})
+    wins = jnp.concatenate([x3d[:, s : s + wr] for s in starts], axis=1).astype(
+        jnp.float32
+    )  # (B, nw, row+ov); int16 rows cast here (argmax is scale-invariant)
+    W_all = W.transpose(1, 0, 2).reshape(row + ov, -1)
+    pj = (wins @ W_all).reshape(b, -1, n_offsets, 4, spr)
+    em = pj[..., 0, :] ** 2 + pj[..., 1, :] ** 2
+    es = pj[..., 2, :] ** 2 + pj[..., 3, :] ** 2
+    score = jnp.sum(jnp.abs(em - es), axis=(1, 3))  # (B, K)
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)
+
+    blk = fsk_dual_rows_batch_plan(spb, r)
+    use_kernel = kernel if kernel is not None else jax.default_backend() == "tpu"
+    if use_kernel and blk is not None:
+        from .pallas_kernels import fsk_tile_bits_batch
+
+        return fsk_tile_bits_batch(
+            x3d, W, best, rows_per_capture=r, spr=spr, block_rows=blk,
+            interpret=jax.default_backend() != "tpu",
+        )
+    xov = x3d.astype(jnp.float32)
+    pj2 = jnp.einsum("brc,bck->brk", xov, W[best]).reshape(b, r, 4, spr)
+    margin = (pj2[:, :, 0] ** 2 + pj2[:, :, 1] ** 2) - (
+        pj2[:, :, 2] ** 2 + pj2[:, :, 3] ** 2
+    )
+    return (margin > 0).astype(jnp.uint8).reshape(b, r * spr)
 
 
 @functools.partial(

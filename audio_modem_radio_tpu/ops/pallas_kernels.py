@@ -501,6 +501,104 @@ def fsk_project_bits_batch(
     return bits.reshape(b, r * spr)
 
 
+def _kernel_fsk_tile(best_ref, x_ref, w_ref, bits_ref, *, spr):
+    """Tone-energy projection + decision with FULL-LANE bit stores.
+
+    Retry of ``_kernel_fsk_decide``'s negative result: its (blk, spr=16)
+    uint8 stores mask 112/128 lanes and pack sublanes 4:1 — a serialized
+    path in Mosaic (PERF.md round 2). Here the (blk, spr) margins are
+    reshaped IN VMEM to (blk*spr/128, 128) row-major-equivalent tiles, so
+    the store is full-lane uint8 tiles ((32, 128) = the minimal u8 tile at
+    blk=256, spr=16). Input rows arrive pre-overlapped from host shaping
+    (row+ov columns), so there is no next-block patching either; integer
+    rows cast to f32 in VMEM (halving the HBM read, like the PSK decide
+    kernel).
+    """
+    del best_ref  # consumed by the template index_map
+    x = _to_f32(x_ref[:])  # (blk, row+ov)
+    blk = x.shape[0]
+    w2d = w_ref[0]  # (row+ov, 4*spr)
+    pj = jnp.dot(x, w2d, preferred_element_type=jnp.float32)
+    em = pj[:, 0 * spr : 1 * spr] ** 2 + pj[:, 1 * spr : 2 * spr] ** 2
+    es = pj[:, 2 * spr : 3 * spr] ** 2 + pj[:, 3 * spr : 4 * spr] ** 2
+    margin = em - es  # (blk, spr)
+    # Sublane->lane redistribution: out[j, l] = margin[g*j + l//spr, l%spr]
+    # (g = 128//spr groups per output row). Mosaic rejects the direct
+    # (blk, spr) -> (blk*spr/128, 128) shape cast ("unsupported shape
+    # cast"), so the relayout runs as g pairs of tiny selection matmuls on
+    # the MXU: P_t picks rows g*j+t, Q_t places their spr margins into
+    # lanes [spr*t, spr*t+spr). ~7% of the main dot's MACs at spr=16.
+    g = 128 // spr
+    out_rows = blk * spr // 128
+    col = jax.lax.broadcasted_iota(jnp.int32, (out_rows, blk), 1)
+    orow = jax.lax.broadcasted_iota(jnp.int32, (out_rows, blk), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (spr, 128), 1)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (spr, 128), 0)
+    acc = jnp.zeros((out_rows, 128), jnp.float32)
+    for t in range(g):
+        P = (col == g * orow + t).astype(jnp.float32)  # (out_rows, blk)
+        sel = jnp.dot(P, margin, preferred_element_type=jnp.float32)
+        Q = (lane == spr * t + srow).astype(jnp.float32)  # (spr, 128)
+        acc = acc + jnp.dot(sel, Q, preferred_element_type=jnp.float32)
+    bits_ref[:] = (acc > 0).astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_capture", "spr", "block_rows", "interpret")
+)
+def fsk_tile_bits_batch(
+    x3d: jnp.ndarray,
+    w_all: jnp.ndarray,
+    best: jnp.ndarray,
+    rows_per_capture: int,
+    spr: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused dual-tone FSK demod over PRE-OVERLAPPED rows.
+
+    Args:
+      x3d: (B, R, row+ov) host-overlapped sample rows (float32 or int16 —
+        integer rows cast in VMEM; see ``host_shape_batch``), R a multiple
+        of block_rows.
+      w_all: (n_offsets, row+ov, 4*spr) stacked tone-quadrature templates.
+      best: (B,) int32 winning timing offset per capture.
+    Returns uint8 bits of shape (B, R*spr); capture-tail entries are pad
+    garbage the sync/parse stage ignores.
+    """
+    b, r, c = x3d.shape
+    if r != rows_per_capture or r % block_rows:
+        raise ValueError("rows_per_capture mismatch or not a multiple of block_rows")
+    if (block_rows * spr) % 128 or (block_rows * spr) // 128 < 8:
+        raise ValueError("block_rows*spr must be a multiple of 128 (>= 8 sublanes)")
+    if w_all.shape[1] != c:
+        raise ValueError("template rows must match the overlapped row length")
+    grid = (b * r // block_rows,)
+    x2d = x3d.reshape(b * r, c)
+    out_sub = block_rows * spr // 128
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, c), lambda i, best_ref: (i, 0)),
+            pl.BlockSpec(
+                (1, c, w_all.shape[2]),
+                lambda i, best_ref, spc=r // block_rows: (best_ref[i // spc], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((out_sub, 128), lambda i, best_ref: (i, 0)),
+    )
+    kern = functools.partial(_kernel_fsk_tile, spr=spr)
+    bits = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * r * spr // 128, 128), jnp.uint8),
+        interpret=interpret,
+    )(best.astype(jnp.int32), x2d, w_all)
+    return bits.reshape(b, r * spr)
+
+
 # --- fused relabel + byte pack -------------------------------------------------
 
 def _shift_flat(v: jnp.ndarray, vn: jnp.ndarray, k: int, blk: int) -> jnp.ndarray:

@@ -413,15 +413,35 @@ def demod_pack_batch(
     # verified fallback. fsk_mlse is a STATIC jit arg so the knob always
     # takes effect (decode_sample_batch plumbs CONFIG modem.batch_mlse).
 
-    # A fused Pallas dual-tone path exists (ops.fsk.fsk_demod_bits_batch) but
-    # measured SLOWER than this vmapped XLA pipeline at scale (10.5 vs 13.0
-    # GS/s, batch=64x2^23 on v5e — the (blk, spr=16) narrow-lane bit stores
-    # appear to serialize; PERF.md). XLA keeps the job for now.
-    def to_bits(x):
-        baud, mark, space = params
-        return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE, mlse=fsk_mlse)[0]
+    # Dual-tone captures pre-overlapped by host shaping run the batched
+    # pass-1 + full-lane-store Pallas kernel path (fsk_dual_bits_rows_batch;
+    # int16 rows cast in VMEM). The round-2 fused kernel over FLAT input
+    # (ops.fsk.fsk_demod_bits_batch) measured SLOWER than XLA because of its
+    # (blk, spr=16) narrow-lane bit stores (PERF.md); the tile-store retry
+    # fixes exactly that. Everything else stays the vmapped XLA pipeline.
+    baud, mark, space = params
+    from ..ops.fsk import (
+        _fsk_geometry,
+        _samples_per_bit,
+        _separation_cycles,
+        fsk_dual_bits_rows_batch,
+    )
 
-    bits = jax.vmap(to_bits)(samples)
+    if (
+        samples.ndim == 3
+        and _separation_cycles(baud, mark, space, SAMPLE_RATE) >= 0.8
+    ):
+        spb = _samples_per_bit(SAMPLE_RATE, baud)
+        _spr, row, ov = _fsk_geometry(spb)
+        if samples.shape[2] == row + ov:
+            bits = fsk_dual_bits_rows_batch(samples, baud, mark, space, SAMPLE_RATE)
+        else:
+            raise ValueError("pre-shaped dual-tone rows have the wrong column count")
+    else:
+        def to_bits(x):
+            return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE, mlse=fsk_mlse)[0]
+
+        bits = jax.vmap(to_bits)(samples)
 
     def sync_pack(bb):
         start, found = find_bit_pattern(bb, MAGIC_BIT_PATTERN)
@@ -495,7 +515,27 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             # Dual-tone path: pre-overlapped (r, row+ov) rows built with two
             # numpy strided views — the device-side pad+reshape+lane-concat
             # this replaces cost ~half the dual-tone pipeline (PERF.md).
-            batch = _overlap_rows(batch, *shape)
+            # When the full-lane-store Pallas kernel will take the batch
+            # (TPU backend, kernel-friendly geometry), rows are padded to
+            # its block granularity and shipped int16 (the kernel casts in
+            # VMEM — an int16 XLA einsum would materialize the convert,
+            # which is why plain-XLA FSK keeps f32; PERF.md ledger).
+            from ..ops.fsk import _samples_per_bit, fsk_dual_rows_batch_plan
+
+            r, row, ov = shape
+            spb = _samples_per_bit(SAMPLE_RATE, params[0])
+            r_pad = -(-r // 256) * 256
+            use_kernel = (
+                jax.default_backend() == "tpu"
+                and CONFIG.get("tpu.demod_backend", "auto") != "xla"
+                and fsk_dual_rows_batch_plan(spb, r_pad) is not None
+            )
+            if use_kernel:
+                i16 = CONFIG.get("tpu.int16_rows", None)
+                dtype = np.int16 if (i16 or i16 is None) else np.float32
+                batch = _overlap_rows(batch, r_pad, row, ov, dtype=dtype)
+            else:
+                batch = _overlap_rows(batch, r, row, ov)
         elif not bool(CONFIG.get("modem.batch_mlse", False)):
             # Close/mid-tone configs (FSK9600/FSK19200): pre-shape the matmul
             # FIR front end's overlapped input windows instead — the same
@@ -520,19 +560,26 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
 
 
 def _overlap_rows(
-    batch: np.ndarray, r: int, row: int, ov: int, lead: int = 0
+    batch: np.ndarray, r: int, row: int, ov: int, lead: int = 0,
+    dtype=np.float32,
 ) -> np.ndarray:
     """(B, N) -> (B, r, row+ov) overlapped rows via two strided views.
 
     ``lead`` zero-samples are logically prepended first (the FIR front end's
-    center-tap alignment) without materializing the concatenation."""
+    center-tap alignment) without materializing the concatenation.
+    ``dtype=np.int16`` additionally quantizes at scale 32768 (exact for
+    int16-PCM sources — same convention as the PSK int16 rows), halving the
+    h2d ship and the kernel's HBM read; the kernel casts back in VMEM."""
     if ov > row:
         raise ValueError("overlap must not exceed the row length")
     b = batch.shape[0]
-    flat = np.zeros((b, (r + 1) * row), dtype=np.float32)
     keep = min(batch.shape[1], r * row + ov - lead)
-    flat[:, lead : lead + keep] = batch[:, :keep]
-    shaped = np.empty((b, r, row + ov), dtype=np.float32)
+    src = batch[:, :keep]
+    if np.dtype(dtype) == np.int16:
+        src = np.clip(np.round(src * 32768.0), -32768, 32767).astype(np.int16)
+    flat = np.zeros((b, (r + 1) * row), dtype=dtype)
+    flat[:, lead : lead + keep] = src
+    shaped = np.empty((b, r, row + ov), dtype=dtype)
     shaped[:, :, :row] = flat[:, : r * row].reshape(b, r, row)
     shaped[:, :, row:] = flat[:, row : (r + 1) * row].reshape(b, r, row)[:, :, :ov]
     return shaped

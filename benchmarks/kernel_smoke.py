@@ -164,6 +164,27 @@ def run_smoke() -> dict:
     except Exception as e:  # keep the artifact even if the opt-in path breaks
         checks["fsk_optin"] = {"ok": False, "error": repr(e)[:200]}
 
+    # Production dual-tone FSK tile-store kernel (int16 rows), round 3.
+    try:
+        from audio_modem_radio_tpu.ops.fsk import (
+            _fsk_geometry,
+            _samples_per_bit,
+            fsk_dual_bits_rows_batch,
+        )
+        from audio_modem_radio_tpu.parallel.batch import _overlap_rows
+
+        fbatch = _capture_batch("FSK1200", 1200, seed=8)
+        spb = _samples_per_bit(sr, 1200)
+        spr, frow, fov = _fsk_geometry(spb)
+        r = max(256, -(-(fbatch.shape[1] // spb // spr) // 256) * 256)
+        rows_i = jnp.asarray(_overlap_rows(fbatch, r, frow, fov, dtype=np.int16))
+        dev = fsk_dual_bits_rows_batch(rows_i, 1200.0, 1200.0, 2200.0, sr, kernel=True)
+        ref = fsk_dual_bits_rows_batch(rows_i, 1200.0, 1200.0, 2200.0, sr, kernel=False)
+        ok = np.array_equal(np.asarray(dev), np.asarray(ref))
+        checks["fsk_tile"] = {"ok": bool(ok), "sha": _sha(dev)}
+    except Exception as e:
+        checks["fsk_tile"] = {"ok": False, "error": repr(e)[:200]}
+
     out["checks"] = checks
     out["ok"] = all(c.get("ok") for c in checks.values())
     return out
