@@ -482,16 +482,14 @@ def _core_bounds(spb: int) -> Tuple[int, int]:
     return lo, hi
 
 
-@functools.lru_cache(maxsize=64)
-def _fsk_boxcar_templates_dec(spb: int, n_offsets: int, dec: int) -> np.ndarray:
-    """(n_offsets, row+ov, spr) per-bit boxcars for the discriminator, on the
-    decimated grid. Bit s's window [s*spb+o+core_lo, s*spb+o+core_hi)
-    (full-rate samples) maps to decimated taps with FRACTIONAL weights: a tap
-    covering full-rate span [n*dec, (n+1)*dec) contributes in proportion to
-    its overlap with the bit window. For spb % dec == 0 this is the exact 0/1
-    boxcar; at fractional taps-per-bit (FSK9600 dec=4: 2.5) it removes the
-    rounding noise that cost ~40% relative BER at 15 dB (PERF.md)."""
-    spr, row, ov = _fsk_geometry_dec(spb, dec)
+def _fsk_boxcar_templates_geom(
+    spb: int, n_offsets: int, dec: int, spr: int, row: int, ov: int
+) -> np.ndarray:
+    """(n_offsets, row+ov, spr) per-bit boxcars on an EXPLICIT decimated-grid
+    geometry — shared by :func:`_fsk_boxcar_templates_dec` (the XLA layout)
+    and the fused discriminator kernel (which blocks rows differently). Bit
+    s's window is weighted by fractional tap overlap; see the cached wrapper
+    for the rationale."""
     core_lo, core_hi = _core_bounds(spb)
     W = np.zeros((n_offsets, row + ov, spr), dtype=np.float32)
     for i in range(n_offsets):
@@ -509,6 +507,19 @@ def _fsk_boxcar_templates_dec(spb: int, n_offsets: int, dec: int) -> np.ndarray:
             if W[i, a:b, s].sum() == 0:
                 W[i, a, s] = 1.0  # degenerate window: keep one tap
     return W
+
+
+@functools.lru_cache(maxsize=64)
+def _fsk_boxcar_templates_dec(spb: int, n_offsets: int, dec: int) -> np.ndarray:
+    """(n_offsets, row+ov, spr) per-bit boxcars for the discriminator, on the
+    decimated grid. Bit s's window [s*spb+o+core_lo, s*spb+o+core_hi)
+    (full-rate samples) maps to decimated taps with FRACTIONAL weights: a tap
+    covering full-rate span [n*dec, (n+1)*dec) contributes in proportion to
+    its overlap with the bit window. For spb % dec == 0 this is the exact 0/1
+    boxcar; at fractional taps-per-bit (FSK9600 dec=4: 2.5) it removes the
+    rounding noise that cost ~40% relative BER at 15 dB (PERF.md)."""
+    spr, row, ov = _fsk_geometry_dec(spb, dec)
+    return _fsk_boxcar_templates_geom(spb, n_offsets, dec, spr, row, ov)
 
 
 def fsk_blocked_row_shape(
@@ -753,6 +764,239 @@ def fsk_demod_bits_batch(
         )
         bits = (margin > 0).astype(jnp.uint8).reshape(b, r * spr)
     return bits[:, :n_bits]
+
+
+def _fsk_disc_kernel_plan(spb: int, dec: int, taps: int) -> Optional[dict]:
+    """Geometry of the fused discriminator kernel, or None when it can't map.
+
+    ``row2`` is the smallest lane count that is both 128-aligned and holds an
+    integral number of bits (row2*dec % spb == 0) — the kernel's boxcar rows
+    are tighter than the XLA layout's (:func:`_fsk_geometry_dec` sizes rows
+    >= 1024 lanes for einsum efficiency; in-kernel the dense boxcar template
+    cost scales with row width, so smaller integral rows win). FB input FIR
+    rows per grid step = nrow2*row2/128 with nrow2=16, keeping FB 16-aligned
+    for int16 block tiling.
+    """
+    if spb > 64 * dec:
+        return None  # bit window would not fit the 128-lane overlap
+    g = math.gcd(spb, dec)
+    base = spb // g
+    row2 = base * 128 // math.gcd(base, 128)
+    if row2 > 2560:
+        return None
+    # Boxcar rows per grid step: sized so each step carries enough MXU work
+    # to amortize the per-step overhead (nrow2=16 measured per-step-bound at
+    # ~1.9 us/step on v5e: 13k steps for a 64 x 2^23 batch), while the input
+    # block stays well under VMEM (~(fb, c_pad) f32 <= ~3 MB).
+    nrow2 = max(16, min(128, (2560 * 128) // row2 // 16 * 16))
+    fb = nrow2 * row2 // 128
+    c = 128 * dec + taps - dec
+    return {
+        "dec": dec,
+        "taps": taps,
+        "c": c,
+        "c_pad": -(-c // 128) * 128,
+        "row2": row2,
+        "spr2": row2 * dec // spb,
+        "ov2": 128,
+        "nrow2": nrow2,
+        "fb": fb,
+    }
+
+
+def fsk_disc_row_shape(
+    n_samples: int, baud: float, mark: float, space: float, sample_rate: int
+):
+    """Host helper: (r, row=128*dec, ov=c_pad-row, lead=(taps-1)//2) for the
+    FUSED discriminator path's padded FIR windows, or None when the config
+    is not a discriminator config (tone separation >= 0.4) or the kernel
+    geometry doesn't map. Rows are ``[zeros(lead), x][i*row : i*row+row+ov]``
+    — like :func:`fsk_fir_row_shape` but 128-lane padded (the extra window
+    columns hit zero template rows, so the sums are identical) and with r
+    rounded up to the kernel's FB block."""
+    if _separation_cycles(baud, mark, space, sample_rate) >= 0.4:
+        return None
+    spb = _samples_per_bit(sample_rate, baud)
+    if n_samples // spb < 2:
+        return None
+    _lo, _hi, dec, taps = _fir_frontend_plan(baud, mark, space, sample_rate)
+    plan = _fsk_disc_kernel_plan(spb, dec, taps)
+    if plan is None:
+        return None
+    r = -(-(-(-n_samples // dec)) // 128)
+    r = -(-r // plan["fb"]) * plan["fb"]
+    return r, 128 * dec, plan["c_pad"] - 128 * dec, (taps - 1) // 2
+
+
+def _disc_templates(
+    spb: int, baud: float, mark: float, space: float, sample_rate: int,
+    n_offsets: int,
+):
+    """(plan, W_fir (c_pad, 256), W_box (n_offsets, row2+ov2, spr2))."""
+    from .common import _fir_dec_template
+
+    band_lo, band_hi, dec, taps = _fir_frontend_plan(baud, mark, space, sample_rate)
+    plan = _fsk_disc_kernel_plan(spb, dec, taps)
+    wf = _fir_dec_template(band_lo, band_hi, sample_rate, taps, dec, 128)
+    wf_pad = np.zeros((plan["c_pad"], 256), np.float32)
+    wf_pad[: wf.shape[0]] = wf
+    wb = _fsk_boxcar_templates_geom(
+        spb, n_offsets, dec, plan["spr2"], plan["row2"], plan["ov2"]
+    )
+    # Banded FIR for the kernel: group g's output columns only read input
+    # rows [stride*g, stride*g + width) (the dense template is ~60% zeros at
+    # dec=4). Built only when the band slices stay 128-aligned and the
+    # narrower contraction actually saves MACs.
+    wf_band = None
+    n_g = 4
+    stride = dec * (128 // n_g)
+    width = dec * (128 // n_g - 1) + taps
+    width_pad = -(-width // 128) * 128
+    if (
+        stride % 128 == 0
+        and width_pad < plan["c_pad"] * 3 // 4
+        and stride * (n_g - 1) + width_pad <= plan["c_pad"]
+    ):
+        cols_pg = 128 // n_g
+        wf_band = np.zeros((n_g, width_pad, 2 * cols_pg), np.float32)
+        for g in range(n_g):
+            rows = wf_pad[stride * g : stride * g + width_pad]
+            wf_band[g, :, :cols_pg] = rows[:, cols_pg * g : cols_pg * (g + 1)]
+            wf_band[g, :, cols_pg:] = rows[:, 128 + cols_pg * g : 128 + cols_pg * (g + 1)]
+    return plan, wf_pad, wb, band_lo, band_hi, wf_band
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "mark", "space", "sample_rate", "n_offsets", "kernel"),
+)
+def fsk_disc_bits_rows_batch(
+    x3d: jnp.ndarray,
+    baud: float,
+    mark: float,
+    space: float,
+    sample_rate: int,
+    n_offsets: int = 8,
+    kernel: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Batched close-tone FSK discriminator over padded FIR windows.
+
+    The fused front half (FIR + phasor + boxcar -> per-bit vector sums) runs
+    as ONE Pallas kernel on TPU (``fsk_disc_sums_batch``; int16 or f32 rows)
+    or an equivalent XLA pipeline elsewhere; atan2, the calibrated ISI
+    equalizer and the tone decision run in XLA on the per-bit stream (~1% of
+    the sample traffic). Bits match :func:`fsk_demod_bits`'s discriminator
+    branch decode-for-decode (same templates, same calibration key); the
+    row blocking of pass 1/2 differs, so float sums are not bitwise
+    comparable across the two layouts.
+    """
+    spb = _samples_per_bit(sample_rate, baud)
+    if _separation_cycles(baud, mark, space, sample_rate) >= 0.4:
+        raise ValueError("fsk_disc_bits_rows_batch requires a discriminator config")
+    plan, wf_np, wb_np, _blo, _bhi, wf_band_np = _disc_templates(
+        spb, float(baud), float(mark), float(space), sample_rate, n_offsets
+    )
+    dec, row2, spr2, ov2 = plan["dec"], plan["row2"], plan["spr2"], plan["ov2"]
+    b, r, c = x3d.shape
+    if c != plan["c_pad"] or r % plan["fb"]:
+        raise ValueError("rows do not match fsk_disc_row_shape for this config")
+    Wf = jnp.asarray(wf_np)
+    Wb = jnp.asarray(wb_np)
+    r2 = r * 128 // row2
+    mid = (mark + space) / 2.0
+    dev = abs(space - mark) / 2.0
+    scale = sample_rate / dec / (2 * jnp.pi)
+
+    def p_rows(fir_slice, m2):
+        """(B, m, c_pad) FIR rows -> phasor boxcar rows (B, m2, row2+ov2)."""
+        z2 = jnp.einsum("brc,ck->brk", fir_slice.astype(jnp.float32), Wf)
+        bm = fir_slice.shape[0]
+        zr = z2[..., :128].reshape(bm, -1)
+        zi = z2[..., 128:].reshape(bm, -1)
+        z1r = jnp.concatenate([zr[:, 1:], jnp.zeros((bm, 1), jnp.float32)], axis=1)
+        z1i = jnp.concatenate([zi[:, 1:], jnp.zeros((bm, 1), jnp.float32)], axis=1)
+        pad_n = max(0, m2 * row2 + ov2 - zr.shape[1])
+        zpad = jnp.zeros((bm, pad_n), jnp.float32)
+        p_re = jnp.concatenate([z1r * zr + z1i * zi, zpad], axis=1)
+        p_im = jnp.concatenate([z1i * zr - z1r * zi, zpad], axis=1)
+        main_r = p_re[:, : m2 * row2].reshape(bm, m2, row2)
+        main_i = p_im[:, : m2 * row2].reshape(bm, m2, row2)
+        tail_r = jnp.stack(
+            [p_re[:, (j + 1) * row2 : (j + 1) * row2 + ov2] for j in range(m2)], axis=1
+        )
+        tail_i = jnp.stack(
+            [p_im[:, (j + 1) * row2 : (j + 1) * row2 + ov2] for j in range(m2)], axis=1
+        )
+        return (
+            jnp.concatenate([main_r, tail_r], axis=2),
+            jnp.concatenate([main_i, tail_i], axis=2),
+        )
+
+    # Pass 1: offset scoring on up to 3 small windows (the production
+    # energy-weighted, deviation-clamped score — see fsk_demod_bits).
+    rows_pb = row2 // 128
+    w2 = min(4, r2)
+    nf_win = w2 * rows_pb + 2  # FIR rows per window (+2: phasor lookahead)
+    # Clamp window starts so every FIR slice fits inside the capture's rows.
+    s2_max = max(0, (r - nf_win) // rows_pb)
+    starts2 = sorted(
+        {0, min(max(0, r2 // 2 - w2 // 2), s2_max), min(max(0, r2 - w2), s2_max)}
+    )
+    fir_wins = jnp.concatenate(
+        [x3d[:, s * rows_pb : s * rows_pb + nf_win] for s in starts2], axis=1
+    )
+    nw = len(starts2)
+    # Window groups fold into the batch axis so the phasor stream never
+    # crosses a window boundary.
+    pr_w, pi_w = p_rows(fir_wins.reshape(b * nw, nf_win, c), w2)
+    pr_w = pr_w.reshape(b, -1, row2 + ov2)
+    pi_w = pi_w.reshape(b, -1, row2 + ov2)
+    Wb_all = Wb.transpose(1, 0, 2).reshape(row2 + ov2, -1)
+    wins_r = pr_w @ Wb_all
+    wins_i = pi_w @ Wb_all
+    f_win = jnp.arctan2(wins_i, wins_r) * scale
+    mag_w = jnp.sqrt(wins_r**2 + wins_i**2)
+    score = jnp.sum(
+        (mag_w * jnp.minimum(jnp.abs(f_win - mid), dev)).reshape(
+            b, -1, n_offsets, spr2
+        ),
+        axis=(1, 3),
+    )
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)
+
+    use_kernel = kernel if kernel is not None else jax.default_backend() == "tpu"
+    if use_kernel:
+        from .pallas_kernels import fsk_disc_sums_batch
+
+        Wk = jnp.asarray(wf_band_np) if wf_band_np is not None else Wf
+        sr_sum, si_sum = fsk_disc_sums_batch(
+            x3d, Wk, Wb, best,
+            rows_per_capture=r, nrow2=plan["nrow2"], row2=row2, ov2=ov2,
+            spr2=spr2, interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        pr_f, pi_f = p_rows(x3d, r2)
+        pj_r = jnp.einsum("brc,bck->brk", pr_f, Wb[best])
+        pj_i = jnp.einsum("brc,bck->brk", pi_f, Wb[best])
+        sr_sum = pj_r.reshape(b, -1)
+        si_sum = pj_i.reshape(b, -1)
+
+    f = jnp.arctan2(si_sum, sr_sum) * scale  # (B, r2*spr2)
+
+    coef = _discriminator_calibration(
+        spb, float(baud), float(mark), float(space), sample_rate,
+        float(_blo), float(_bhi), fir_taps=plan["taps"], dec=dec,
+    )
+    pad = _EQ_TAPS // 2
+    n = f.shape[1]
+    fm = jnp.concatenate(
+        [jnp.repeat(f[:, :1], pad, axis=1), f, jnp.repeat(f[:, -1:], pad, axis=1)],
+        axis=1,
+    )
+    eq = jnp.full_like(f, float(coef[-1]))
+    for j in range(_EQ_TAPS):
+        eq = eq + float(coef[j]) * fm[:, j : j + n]
+    return (jnp.abs(eq - mark) < jnp.abs(eq - space)).astype(jnp.uint8)
 
 
 def fsk_dual_rows_batch_plan(spb: int, r: int) -> Optional[int]:

@@ -599,6 +599,178 @@ def fsk_tile_bits_batch(
     return bits.reshape(b, r * spr)
 
 
+def _kernel_fsk_disc(best_ref, x_ref, xn_ref, wf_ref, wb_ref, sr_ref, si_ref,
+                     *, nrow2, row2, ov2, spr2):
+    """Fused FSK discriminator: FIR front end + phasor product + fractional
+    boxcar, per grid step — the per-bit vector-frequency sums are the ONLY
+    full-stream output (8 B/bit vs the ~350 B/bit the XLA pipeline streams
+    through HBM between its stages). atan2 + the calibrated equalizer +
+    decisions run in XLA on that tiny stream.
+
+    Per step: FB = nrow2*row2/128 FIR input rows (+2 lookahead) project
+    through the dense decimating-FIR template (one MXU dot), the analytic
+    stream differentiates into per-sample phasors (flat shift-by-one via
+    lane rolls), the (FB+2, 128) phasor tiles redistribute into
+    (nrow2, row2+ov2) boxcar rows (tiny selection dots + lane concat — the
+    direct reshape is an unsupported Mosaic shape cast), and the per-offset
+    boxcar template (scalar-prefetch selected) folds them to per-bit sums.
+    """
+    del best_ref
+    x = _to_f32(x_ref[:])        # (FB, c_pad)
+    xn = _to_f32(xn_ref[:])      # (look, c_pad)
+    ext = jnp.concatenate([x, xn[:2]], axis=0)  # (FB+2, c_pad)
+    m = ext.shape[0]
+    wf = wf_ref[:]
+    if wf.ndim == 3:
+        # Banded FIR: the dense (c_pad, 256) template is ~60% zeros at dec=4
+        # (column m's taps span rows [dec*m, dec*m+taps) only). Group g
+        # computes output columns [g*cols_pg, (g+1)*cols_pg) (re and im)
+        # from the 128-aligned input slice [stride*g, stride*g+width) —
+        # same sums, 2.5x fewer MACs at FSK9600.
+        n_g, width, two_cols = wf.shape
+        stride = (x.shape[1] - width) // (n_g - 1)
+        cols_pg = two_cols // 2
+        zs = [
+            jnp.dot(
+                ext[:, stride * g : stride * g + width],
+                wf[g],
+                preferred_element_type=jnp.float32,
+            )
+            for g in range(n_g)
+        ]
+        zr = jnp.concatenate([z[:, :cols_pg] for z in zs], axis=1)
+        zi = jnp.concatenate([z[:, cols_pg:] for z in zs], axis=1)
+    else:
+        z2 = jnp.dot(ext, wf, preferred_element_type=jnp.float32)  # (m, 256)
+        zr, zi = z2[:, :128], z2[:, 128:]
+
+    # p[n] = z[n+1] * conj(z[n]) over the flat row-major stream.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 1)
+
+    def shift1(v):
+        same = pltpu.roll(v, 127, axis=1)
+        nxt = pltpu.roll(v, m - 1, axis=0)
+        return jnp.where(lane < 127, same, pltpu.roll(nxt, 127, axis=1))
+
+    z1r, z1i = shift1(zr), shift1(zi)
+    pr = z1r * zr + z1i * zi     # (FB+2, 128)
+    pi = z1i * zr - z1r * zi
+
+    # Redistribute phasor tiles into boxcar rows: out row j = p tiles
+    # [rows_pb*j, rows_pb*j + cat) lane-concatenated. CHUNKED in groups of
+    # 16 output rows so the selection-dot cost stays LINEAR in nrow2 (a
+    # single (nrow2, m) selection is quadratic: m ~ rows_pb*nrow2).
+    rows_pb = row2 // 128
+    cat = (row2 + ov2) // 128
+    chunk = min(16, nrow2)
+    mc = rows_pb * chunk + 2  # p rows feeding one chunk (+2 spill)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 1)
+    orow = jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 0)
+
+    def rows_of(p):
+        chunks = []
+        for q in range(nrow2 // chunk):
+            base = rows_pb * chunk * q
+            pq = p[base : base + mc]
+            parts = []
+            for t in range(cat):
+                P = (col == rows_pb * orow + t).astype(jnp.float32)
+                parts.append(jnp.dot(P, pq, preferred_element_type=jnp.float32))
+            chunks.append(jnp.concatenate(parts, axis=1))
+        return jnp.concatenate(chunks, axis=0)  # (nrow2, row2+ov2)
+
+    wb = wb_ref[0]               # (row2+ov2, spr2)
+    sr_ref[:] = jnp.dot(rows_of(pr), wb, preferred_element_type=jnp.float32)
+    si_ref[:] = jnp.dot(rows_of(pi), wb, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows_per_capture", "nrow2", "row2", "ov2", "spr2", "interpret"),
+)
+def fsk_disc_sums_batch(
+    x3d: jnp.ndarray,
+    w_fir: jnp.ndarray,
+    w_box: jnp.ndarray,
+    best: jnp.ndarray,
+    rows_per_capture: int,
+    nrow2: int,
+    row2: int,
+    ov2: int,
+    spr2: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-batch fused FSK discriminator front half.
+
+    Args:
+      x3d: (B, R, c_pad) host-overlapped FIR input windows (float32/int16;
+        c_pad = the 128-padded ``128*dec + taps - dec``), R a multiple of
+        FB = nrow2*row2/128.
+      w_fir: (c_pad, 256) decimating analytic-FIR template.
+      w_box: (n_offsets, row2+ov2, spr2) boxcar templates.
+      best: (B,) int32 winning timing offset per capture.
+    Returns per-bit vector sums (sr, si), each (B, R*128//row2 * spr2).
+    Capture-tail entries are pad garbage.
+    """
+    b, r, c = x3d.shape
+    fb = nrow2 * row2 // 128
+    if r != rows_per_capture or r % fb:
+        raise ValueError("rows_per_capture mismatch or not a multiple of FB")
+    if c % 128:
+        raise ValueError("c_pad must be 128-aligned")
+    if w_fir.ndim == 2 and w_fir.shape != (c, 256):
+        raise ValueError("dense FIR template must be (c_pad, 256)")
+    if row2 % 128 or (row2 + ov2) % 128:
+        raise ValueError("row2 and row2+ov2 must be 128-aligned")
+    grid = (b * r // fb,)
+    x2d = x3d.reshape(b * r, c)
+    look = _look_rows(x3d.dtype)
+    last_look = b * r // look - 1
+    r2 = r * 128 // row2  # boxcar rows per capture
+    wf_spec = (
+        pl.BlockSpec(w_fir.shape, lambda i, best_ref: (0, 0, 0))
+        if w_fir.ndim == 3
+        else pl.BlockSpec((c, 256), lambda i, best_ref: (0, 0))
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fb, c), lambda i, best_ref: (i, 0)),
+            pl.BlockSpec(
+                (look, c),
+                lambda i, best_ref, lpb=fb // look: (
+                    jnp.minimum((i + 1) * lpb, last_look),
+                    0,
+                ),
+            ),
+            wf_spec,
+            pl.BlockSpec(
+                (1, row2 + ov2, spr2),
+                lambda i, best_ref, spc=r // fb: (best_ref[i // spc], 0, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((nrow2, spr2), lambda i, best_ref: (i, 0)),
+            pl.BlockSpec((nrow2, spr2), lambda i, best_ref: (i, 0)),
+        ],
+    )
+    kern = functools.partial(
+        _kernel_fsk_disc, nrow2=nrow2, row2=row2, ov2=ov2, spr2=spr2
+    )
+    sr, si = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * r2, spr2), jnp.float32),
+            jax.ShapeDtypeStruct((b * r2, spr2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(best.astype(jnp.int32), x2d, x2d, w_fir, w_box)
+    return sr.reshape(b, r2 * spr2), si.reshape(b, r2 * spr2)
+
+
 # --- fused relabel + byte pack -------------------------------------------------
 
 def _shift_flat(v: jnp.ndarray, vn: jnp.ndarray, k: int, blk: int) -> jnp.ndarray:

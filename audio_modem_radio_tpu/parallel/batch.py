@@ -421,22 +421,36 @@ def demod_pack_batch(
     # fixes exactly that. Everything else stays the vmapped XLA pipeline.
     baud, mark, space = params
     from ..ops.fsk import (
+        _fir_frontend_plan,
+        _fsk_disc_kernel_plan,
         _fsk_geometry,
         _samples_per_bit,
         _separation_cycles,
+        fsk_disc_bits_rows_batch,
         fsk_dual_bits_rows_batch,
     )
 
-    if (
-        samples.ndim == 3
-        and _separation_cycles(baud, mark, space, SAMPLE_RATE) >= 0.8
-    ):
-        spb = _samples_per_bit(SAMPLE_RATE, baud)
+    sep = _separation_cycles(baud, mark, space, SAMPLE_RATE)
+    spb = _samples_per_bit(SAMPLE_RATE, baud)
+    disc_plan = None
+    if samples.ndim == 3 and sep < 0.4:
+        _lo, _hi, dec_p, taps_p = _fir_frontend_plan(baud, mark, space, SAMPLE_RATE)
+        disc_plan = _fsk_disc_kernel_plan(spb, dec_p, taps_p)
+    if samples.ndim == 3 and sep >= 0.8:
         _spr, row, ov = _fsk_geometry(spb)
         if samples.shape[2] == row + ov:
             bits = fsk_dual_bits_rows_batch(samples, baud, mark, space, SAMPLE_RATE)
         else:
             raise ValueError("pre-shaped dual-tone rows have the wrong column count")
+    elif (
+        samples.ndim == 3
+        and disc_plan is not None
+        and samples.shape[2] == disc_plan["c_pad"]
+        and samples.shape[1] % disc_plan["fb"] == 0
+    ):
+        # Fused discriminator layout (fsk_disc_row_shape): one Pallas kernel
+        # for FIR + phasor + boxcar, per-bit equalize/decide in XLA.
+        bits = fsk_disc_bits_rows_batch(samples, baud, mark, space, SAMPLE_RATE)
     else:
         def to_bits(x):
             return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE, mlse=fsk_mlse)[0]
@@ -542,10 +556,31 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             # relayout the device otherwise builds inside
             # analytic_bandpass_fir_dec. MLSE refinement needs the raw flat
             # samples, so the (non-default) batch_mlse config keeps (B, N).
-            fshape = fsk_fir_row_shape(batch.shape[1], baud, mark, space, SAMPLE_RATE)
-            if fshape is not None:
-                r, rowl, ov, lead = fshape
-                batch = _overlap_rows(batch, r, rowl, ov, lead=lead)
+            # Discriminator configs (FSK9600) with a TPU backend take the
+            # fused-kernel layout: 128-padded windows, rows rounded to the
+            # kernel block, int16 ship (the kernel casts in VMEM).
+            from ..ops.fsk import fsk_disc_row_shape
+
+            dshape = (
+                fsk_disc_row_shape(batch.shape[1], baud, mark, space, SAMPLE_RATE)
+                if (
+                    jax.default_backend() == "tpu"
+                    and CONFIG.get("tpu.demod_backend", "auto") != "xla"
+                )
+                else None
+            )
+            if dshape is not None:
+                r, rowl, ov, lead = dshape
+                i16 = CONFIG.get("tpu.int16_rows", None)
+                dtype = np.int16 if (i16 or i16 is None) else np.float32
+                batch = _overlap_rows(batch, r, rowl, ov, lead=lead, dtype=dtype)
+            else:
+                fshape = fsk_fir_row_shape(
+                    batch.shape[1], baud, mark, space, SAMPLE_RATE
+                )
+                if fshape is not None:
+                    r, rowl, ov, lead = fshape
+                    batch = _overlap_rows(batch, r, rowl, ov, lead=lead)
     elif kind == "ofdm":
         from ..ops.ofdm import ofdm_blocked_row_shape
 
