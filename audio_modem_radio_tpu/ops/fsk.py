@@ -999,6 +999,178 @@ def fsk_disc_bits_rows_batch(
     return (jnp.abs(eq - mark) < jnp.abs(eq - space)).astype(jnp.uint8)
 
 
+def _fsk_quadrature_templates_geom(
+    spb: int, mark: float, space: float, sample_rate: int, n_offsets: int,
+    spr: int, row: int, ov: int,
+) -> np.ndarray:
+    """(n_offsets, row+ov, 4*spr) tone quadratures [cos_m | sin_m | cos_s |
+    sin_s] on an EXPLICIT row geometry — the fused mid-separation kernel's
+    counterpart of :func:`_fsk_quadrature_templates` (which is locked to
+    :func:`_fsk_geometry`). Row-relative time is fine: noncoherent energies
+    are invariant to a per-bit phase origin. dec == 1 for this family
+    (:func:`_fir_frontend_plan`), so bit windows are exact sample spans."""
+    t = np.arange(row + ov, dtype=np.float64) / sample_rate
+    W = np.zeros((n_offsets, row + ov, 4 * spr), dtype=np.float32)
+    for i in range(n_offsets):
+        o = i * spb // n_offsets
+        for s in range(spr):
+            sl = slice(s * spb + o, s * spb + o + spb)
+            W[i, sl, s] = np.cos(2 * np.pi * mark * t[sl])
+            W[i, sl, spr + s] = np.sin(2 * np.pi * mark * t[sl])
+            W[i, sl, 2 * spr + s] = np.cos(2 * np.pi * space * t[sl])
+            W[i, sl, 3 * spr + s] = np.sin(2 * np.pi * space * t[sl])
+    return W
+
+
+def fsk_quad_row_shape(
+    n_samples: int, baud: float, mark: float, space: float, sample_rate: int
+):
+    """Host helper: (r, row=128, ov=c_pad-128, lead=(taps-1)//2) for the
+    fused mid-separation matched-filter path (0.4 <= separation < 0.8, e.g.
+    FSK19200), or None when the config is not mid-separation or the kernel
+    geometry doesn't map (the quadrature kernel additionally needs
+    spr2 % 128 == 0 for its lane-sliced energy epilogue — true whenever
+    gcd(spb, 128) == 1)."""
+    sep = _separation_cycles(baud, mark, space, sample_rate)
+    if not (0.4 <= sep < 0.8):
+        return None
+    spb = _samples_per_bit(sample_rate, baud)
+    if n_samples // spb < 2:
+        return None
+    _lo, _hi, dec, taps = _fir_frontend_plan(baud, mark, space, sample_rate)
+    plan = _fsk_disc_kernel_plan(spb, dec, taps)
+    if plan is None or plan["spr2"] % 128:
+        return None
+    r = -(-(-(-n_samples // dec)) // 128)
+    r = -(-r // plan["fb"]) * plan["fb"]
+    return r, 128 * dec, plan["c_pad"] - 128 * dec, (taps - 1) // 2
+
+
+def _quad_templates(
+    spb: int, baud: float, mark: float, space: float, sample_rate: int,
+    n_offsets: int,
+):
+    """(plan, W_fir (c_pad, 256), W_quad (n_offsets, row2+ov2, 4*spr2))."""
+    from .common import _fir_dec_template
+
+    band_lo, band_hi, dec, taps = _fir_frontend_plan(baud, mark, space, sample_rate)
+    plan = _fsk_disc_kernel_plan(spb, dec, taps)
+    wf = _fir_dec_template(band_lo, band_hi, sample_rate, taps, dec, 128)
+    wf_pad = np.zeros((plan["c_pad"], 256), np.float32)
+    wf_pad[: wf.shape[0]] = wf
+    wq = _fsk_quadrature_templates_geom(
+        spb, float(mark), float(space), sample_rate, n_offsets,
+        plan["spr2"], plan["row2"], plan["ov2"],
+    )
+    return plan, wf_pad, wq
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "mark", "space", "sample_rate", "n_offsets", "kernel"),
+)
+def fsk_quad_bits_rows_batch(
+    x3d: jnp.ndarray,
+    baud: float,
+    mark: float,
+    space: float,
+    sample_rate: int,
+    n_offsets: int = 8,
+    kernel: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Batched mid-separation FSK matched filter over padded FIR windows.
+
+    The fused pipeline (analytic FIR + per-bit tone quadrature correlation +
+    noncoherent energy margin) runs as ONE Pallas kernel on TPU
+    (``fsk_quad_margin_batch``; int16 or f32 rows) or an equivalent XLA
+    pipeline elsewhere; only the 4 B/bit margin stream leaves the kernel.
+    Bits match :func:`fsk_demod_bits`'s mid-separation branch
+    decode-for-decode (same FIR, same quadrature detector; row blocking and
+    the template time origin differ, so float energies are not bitwise
+    comparable across the two layouts).
+    """
+    spb = _samples_per_bit(sample_rate, baud)
+    sep = _separation_cycles(baud, mark, space, sample_rate)
+    if not (0.4 <= sep < 0.8):
+        raise ValueError("fsk_quad_bits_rows_batch requires a mid-separation config")
+    plan, wf_np, wq_np = _quad_templates(
+        spb, float(baud), float(mark), float(space), sample_rate, n_offsets
+    )
+    row2, spr2, ov2 = plan["row2"], plan["spr2"], plan["ov2"]
+    b, r, c = x3d.shape
+    if c != plan["c_pad"] or r % plan["fb"] or spr2 % 128:
+        raise ValueError("rows do not match fsk_quad_row_shape for this config")
+    Wf = jnp.asarray(wf_np)
+    Wq = jnp.asarray(wq_np)
+    r2 = r * 128 // row2
+
+    def z_rows(fir_slice, m2):
+        """(B, m, c_pad) FIR rows -> analytic boxcar rows, 2x (B, m2, row2+ov2)."""
+        z2 = jnp.einsum("brc,ck->brk", fir_slice.astype(jnp.float32), Wf)
+        bm = fir_slice.shape[0]
+
+        def rows(v):
+            pad_n = max(0, m2 * row2 + ov2 - v.shape[1])
+            vp = jnp.concatenate([v, jnp.zeros((bm, pad_n), jnp.float32)], axis=1)
+            main = vp[:, : m2 * row2].reshape(bm, m2, row2)
+            tail = jnp.stack(
+                [vp[:, (j + 1) * row2 : (j + 1) * row2 + ov2] for j in range(m2)],
+                axis=1,
+            )
+            return jnp.concatenate([main, tail], axis=2)
+
+        return rows(z2[..., :128].reshape(bm, -1)), rows(z2[..., 128:].reshape(bm, -1))
+
+    def margins(M, N):
+        """Noncoherent mark-space margin from (..., 4, spr2) projections of
+        the analytic re (M) and im (N) streams."""
+        u_m = M[..., 0, :] + N[..., 1, :]
+        v_m = N[..., 0, :] - M[..., 1, :]
+        u_s = M[..., 2, :] + N[..., 3, :]
+        v_s = N[..., 2, :] - M[..., 3, :]
+        return u_m**2 + v_m**2 - u_s**2 - v_s**2
+
+    # Pass 1: offset scoring on up to 3 small windows (sum |margin|, the
+    # production mid-branch score — see fsk_demod_bits).
+    rows_pb = row2 // 128
+    w2 = min(4, r2)
+    nf_win = w2 * rows_pb + 2
+    s2_max = max(0, (r - nf_win) // rows_pb)
+    starts2 = sorted(
+        {0, min(max(0, r2 // 2 - w2 // 2), s2_max), min(max(0, r2 - w2), s2_max)}
+    )
+    fir_wins = jnp.concatenate(
+        [x3d[:, s * rows_pb : s * rows_pb + nf_win] for s in starts2], axis=1
+    )
+    nw = len(starts2)
+    rz_w, ri_w = z_rows(fir_wins.reshape(b * nw, nf_win, c), w2)
+    Wq_all = Wq.transpose(1, 0, 2).reshape(row2 + ov2, -1)
+    M = (rz_w.reshape(b, -1, row2 + ov2) @ Wq_all).reshape(
+        b, -1, n_offsets, 4, spr2
+    )
+    N = (ri_w.reshape(b, -1, row2 + ov2) @ Wq_all).reshape(
+        b, -1, n_offsets, 4, spr2
+    )
+    score = jnp.sum(jnp.abs(margins(M, N)), axis=(1, 3))
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)
+
+    use_kernel = kernel if kernel is not None else jax.default_backend() == "tpu"
+    if use_kernel:
+        from .pallas_kernels import fsk_quad_margin_batch
+
+        margin = fsk_quad_margin_batch(
+            x3d, Wf, Wq, best,
+            rows_per_capture=r, nrow2=plan["nrow2"], row2=row2, ov2=ov2,
+            spr2=spr2, interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        rz, ri = z_rows(x3d, r2)
+        Mf = jnp.einsum("brc,bck->brk", rz, Wq[best]).reshape(b, r2, 4, spr2)
+        Nf = jnp.einsum("brc,bck->brk", ri, Wq[best]).reshape(b, r2, 4, spr2)
+        margin = margins(Mf, Nf).reshape(b, -1)
+    return (margin > 0).astype(jnp.uint8)
+
+
 def fsk_dual_rows_batch_plan(spb: int, r: int) -> Optional[int]:
     """Kernel block_rows for :func:`fsk_dual_bits_rows_batch`, or ``None``
     when the geometry can't feed full-lane bit tiles (spr too small for a

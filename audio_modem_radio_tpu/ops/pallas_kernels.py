@@ -599,6 +599,61 @@ def fsk_tile_bits_batch(
     return bits.reshape(b, r * spr)
 
 
+def _fir_analytic(ext: jnp.ndarray, wf: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FIR input rows (m, c_pad) -> analytic stream tiles (zr, zi), (m, 128).
+
+    ``wf`` is either the dense (c_pad, 256) decimating analytic-FIR template
+    ([re lanes | im lanes]) or its banded (n_g, width, 2*cols_pg) form: the
+    dense template is ~60% zeros at dec=4 (column m's taps span rows
+    [dec*m, dec*m+taps) only), so group g computes output columns
+    [g*cols_pg, (g+1)*cols_pg) (re and im) from the 128-aligned input slice
+    [stride*g, stride*g+width) — same sums, 2.5x fewer MACs at FSK9600.
+    """
+    if wf.ndim == 3:
+        n_g, width, two_cols = wf.shape
+        stride = (ext.shape[1] - width) // (n_g - 1)
+        cols_pg = two_cols // 2
+        zs = [
+            jnp.dot(
+                ext[:, stride * g : stride * g + width],
+                wf[g],
+                preferred_element_type=jnp.float32,
+            )
+            for g in range(n_g)
+        ]
+        zr = jnp.concatenate([z[:, :cols_pg] for z in zs], axis=1)
+        zi = jnp.concatenate([z[:, cols_pg:] for z in zs], axis=1)
+        return zr, zi
+    z2 = jnp.dot(ext, wf, preferred_element_type=jnp.float32)  # (m, 256)
+    return z2[:, :128], z2[:, 128:]
+
+
+def _redistribute_rows(p: jnp.ndarray, nrow2: int, row2: int, ov2: int) -> jnp.ndarray:
+    """(FB+2, 128) flat-stream tiles -> (nrow2, row2+ov2) overlapped rows.
+
+    Out row j = p tiles [rows_pb*j, rows_pb*j + cat) lane-concatenated (the
+    direct reshape is an unsupported Mosaic shape cast). CHUNKED in groups
+    of 16 output rows so the selection-dot cost stays LINEAR in nrow2 (a
+    single (nrow2, m) selection is quadratic: m ~ rows_pb*nrow2).
+    """
+    rows_pb = row2 // 128
+    cat = (row2 + ov2) // 128
+    chunk = min(16, nrow2)
+    mc = rows_pb * chunk + 2  # p rows feeding one chunk (+2 spill)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 1)
+    orow = jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 0)
+    chunks = []
+    for q in range(nrow2 // chunk):
+        base = rows_pb * chunk * q
+        pq = p[base : base + mc]
+        parts = []
+        for t in range(cat):
+            P = (col == rows_pb * orow + t).astype(jnp.float32)
+            parts.append(jnp.dot(P, pq, preferred_element_type=jnp.float32))
+        chunks.append(jnp.concatenate(parts, axis=1))
+    return jnp.concatenate(chunks, axis=0)  # (nrow2, row2+ov2)
+
+
 def _kernel_fsk_disc(best_ref, x_ref, xn_ref, wf_ref, wb_ref, sr_ref, si_ref,
                      *, nrow2, row2, ov2, spr2):
     """Fused FSK discriminator: FIR front end + phasor product + fractional
@@ -611,38 +666,16 @@ def _kernel_fsk_disc(best_ref, x_ref, xn_ref, wf_ref, wb_ref, sr_ref, si_ref,
     through the dense decimating-FIR template (one MXU dot), the analytic
     stream differentiates into per-sample phasors (flat shift-by-one via
     lane rolls), the (FB+2, 128) phasor tiles redistribute into
-    (nrow2, row2+ov2) boxcar rows (tiny selection dots + lane concat — the
-    direct reshape is an unsupported Mosaic shape cast), and the per-offset
-    boxcar template (scalar-prefetch selected) folds them to per-bit sums.
+    (nrow2, row2+ov2) boxcar rows (tiny selection dots + lane concat), and
+    the per-offset boxcar template (scalar-prefetch selected) folds them to
+    per-bit sums.
     """
     del best_ref
     x = _to_f32(x_ref[:])        # (FB, c_pad)
     xn = _to_f32(xn_ref[:])      # (look, c_pad)
     ext = jnp.concatenate([x, xn[:2]], axis=0)  # (FB+2, c_pad)
     m = ext.shape[0]
-    wf = wf_ref[:]
-    if wf.ndim == 3:
-        # Banded FIR: the dense (c_pad, 256) template is ~60% zeros at dec=4
-        # (column m's taps span rows [dec*m, dec*m+taps) only). Group g
-        # computes output columns [g*cols_pg, (g+1)*cols_pg) (re and im)
-        # from the 128-aligned input slice [stride*g, stride*g+width) —
-        # same sums, 2.5x fewer MACs at FSK9600.
-        n_g, width, two_cols = wf.shape
-        stride = (x.shape[1] - width) // (n_g - 1)
-        cols_pg = two_cols // 2
-        zs = [
-            jnp.dot(
-                ext[:, stride * g : stride * g + width],
-                wf[g],
-                preferred_element_type=jnp.float32,
-            )
-            for g in range(n_g)
-        ]
-        zr = jnp.concatenate([z[:, :cols_pg] for z in zs], axis=1)
-        zi = jnp.concatenate([z[:, cols_pg:] for z in zs], axis=1)
-    else:
-        z2 = jnp.dot(ext, wf, preferred_element_type=jnp.float32)  # (m, 256)
-        zr, zi = z2[:, :128], z2[:, 128:]
+    zr, zi = _fir_analytic(ext, wf_ref[:])
 
     # p[n] = z[n+1] * conj(z[n]) over the flat row-major stream.
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 1)
@@ -656,32 +689,11 @@ def _kernel_fsk_disc(best_ref, x_ref, xn_ref, wf_ref, wb_ref, sr_ref, si_ref,
     pr = z1r * zr + z1i * zi     # (FB+2, 128)
     pi = z1i * zr - z1r * zi
 
-    # Redistribute phasor tiles into boxcar rows: out row j = p tiles
-    # [rows_pb*j, rows_pb*j + cat) lane-concatenated. CHUNKED in groups of
-    # 16 output rows so the selection-dot cost stays LINEAR in nrow2 (a
-    # single (nrow2, m) selection is quadratic: m ~ rows_pb*nrow2).
-    rows_pb = row2 // 128
-    cat = (row2 + ov2) // 128
-    chunk = min(16, nrow2)
-    mc = rows_pb * chunk + 2  # p rows feeding one chunk (+2 spill)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 1)
-    orow = jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 0)
-
-    def rows_of(p):
-        chunks = []
-        for q in range(nrow2 // chunk):
-            base = rows_pb * chunk * q
-            pq = p[base : base + mc]
-            parts = []
-            for t in range(cat):
-                P = (col == rows_pb * orow + t).astype(jnp.float32)
-                parts.append(jnp.dot(P, pq, preferred_element_type=jnp.float32))
-            chunks.append(jnp.concatenate(parts, axis=1))
-        return jnp.concatenate(chunks, axis=0)  # (nrow2, row2+ov2)
-
     wb = wb_ref[0]               # (row2+ov2, spr2)
-    sr_ref[:] = jnp.dot(rows_of(pr), wb, preferred_element_type=jnp.float32)
-    si_ref[:] = jnp.dot(rows_of(pi), wb, preferred_element_type=jnp.float32)
+    rp = _redistribute_rows(pr, nrow2, row2, ov2)
+    ip = _redistribute_rows(pi, nrow2, row2, ov2)
+    sr_ref[:] = jnp.dot(rp, wb, preferred_element_type=jnp.float32)
+    si_ref[:] = jnp.dot(ip, wb, preferred_element_type=jnp.float32)
 
 
 @functools.partial(
@@ -769,6 +781,115 @@ def fsk_disc_sums_batch(
         interpret=interpret,
     )(best.astype(jnp.int32), x2d, x2d, w_fir, w_box)
     return sr.reshape(b, r2 * spr2), si.reshape(b, r2 * spr2)
+
+
+def _kernel_fsk_quad(best_ref, x_ref, xn_ref, wf_ref, wq_ref, out_ref,
+                     *, nrow2, row2, ov2, spr2):
+    """Fused mid-separation FSK matched filter: analytic FIR + per-bit tone
+    quadrature correlation + noncoherent energy margin, per grid step — the
+    per-bit mark-space margin is the ONLY full-stream output (4 B/bit).
+
+    Same skeleton as :func:`_kernel_fsk_disc` minus the phasor product: the
+    analytic tiles redistribute directly into boxcar rows, project against
+    the per-offset quadrature template ([cos_m | sin_m | cos_s | sin_s]
+    column groups of spr2, so spr2 must be 128-aligned for the lane slices),
+    and combine as E_tone = |sum z e^{-jwt}|^2 per tone.
+    """
+    del best_ref
+    x = _to_f32(x_ref[:])        # (FB, c_pad)
+    xn = _to_f32(xn_ref[:])      # (look, c_pad)
+    ext = jnp.concatenate([x, xn[:2]], axis=0)  # (FB+2, c_pad)
+    zr, zi = _fir_analytic(ext, wf_ref[:])
+    rz = _redistribute_rows(zr, nrow2, row2, ov2)
+    ri = _redistribute_rows(zi, nrow2, row2, ov2)
+    wq = wq_ref[0]               # (row2+ov2, 4*spr2)
+    M = jnp.dot(rz, wq, preferred_element_type=jnp.float32)
+    N = jnp.dot(ri, wq, preferred_element_type=jnp.float32)
+    s = spr2
+    u_m = M[:, :s] + N[:, s : 2 * s]
+    v_m = N[:, :s] - M[:, s : 2 * s]
+    u_s = M[:, 2 * s : 3 * s] + N[:, 3 * s :]
+    v_s = N[:, 2 * s : 3 * s] - M[:, 3 * s :]
+    out_ref[:] = u_m * u_m + v_m * v_m - u_s * u_s - v_s * v_s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows_per_capture", "nrow2", "row2", "ov2", "spr2", "interpret"),
+)
+def fsk_quad_margin_batch(
+    x3d: jnp.ndarray,
+    w_fir: jnp.ndarray,
+    w_quad: jnp.ndarray,
+    best: jnp.ndarray,
+    rows_per_capture: int,
+    nrow2: int,
+    row2: int,
+    ov2: int,
+    spr2: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused mid-separation FSK matched filter.
+
+    Args:
+      x3d: (B, R, c_pad) host-overlapped FIR input windows (float32/int16),
+        R a multiple of FB = nrow2*row2/128.
+      w_fir: (c_pad, 256) analytic-FIR template (dec=1 for this family).
+      w_quad: (n_offsets, row2+ov2, 4*spr2) tone-quadrature templates.
+      best: (B,) int32 winning timing offset per capture.
+    Returns the per-bit mark-space energy margin, (B, R*128//row2 * spr2)
+    float32 (bit = margin > 0). Capture-tail entries are pad garbage.
+    """
+    b, r, c = x3d.shape
+    fb = nrow2 * row2 // 128
+    if r != rows_per_capture or r % fb:
+        raise ValueError("rows_per_capture mismatch or not a multiple of FB")
+    if c % 128 or spr2 % 128:
+        raise ValueError("c_pad and spr2 must be 128-aligned")
+    if w_fir.ndim == 2 and w_fir.shape != (c, 256):
+        raise ValueError("dense FIR template must be (c_pad, 256)")
+    if row2 % 128 or (row2 + ov2) % 128:
+        raise ValueError("row2 and row2+ov2 must be 128-aligned")
+    grid = (b * r // fb,)
+    x2d = x3d.reshape(b * r, c)
+    look = _look_rows(x3d.dtype)
+    last_look = b * r // look - 1
+    r2 = r * 128 // row2
+    wf_spec = (
+        pl.BlockSpec(w_fir.shape, lambda i, best_ref: (0, 0, 0))
+        if w_fir.ndim == 3
+        else pl.BlockSpec((c, 256), lambda i, best_ref: (0, 0))
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fb, c), lambda i, best_ref: (i, 0)),
+            pl.BlockSpec(
+                (look, c),
+                lambda i, best_ref, lpb=fb // look: (
+                    jnp.minimum((i + 1) * lpb, last_look),
+                    0,
+                ),
+            ),
+            wf_spec,
+            pl.BlockSpec(
+                (1, row2 + ov2, 4 * spr2),
+                lambda i, best_ref, spc=r // fb: (best_ref[i // spc], 0, 0),
+            ),
+        ],
+        out_specs=[pl.BlockSpec((nrow2, spr2), lambda i, best_ref: (i, 0))],
+    )
+    kern = functools.partial(
+        _kernel_fsk_quad, nrow2=nrow2, row2=row2, ov2=ov2, spr2=spr2
+    )
+    (margin,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b * r2, spr2), jnp.float32)],
+        interpret=interpret,
+    )(best.astype(jnp.int32), x2d, x2d, w_fir, w_quad)
+    return margin.reshape(b, r2 * spr2)
 
 
 # --- fused relabel + byte pack -------------------------------------------------

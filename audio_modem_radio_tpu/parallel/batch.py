@@ -428,14 +428,17 @@ def demod_pack_batch(
         _separation_cycles,
         fsk_disc_bits_rows_batch,
         fsk_dual_bits_rows_batch,
+        fsk_quad_bits_rows_batch,
     )
 
     sep = _separation_cycles(baud, mark, space, SAMPLE_RATE)
     spb = _samples_per_bit(SAMPLE_RATE, baud)
-    disc_plan = None
-    if samples.ndim == 3 and sep < 0.4:
+    fir_plan = None
+    if samples.ndim == 3 and sep < 0.8:
         _lo, _hi, dec_p, taps_p = _fir_frontend_plan(baud, mark, space, SAMPLE_RATE)
-        disc_plan = _fsk_disc_kernel_plan(spb, dec_p, taps_p)
+        fir_plan = _fsk_disc_kernel_plan(spb, dec_p, taps_p)
+        if fir_plan is not None and sep >= 0.4 and fir_plan["spr2"] % 128:
+            fir_plan = None  # quad kernel needs 128-aligned spr2 lane slices
     if samples.ndim == 3 and sep >= 0.8:
         _spr, row, ov = _fsk_geometry(spb)
         if samples.shape[2] == row + ov:
@@ -444,13 +447,17 @@ def demod_pack_batch(
             raise ValueError("pre-shaped dual-tone rows have the wrong column count")
     elif (
         samples.ndim == 3
-        and disc_plan is not None
-        and samples.shape[2] == disc_plan["c_pad"]
-        and samples.shape[1] % disc_plan["fb"] == 0
+        and fir_plan is not None
+        and samples.shape[2] == fir_plan["c_pad"]
+        and samples.shape[1] % fir_plan["fb"] == 0
     ):
-        # Fused discriminator layout (fsk_disc_row_shape): one Pallas kernel
-        # for FIR + phasor + boxcar, per-bit equalize/decide in XLA.
-        bits = fsk_disc_bits_rows_batch(samples, baud, mark, space, SAMPLE_RATE)
+        # Fused FIR-window layouts (fsk_disc_row_shape / fsk_quad_row_shape):
+        # one Pallas kernel for the whole sample-rate pipeline, per-bit
+        # decisions in XLA.
+        if sep < 0.4:
+            bits = fsk_disc_bits_rows_batch(samples, baud, mark, space, SAMPLE_RATE)
+        else:
+            bits = fsk_quad_bits_rows_batch(samples, baud, mark, space, SAMPLE_RATE)
     else:
         def to_bits(x):
             return fsk_demod_bits(x, baud, mark, space, SAMPLE_RATE, mlse=fsk_mlse)[0]
@@ -556,19 +563,22 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             # relayout the device otherwise builds inside
             # analytic_bandpass_fir_dec. MLSE refinement needs the raw flat
             # samples, so the (non-default) batch_mlse config keeps (B, N).
-            # Discriminator configs (FSK9600) with a TPU backend take the
-            # fused-kernel layout: 128-padded windows, rows rounded to the
-            # kernel block, int16 ship (the kernel casts in VMEM).
-            from ..ops.fsk import fsk_disc_row_shape
+            # Discriminator (FSK9600) and mid-separation (FSK19200) configs
+            # with a TPU backend take the fused-kernel layout: 128-padded
+            # windows, rows rounded to the kernel block, int16 ship (the
+            # kernel casts in VMEM).
+            from ..ops.fsk import fsk_disc_row_shape, fsk_quad_row_shape
 
-            dshape = (
-                fsk_disc_row_shape(batch.shape[1], baud, mark, space, SAMPLE_RATE)
-                if (
-                    jax.default_backend() == "tpu"
-                    and CONFIG.get("tpu.demod_backend", "auto") != "xla"
+            dshape = None
+            if (
+                jax.default_backend() == "tpu"
+                and CONFIG.get("tpu.demod_backend", "auto") != "xla"
+            ):
+                dshape = fsk_disc_row_shape(
+                    batch.shape[1], baud, mark, space, SAMPLE_RATE
+                ) or fsk_quad_row_shape(
+                    batch.shape[1], baud, mark, space, SAMPLE_RATE
                 )
-                else None
-            )
             if dshape is not None:
                 r, rowl, ov, lead = dshape
                 i16 = CONFIG.get("tpu.int16_rows", None)
@@ -591,6 +601,24 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             # offset-independent (pass 2 selects a row-shifted weight table),
             # so the row build is host strided views, not a device relayout.
             batch = _overlap_rows(batch, *shape)
+    elif kind == "hell":
+        # Text fax: ship (B, n_pix, spp) pixel windows — a free numpy view
+        # (pixel windows tile the capture exactly, no overlap) that spares
+        # the device the flat-batch reshape relayout. int16 on TPU halves
+        # the ship + read; the fused square-reduce rescales in-register.
+        spp = int(round(SAMPLE_RATE / params[0]))
+        n_pix = batch.shape[1] // spp
+        if n_pix >= 1:
+            view = batch[:, : n_pix * spp].reshape(b, n_pix, spp)
+            i16 = CONFIG.get("tpu.int16_rows", None)
+            if i16 is None:
+                i16 = jax.default_backend() == "tpu"
+            if i16:
+                batch = np.clip(np.round(view * 32768.0), -32768, 32767).astype(
+                    np.int16
+                )
+            else:
+                batch = view
     return batch
 
 
