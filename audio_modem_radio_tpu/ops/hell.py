@@ -202,11 +202,25 @@ def hell_demod_text_batch(
     ``SYNC_ROWS`` all-on rows (reference hellschreiber.py:118-120); require
     a leading run of at least ``SYNC_ROWS - 2`` (tolerating edge erosion).
     When ``found`` is False, ``n_chars`` is 0.
+
+    ``samples`` is either (B, N) flat captures or (B, n_pix, spp) host
+    pre-shaped pixel windows (``host_shape_batch``'s free numpy view —
+    the device-side reshape of a flat multi-GB batch is a tiled-layout
+    relayout that dominated this pipeline; PERF.md rule 4). Pre-shaped
+    rows may be int16 (scale 32768); energies rescale in the fused
+    square-reduce, so no f32 copy materializes.
     """
-    b, n = samples.shape
-    n_pix = n // spp
-    win = samples[:, : n_pix * spp].reshape(b, n_pix, spp)
-    px = (jnp.mean(win * win, axis=-1) > threshold).astype(jnp.float32)
+    b = samples.shape[0]
+    if samples.ndim == 3:
+        win = samples
+        n_pix = win.shape[1]
+    else:
+        n_pix = samples.shape[-1] // spp
+        win = samples[:, : n_pix * spp].reshape(b, n_pix, spp)
+    wf = win.astype(jnp.float32)
+    if jnp.issubdtype(samples.dtype, jnp.integer):
+        wf = wf * (1.0 / 32768.0)
+    px = (jnp.mean(wf * wf, axis=-1) > threshold).astype(jnp.float32)
     n_rows = n_pix // ROW_PIXELS
     rows_on = (
         px[:, : n_rows * ROW_PIXELS].reshape(b, n_rows, ROW_PIXELS).sum(-1)

@@ -85,3 +85,43 @@ def test_decode_from_buffer_text_parity(tmp_path):
     assert open(saved[0]).read() == TEXTS[1]
     noise = np.random.default_rng(1).normal(0, 0.05, 96000).astype(np.float32)
     assert decode_from_buffer(noise, "HELLSCHREIBER", 0, recv_dir=str(tmp_path)) == []
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.int16])
+def test_preshaped_rows_match_flat(dtype):
+    """(B, n_pix, spp) host pre-shaped pixel windows (the TPU ship layout,
+    f32 view or int16 quantized) decode identically to the flat (B, N)
+    device path."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.ops.hell import hell_demod_text_batch
+
+    spp = int(round(96000 / 122.5))
+    waves = [np.asarray(hellschreiber_modulate(t), np.float32) for t in TEXTS]
+    batch = _batchify(waves)
+    n_pix = batch.shape[1] // spp
+    view = batch[:, : n_pix * spp].reshape(len(waves), n_pix, spp)
+    if dtype == np.int16:
+        shaped = np.clip(np.round(view * 32768.0), -32768, 32767).astype(np.int16)
+    else:
+        shaped = view
+    chars_f, n_f, found_f = hell_demod_text_batch(jnp.asarray(batch), spp)
+    chars_s, n_s, found_s = hell_demod_text_batch(jnp.asarray(shaped), spp)
+    assert np.array_equal(np.asarray(n_f), np.asarray(n_s))
+    assert np.array_equal(np.asarray(found_f), np.asarray(found_s))
+    for i in range(len(waves)):
+        k = int(np.asarray(n_f)[i])
+        assert np.array_equal(np.asarray(chars_f)[i, :k], np.asarray(chars_s)[i, :k])
+
+
+def test_host_shape_batch_hell_layout():
+    """host_shape_batch ships hell captures as (B, n_pix, spp) windows (f32
+    passthrough on CPU backends; the int16 quantized layout is TPU-gated)."""
+    from audio_modem_radio_tpu.parallel.batch import host_shape_batch
+
+    wave = np.asarray(hellschreiber_modulate(TEXTS[0]), np.float32)
+    batch = _batchify([wave, wave])
+    shaped = host_shape_batch(batch, "HELLSCHREIBER", 9600)
+    spp = int(round(96000 / 122.5))
+    assert shaped.ndim == 3 and shaped.shape[2] == spp
+    assert shaped.shape[1] == batch.shape[1] // spp
