@@ -57,7 +57,7 @@ CONFIGS = {
     "BPSK": (9600, 64, 24, {"cfo_retry": True}),
     "FSK1200": (9600, 64, 23, {}),
     "FSK9600": (9600, 64, 23, {}),
-    "FSK19200": (9600, 16, 23, {}),
+    "FSK19200": (9600, 64, 23, {}),
     "OFDM4": (9600, 32, 22, {}),
     "OFDM8": (9600, 32, 22, {}),
     "NEURAL": (9600, 16, 22, {}),
