@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -294,7 +294,9 @@ def _preamble_energy(chip_len: int) -> float:
 TD_PREFIX_RHO = 0.12
 
 
-def demod_td_batch(samples: jnp.ndarray, chip_len: int) -> jnp.ndarray:
+def demod_td_batch(
+    samples: jnp.ndarray, chip_len: int, kernel: Optional[bool] = None
+) -> jnp.ndarray:
     """(B, N) -> (B, n_sym) uint8 symbols: batched TD demod, prefix sync.
 
     The preamble opens every transmission, so the matched filter searches
@@ -307,6 +309,18 @@ def demod_td_batch(samples: jnp.ndarray, chip_len: int) -> jnp.ndarray:
     global argmax: when two transmissions share a capture and both pass the
     threshold, the prefix peak (the FIRST preamble) wins — previously the
     stronger one did.
+
+    Symbol extraction runs as ONE Pallas kernel on TPU
+    (``neural_extract_batch``: downconversion + chip windows + projection +
+    unrotation + codebook argmax, uint8 symbols the only output — the XLA
+    extraction materialized ~16 B/sample of intermediates and was 95% of
+    the pipeline, benchmarks/neural_stage_profile.json). The kernel decodes
+    on the UNROTATED symbol grid (a whole-tile row shift is an integral
+    number of symbols), so the symbol stream rolls left by (k0//128)*spr
+    afterwards; the capture's final symbol row differs from the XLA path's
+    circular wrap (clamped lookahead garbage vs wrapped pre-transmission
+    samples) — both are non-payload by construction. Geometries the kernel
+    doesn't map (chip_len != 2 or r3 % 512 != 0) keep the XLA extraction.
     """
     chip_tab = _chip_shift_table(chip_len, 1.0 + 0.0 * samples[0, 0])
     cb_b = jnp.asarray(_codebook_blocked(chip_len))
@@ -314,24 +328,73 @@ def demod_td_batch(samples: jnp.ndarray, chip_len: int) -> jnp.ndarray:
     P = corr_t.shape[0] - 128
     e_tab = jnp.asarray(_energy_table(P))
     e_pre = _preamble_energy(chip_len)
+    nb = P // 128
 
-    zr, zi = jax.vmap(_td_prep)(samples)
-    r3 = zr.shape[1] // 128
+    b, n = samples.shape
+    n_pad = -(-n // 128) * 128
+    r3 = n_pad // 128
     r_pre = max(1, r3 // 8)
+    cpr = 128 // chip_len
+    spr = cpr // CHIPS_PER_SYMBOL
+    use_kernel = kernel if kernel is not None else jax.default_backend() == "tpu"
+    use_kernel = use_kernel and 2 * cpr == 128 and r3 % 512 == 0
 
-    def prefix_peak(a, b):
-        cre, cim = _td_corr(a, b, corr_t, r_pre)
+    def prefix_peak(a, b_):
+        cre, cim = _td_corr(a, b_, corr_t, r_pre)
         k0, pr, pi, pk = _td_peak(cre, cim)
-        nb = P // 128
-        e2 = _td_corr_rows(a * a + b * b, r_pre, nb) @ e_tab  # (r_pre, 128)
+        e2 = _td_corr_rows(a * a + b_ * b_, r_pre, nb) @ e_tab  # (r_pre, 128)
         ew = e2.reshape(-1)[k0]
         rho = pk / (e_pre * ew + 1e-12)
         return k0, pr, pi, rho
 
-    def full_peak(a, b):
-        cre, cim = _td_corr(a, b, corr_t, r3)
+    def full_peak(a, b_):
+        cre, cim = _td_corr(a, b_, corr_t, r3)
         k0, pr, pi, _pk = _td_peak(cre, cim)
         return k0, pr, pi
+
+    if use_kernel:
+        from .pallas_kernels import neural_extract_batch
+
+        xp = samples
+        if n != n_pad:
+            xp = jnp.concatenate(
+                [samples, jnp.zeros((b, n_pad - n), samples.dtype)], axis=1
+            )
+        # The kernel reads raw samples, so downconvert only the sync span
+        # (full zr/zi materialization was the second-largest stage).
+        pre_span = min(n_pad, (r_pre + nb + 1) * 128)
+
+        def full_from_raw():
+            zf_r, zf_i = jax.vmap(_td_prep)(xp)
+            return jax.vmap(full_peak)(zf_r, zf_i)
+
+        if 2 * r_pre <= r3:
+            zp_r, zp_i = jax.vmap(_td_prep)(xp[:, :pre_span])
+            k0p, prp, pip, rho = jax.vmap(prefix_peak)(zp_r, zp_i)
+            hit = jnp.all(rho >= TD_PREFIX_RHO)
+            k0, pr, pi = jax.lax.cond(hit, lambda: (k0p, prp, pip), full_from_raw)
+        else:
+            k0, pr, pi = full_from_raw()
+
+        syms_un = neural_extract_batch(
+            xp.reshape(b * r3, 128),
+            chip_tab,
+            cb_b,
+            jnp.stack([pr, pi], axis=1),
+            (k0 % 128).astype(jnp.int32),
+            rows_per_capture=r3,
+            spr=spr,
+            interpret=jax.default_backend() != "tpu",
+        )
+        shift = ((k0 // 128) * spr).astype(jnp.int32)
+
+        def roll_left(row, sh):
+            two = jnp.concatenate([row, row])
+            return jax.lax.dynamic_slice(two, (sh,), (row.shape[0],))
+
+        return jax.vmap(roll_left)(syms_un, shift)
+
+    zr, zi = jax.vmap(_td_prep)(samples)
 
     if 2 * r_pre <= r3:
         k0p, prp, pip, rho = jax.vmap(prefix_peak)(zr, zi)
@@ -343,7 +406,7 @@ def demod_td_batch(samples: jnp.ndarray, chip_len: int) -> jnp.ndarray:
         k0, pr, pi = jax.vmap(full_peak)(zr, zi)
 
     return jax.vmap(
-        lambda a, b, k, cr, ci: _td_extract(a, b, k, cr, ci, cb_b, chip_tab)
+        lambda a, b_, k, cr, ci: _td_extract(a, b_, k, cr, ci, cb_b, chip_tab)
     )(zr, zi, k0, pr, pi)
 
 

@@ -892,6 +892,172 @@ def fsk_quad_margin_batch(
     return margin.reshape(b, r2 * spr2)
 
 
+# --- fused NEURAL chip extraction + codebook detection --------------------------
+
+def _kernel_neural_extract(
+    s_ref, ph_ref, x_ref, xn_ref, ct_ref, cb_ref, out_ref, *, nrow, spr, spc
+):
+    """Fused learned-modem demod body: fs/4 downconversion + two-tile chip
+    windows + per-offset chip projection + channel-phase unrotation +
+    block-diagonal codebook scoring + per-symbol argmax — the uint8 symbol
+    stream (1 B per 16 samples) is the ONLY output. The XLA pipeline
+    materialized every stage between (the (rows, 512) windows, the
+    (rows, spr*256) scores ~ 16 B/sample); extraction was 95% of the NEURAL
+    batch (benchmarks/neural_stage_profile.json).
+
+    Rows are UNROTATED (symbols aligned to sample 0): a whole-tile shift of
+    q = k0//128 rows is an integral number of symbols (128 = 8 symbols at
+    chip_len 2), so the caller rolls the symbol stream by q*spr afterwards
+    instead of the capture rows before — no traced-offset row slice in the
+    hot path. The in-row offset s = k0%128 selects the chip projection
+    table per capture via scalar prefetch.
+    """
+    x = _to_f32(x_ref[:])        # (nrow, 128)
+    xn = _to_f32(xn_ref[:])      # (look, 128)
+    ext = jnp.concatenate([x, xn[:1]], axis=0)  # (nrow+1, 128)
+    m = ext.shape[0]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    mod4 = lane1 % 4
+    mr = jnp.where(mod4 == 0, 1.0, jnp.where(mod4 == 2, -1.0, 0.0))
+    mi = jnp.where(mod4 == 1, -1.0, jnp.where(mod4 == 3, 1.0, 0.0))
+    zr = ext * mr                # fs/4 downconversion, sign masks
+    zi = ext * mi
+
+    def nxt(v):  # row j+1 (the final row reads the clamped lookahead)
+        return pltpu.roll(v, m - 1, axis=0)
+
+    # Window pair x chip projection as FOUR dots against the table's row
+    # blocks ([zr_j | zr_j+1 | zi_j | zi_j+1] @ ct): a lane-concat of rolled
+    # tiles carries a sublane-offset layout Mosaic's concatenate rejects
+    # (the PERF.md {1,0}-layout trap); dot operands relayout cleanly.
+    ct = ct_ref[0]               # (512, 128)
+    chips = (
+        jnp.dot(zr[:nrow], ct[:128], preferred_element_type=jnp.float32)
+        + jnp.dot(nxt(zr)[:nrow], ct[128:256], preferred_element_type=jnp.float32)
+        + jnp.dot(zi[:nrow], ct[256:384], preferred_element_type=jnp.float32)
+        + jnp.dot(nxt(zi)[:nrow], ct[384:512], preferred_element_type=jnp.float32)
+    )
+
+    # Channel-phase unrotation as a (128, 128) block-rotation matmul built
+    # from the per-capture phasor scalars: [cr|ci] -> [a cr + b ci | a ci - b cr].
+    cap = pl.program_id(0) // spc
+    a = ph_ref[cap, 0]
+    b_ = ph_ref[cap, 1]
+    half = chips.shape[1] // 2
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (chips.shape[1],) * 2, 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (chips.shape[1],) * 2, 1)
+    eye = (i2 == j2).astype(jnp.float32)
+    kk = (i2 == j2 + half).astype(jnp.float32) - (i2 + half == j2).astype(jnp.float32)
+    chips = jnp.dot(chips, a * eye + b_ * kk, preferred_element_type=jnp.float32)
+
+    scores = jnp.dot(chips, cb_ref[:], preferred_element_type=jnp.float32)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (nrow, 256), 1)
+    sym8 = jnp.zeros((nrow, 128), jnp.float32)
+    for g in range(spr):  # first-max argmax per 256-lane codeword group
+        sc = scores[:, 256 * g : 256 * (g + 1)]
+        mx = jnp.max(sc, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(sc >= mx, lane2, 256), axis=1, keepdims=True)
+        sym8 = sym8 + jnp.where(lane1 == g, idx.astype(jnp.float32), 0.0)
+
+    # Compact (nrow, spr used lanes) -> (nrow//cpk, 128) symbol tiles:
+    # out[jj, t*spr + g] = sym8[cpk*jj + t, g] (selection dots + lane rolls).
+    cpk = 128 // spr
+    col = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, nrow), 1)
+    orow = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, nrow), 0)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, 128), 1)
+    acc = jnp.zeros((nrow // cpk, 128), jnp.float32)
+    for t in range(cpk):
+        P = (col == cpk * orow + t).astype(jnp.float32)
+        part = jnp.dot(P, sym8, preferred_element_type=jnp.float32)
+        rolled = pltpu.roll(part, t * spr, axis=1)
+        keep = (lane_o >= t * spr) & (lane_o < t * spr + spr)
+        acc = acc + jnp.where(keep, rolled, 0.0)
+    out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_capture", "spr", "nrow", "interpret")
+)
+def neural_extract_batch(
+    x2d: jnp.ndarray,
+    chip_table: jnp.ndarray,
+    codebook_blocked: jnp.ndarray,
+    phasors: jnp.ndarray,
+    s: jnp.ndarray,
+    rows_per_capture: int,
+    spr: int,
+    nrow: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused NEURAL symbol extraction.
+
+    Args:
+      x2d: (B*r3, 128) padded capture rows (float32/int16).
+      chip_table: (128, 512, 2*cpr) per-offset chip projections
+        (``_chip_shift_table``); 2*cpr must be 128 (chip_len 2).
+      codebook_blocked: (128, spr*256) block-diagonal scorer.
+      phasors: (B, 2) float32 per-capture channel (re, im) unit phasor.
+      s: (B,) int32 in-row sample offset (k0 % 128).
+      rows_per_capture: r3, a multiple of ``nrow``.
+    Returns (B, r3 * spr) uint8 symbols on the UNROTATED grid — roll left
+    by (k0 // 128) * spr per capture to align symbol 0 to the preamble.
+    """
+    br, w = x2d.shape
+    if w != 128 or br % rows_per_capture:
+        raise ValueError("x2d must be (B*r3, 128)")
+    b = br // rows_per_capture
+    if rows_per_capture % nrow:
+        raise ValueError("rows_per_capture must be a multiple of nrow")
+    if chip_table.shape[2] != 128 or codebook_blocked.shape != (128, spr * 256):
+        raise ValueError("kernel requires 2*cpr == 128 (chip_len 2)")
+    if nrow % (128 // spr) or (nrow // (128 // spr)) % 32:
+        raise ValueError("nrow must give >= 32-sublane uint8 output tiles")
+    spc = rows_per_capture // nrow
+    grid = (b * spc,)
+    look = _look_rows(x2d.dtype)
+    last_look = br // look - 1
+    cpk = 128 // spr
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nrow, 128), lambda i, s_ref, ph_ref: (i, 0)),
+            pl.BlockSpec(
+                (look, 128),
+                lambda i, s_ref, ph_ref, lpb=nrow // look: (
+                    jnp.minimum((i + 1) * lpb, last_look),
+                    0,
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 512, 128),
+                lambda i, s_ref, ph_ref, spc=spc: (s_ref[i // spc], 0, 0),
+            ),
+            pl.BlockSpec((128, spr * 256), lambda i, s_ref, ph_ref: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((nrow // cpk, 128), lambda i, s_ref, ph_ref: (i, 0)),
+        ],
+    )
+    kern = functools.partial(_kernel_neural_extract, nrow=nrow, spr=spr, spc=spc)
+    (sym,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((br // cpk, 128), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(
+        s.astype(jnp.int32),
+        phasors.astype(jnp.float32),
+        x2d,
+        x2d,
+        chip_table,
+        codebook_blocked,
+    )
+    return sym.reshape(b, rows_per_capture * spr)
+
+
 # --- fused relabel + byte pack -------------------------------------------------
 
 def _shift_flat(v: jnp.ndarray, vn: jnp.ndarray, k: int, blk: int) -> jnp.ndarray:

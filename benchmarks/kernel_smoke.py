@@ -185,6 +185,63 @@ def run_smoke() -> dict:
     except Exception as e:
         checks["fsk_tile"] = {"ok": False, "error": repr(e)[:200]}
 
+    # Fused FSK discriminator (FSK9600) + mid-separation quadrature
+    # (FSK19200) kernels, round 3: device bits vs the XLA fallback over the
+    # modulated span (capture-tail pad bits legitimately differ — the
+    # kernel's clamped final lookahead block sees different garbage).
+    for name, mode, rate, cfg, shape_fn, bits_fn in (
+        ("fsk_disc", "FSK9600", 9600, (9600.0, 1200.0, 2200.0), "fsk_disc_row_shape", "fsk_disc_bits_rows_batch"),
+        ("fsk_quad", "FSK19200", 19200, (19200.0, 8000.0, 16000.0), "fsk_quad_row_shape", "fsk_quad_bits_rows_batch"),
+    ):
+        try:
+            from audio_modem_radio_tpu.ops import fsk as fsk_ops
+            from audio_modem_radio_tpu.ops.fsk import _samples_per_bit
+            from audio_modem_radio_tpu.parallel.batch import _overlap_rows
+
+            fbatch = _capture_batch(mode, rate, seed=9)
+            baud_f, mark_f, space_f = cfg
+            rs = getattr(fsk_ops, shape_fn)(fbatch.shape[1], baud_f, mark_f, space_f, sr)
+            rr, rowl, rov, lead = rs
+            rows_i = jnp.asarray(
+                _overlap_rows(fbatch, rr, rowl, rov, lead=lead, dtype=np.int16)
+            )
+            fn = getattr(fsk_ops, bits_fn)
+            dev = fn(rows_i, baud_f, mark_f, space_f, sr, kernel=True)
+            ref = fn(rows_i, baud_f, mark_f, space_f, sr, kernel=False)
+            n_sig = fbatch.shape[1] // _samples_per_bit(sr, baud_f) - 2
+            ok = np.array_equal(
+                np.asarray(dev)[:, :n_sig], np.asarray(ref)[:, :n_sig]
+            )
+            checks[name] = {"ok": bool(ok), "sha": _sha(np.asarray(dev)[:, :n_sig])}
+        except Exception as e:
+            checks[name] = {"ok": False, "error": repr(e)[:200]}
+
+    # Fused NEURAL extraction kernel, round 3: device symbols vs the XLA
+    # extraction over the payload span.
+    try:
+        from audio_modem_radio_tpu.ops.neural import (
+            PREAMBLE_LEN,
+            _chip_len,
+            demod_td_batch,
+            neural_mode_modulate,
+        )
+
+        rng = np.random.default_rng(10)
+        payload = rng.integers(0, 256, 600, dtype=np.uint8)
+        wave = np.asarray(neural_mode_modulate(payload.tobytes(), 9600), np.float32)
+        n = 1 << 17
+        nbatch = np.zeros((2, n), np.float32)
+        nbatch[0, : len(wave)] = wave[:n]
+        nbatch[1, 777 : 777 + len(wave)] = wave[: n - 777]
+        cl = _chip_len(9600)
+        dev = np.asarray(demod_td_batch(jnp.asarray(nbatch), cl, kernel=True))
+        ref = np.asarray(demod_td_batch(jnp.asarray(nbatch), cl, kernel=False))
+        n_use = PREAMBLE_LEN + len(payload)
+        ok = np.array_equal(dev[:, :n_use], ref[:, :n_use])
+        checks["neural_extract"] = {"ok": bool(ok), "sha": _sha(dev[:, :n_use])}
+    except Exception as e:
+        checks["neural_extract"] = {"ok": False, "error": repr(e)[:200]}
+
     out["checks"] = checks
     out["ok"] = all(c.get("ok") for c in checks.values())
     return out

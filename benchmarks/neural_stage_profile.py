@@ -78,13 +78,22 @@ def main() -> int:
 
         return jax.vmap(one)(zr, zi, k0)
 
-    def full(v):
-        return nn.demod_td_batch(v, chip_len)
+    def full_xla(v):
+        return nn.demod_td_batch(v, chip_len, kernel=False)
+
+    def full_kernel(v):
+        return nn.demod_td_batch(v, chip_len, kernel=True)
 
     total = B * N
     print(f"backend={jax.default_backend()}  NEURAL, {B} x 2^{args.samples}, chip_len={chip_len}")
     results = {}
-    for name, fn in (("prep", prep), ("prefix_sync", prefix), ("extract", extract), ("full", full)):
+    for name, fn in (
+        ("prep", prep),
+        ("prefix_sync", prefix),
+        ("extract", extract),
+        ("full_xla", full_xla),
+        ("full_kernel", full_kernel),
+    ):
         f = jax.jit(fn)
         t = timed(f, x)
         results[f"{name}_ms"] = t * 1e3

@@ -269,3 +269,49 @@ def test_td_demod_matches_oracle_at_offsets(rng):
         assert (syms[:n_good] == ref[:n_good]).all()
         got = bytes(syms[NE.PREAMBLE_LEN : NE.PREAMBLE_LEN + len(payload)])
         assert got == payload
+
+
+def test_td_kernel_matches_xla_extract(rng):
+    """The fused extraction kernel (interpret mode on CPU) reproduces the
+    XLA extraction over the payload span at multiple timing offsets, and
+    the kernel path recovers the payload bytes exactly. The capture tail
+    beyond the transmission legitimately differs (clamped-lookahead vs
+    circular-wrap garbage)."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.ops.neural import demod_td_batch
+
+    chip_len = _chip_len(9600)
+    payload = rng.integers(0, 256, 900, dtype=np.uint8)
+    wave = np.asarray(neural_mode_modulate(payload.tobytes(), 9600), np.float32)
+    n = 1 << 17  # r3 = 1024, a multiple of the kernel's 512-row block
+    batch = np.zeros((3, n), np.float32)
+    for i, off in enumerate([0, 777, 130000 - len(wave)]):
+        batch[i, off : off + len(wave)] = wave[: n - off]
+    s_x = np.asarray(demod_td_batch(jnp.asarray(batch), chip_len, kernel=False))
+    s_k = np.asarray(demod_td_batch(jnp.asarray(batch), chip_len, kernel=True))
+    n_use = PREAMBLE_LEN + len(payload)
+    for i in range(3):
+        assert np.array_equal(s_x[i, :n_use], s_k[i, :n_use])
+        assert np.array_equal(
+            s_k[i, PREAMBLE_LEN : PREAMBLE_LEN + len(payload)], payload
+        )
+
+
+def test_td_kernel_gate_falls_back(rng):
+    """Geometries the kernel doesn't map (r3 % 512 != 0) still decode via
+    the XLA extraction under kernel=True's auto-gate."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.ops.neural import demod_td_batch
+
+    chip_len = _chip_len(9600)
+    payload = rng.integers(0, 256, 100, dtype=np.uint8)
+    wave = np.asarray(neural_mode_modulate(payload.tobytes(), 9600), np.float32)
+    n = 1 << 14  # r3 = 128, not a multiple of 512
+    batch = np.zeros((1, n), np.float32)
+    batch[0, : len(wave)] = wave[:n]
+    syms = np.asarray(demod_td_batch(jnp.asarray(batch), chip_len, kernel=True))
+    assert np.array_equal(
+        syms[0, PREAMBLE_LEN : PREAMBLE_LEN + len(payload)], payload
+    )
