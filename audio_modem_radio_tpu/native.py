@@ -72,7 +72,10 @@ def _load():
         if not os.path.exists(_LIB) or (
             os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
         ):
-            if not _build():
+            # A failed rebuild is only fatal when there is no library at all:
+            # a host without a toolchain (e.g. the standalone .run bundle)
+            # still loads the shipped .so.
+            if not _build() and not os.path.exists(_LIB):
                 _lib = False
                 return False
         try:
