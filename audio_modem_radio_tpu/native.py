@@ -72,10 +72,13 @@ def _load():
         if not os.path.exists(_LIB) or (
             os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
         ):
-            # A failed rebuild is only fatal when there is no library at all:
-            # a host without a toolchain (e.g. the standalone .run bundle)
-            # still loads the shipped .so.
-            if not _build() and not os.path.exists(_LIB):
+            # Source newer than the library and no rebuild possible -> use
+            # the always-correct Python fallbacks rather than risk a stale
+            # ABI (a single-symbol hasattr check below can't catch struct
+            # layout changes). Toolchain-less hosts never hit this: the
+            # standalone bundle ships its .so with a fresh mtime
+            # (tools/build_standalone.py).
+            if not _build():
                 _lib = False
                 return False
         try:

@@ -774,8 +774,8 @@ def _fsk_disc_kernel_plan(spb: int, dec: int, taps: int) -> Optional[dict]:
     are tighter than the XLA layout's (:func:`_fsk_geometry_dec` sizes rows
     >= 1024 lanes for einsum efficiency; in-kernel the dense boxcar template
     cost scales with row width, so smaller integral rows win). FB input FIR
-    rows per grid step = nrow2*row2/128 with nrow2=16, keeping FB 16-aligned
-    for int16 block tiling.
+    rows per grid step = nrow2*row2/128, keeping FB 16-aligned for int16
+    block tiling.
     """
     if spb > 64 * dec:
         return None  # bit window would not fit the 128-lane overlap
@@ -784,11 +784,12 @@ def _fsk_disc_kernel_plan(spb: int, dec: int, taps: int) -> Optional[dict]:
     row2 = base * 128 // math.gcd(base, 128)
     if row2 > 2560:
         return None
-    # Boxcar rows per grid step: sized so each step carries enough MXU work
-    # to amortize the per-step overhead (nrow2=16 measured per-step-bound at
-    # ~1.9 us/step on v5e: 13k steps for a 64 x 2^23 batch), while the input
-    # block stays well under VMEM (~(fb, c_pad) f32 <= ~3 MB).
-    nrow2 = max(16, min(128, (2560 * 128) // row2 // 16 * 16))
+    # Boxcar rows per grid step: 128 at every admissible row2 (an earlier
+    # nrow2=16 variant measured per-step-bound at ~1.9 us/step on v5e —
+    # 13k steps for a 64 x 2^23 batch; 128 amortizes the per-step overhead
+    # and keeps the (fb, c_pad) f32 input block well under VMEM at the
+    # row2 <= 2560 gate above).
+    nrow2 = 128
     fb = nrow2 * row2 // 128
     c = 128 * dec + taps - dec
     return {
@@ -802,6 +803,17 @@ def _fsk_disc_kernel_plan(spb: int, dec: int, taps: int) -> Optional[dict]:
         "nrow2": nrow2,
         "fb": fb,
     }
+
+
+def _fused_row_shape(n_samples: int, plan: dict):
+    """(r, row=128*dec, ov=c_pad-row, lead=(taps-1)//2) shared by the fused
+    disc/quad FIR-window layouts: r = 128-lane rows of decimated output,
+    rounded up to the kernel's FB block."""
+    nd_out = -(-n_samples // plan["dec"])  # decimated output samples
+    r = -(-nd_out // 128)
+    r = -(-r // plan["fb"]) * plan["fb"]
+    row = 128 * plan["dec"]
+    return r, row, plan["c_pad"] - row, (plan["taps"] - 1) // 2
 
 
 def fsk_disc_row_shape(
@@ -823,9 +835,21 @@ def fsk_disc_row_shape(
     plan = _fsk_disc_kernel_plan(spb, dec, taps)
     if plan is None:
         return None
-    r = -(-(-(-n_samples // dec)) // 128)
-    r = -(-r // plan["fb"]) * plan["fb"]
-    return r, 128 * dec, plan["c_pad"] - 128 * dec, (taps - 1) // 2
+    return _fused_row_shape(n_samples, plan)
+
+
+def _fir_padded_template(
+    band_lo: float, band_hi: float, sample_rate: int, taps: int, dec: int,
+    plan: dict,
+) -> np.ndarray:
+    """Decimating complex-FIR template zero-padded to the kernel's c_pad
+    window width (the pad columns hit zero rows, so the sums are identical)."""
+    from .common import _fir_dec_template
+
+    wf = _fir_dec_template(band_lo, band_hi, sample_rate, taps, dec, 128)
+    wf_pad = np.zeros((plan["c_pad"], 256), np.float32)
+    wf_pad[: wf.shape[0]] = wf
+    return wf_pad
 
 
 def _disc_templates(
@@ -833,13 +857,9 @@ def _disc_templates(
     n_offsets: int,
 ):
     """(plan, W_fir (c_pad, 256), W_box (n_offsets, row2+ov2, spr2))."""
-    from .common import _fir_dec_template
-
     band_lo, band_hi, dec, taps = _fir_frontend_plan(baud, mark, space, sample_rate)
     plan = _fsk_disc_kernel_plan(spb, dec, taps)
-    wf = _fir_dec_template(band_lo, band_hi, sample_rate, taps, dec, 128)
-    wf_pad = np.zeros((plan["c_pad"], 256), np.float32)
-    wf_pad[: wf.shape[0]] = wf
+    wf_pad = _fir_padded_template(band_lo, band_hi, sample_rate, taps, dec, plan)
     wb = _fsk_boxcar_templates_geom(
         spb, n_offsets, dec, plan["spr2"], plan["row2"], plan["ov2"]
     )
@@ -1041,9 +1061,7 @@ def fsk_quad_row_shape(
     plan = _fsk_disc_kernel_plan(spb, dec, taps)
     if plan is None or plan["spr2"] % 128:
         return None
-    r = -(-(-(-n_samples // dec)) // 128)
-    r = -(-r // plan["fb"]) * plan["fb"]
-    return r, 128 * dec, plan["c_pad"] - 128 * dec, (taps - 1) // 2
+    return _fused_row_shape(n_samples, plan)
 
 
 def _quad_templates(
@@ -1051,13 +1069,9 @@ def _quad_templates(
     n_offsets: int,
 ):
     """(plan, W_fir (c_pad, 256), W_quad (n_offsets, row2+ov2, 4*spr2))."""
-    from .common import _fir_dec_template
-
     band_lo, band_hi, dec, taps = _fir_frontend_plan(baud, mark, space, sample_rate)
     plan = _fsk_disc_kernel_plan(spb, dec, taps)
-    wf = _fir_dec_template(band_lo, band_hi, sample_rate, taps, dec, 128)
-    wf_pad = np.zeros((plan["c_pad"], 256), np.float32)
-    wf_pad[: wf.shape[0]] = wf
+    wf_pad = _fir_padded_template(band_lo, band_hi, sample_rate, taps, dec, plan)
     wq = _fsk_quadrature_templates_geom(
         spb, float(mark), float(space), sample_rate, n_offsets,
         plan["spr2"], plan["row2"], plan["ov2"],
@@ -1173,10 +1187,13 @@ def fsk_quad_bits_rows_batch(
 
 def fsk_dual_rows_batch_plan(spb: int, r: int) -> Optional[int]:
     """Kernel block_rows for :func:`fsk_dual_bits_rows_batch`, or ``None``
-    when the geometry can't feed full-lane bit tiles (spr too small for a
-    (>=8, 128) uint8 output block at a reasonable block size)."""
+    when the geometry can't feed full-lane bit tiles: the kernel's
+    sublane->lane redistribution maps out[j, l] = margin[g*j + l//spr,
+    l%spr] with g = 128//spr groups per output row, which is a bijection
+    only when spr divides 128 (e.g. MSK@1000 Bd has spb=96 -> spr=12 and
+    would scramble lanes; it stays on the XLA einsum path)."""
     spr, _row, _ov = _fsk_geometry(spb)
-    if spr < 8 or (256 * spr) % 128:
+    if spr < 8 or 128 % spr:
         return None
     blk = 256
     return blk if r % blk == 0 else None

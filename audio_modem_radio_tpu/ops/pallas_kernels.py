@@ -569,6 +569,11 @@ def fsk_tile_bits_batch(
     b, r, c = x3d.shape
     if r != rows_per_capture or r % block_rows:
         raise ValueError("rows_per_capture mismatch or not a multiple of block_rows")
+    if 128 % spr:
+        raise ValueError(
+            "the lane redistribution requires spr to divide 128 "
+            "(out[j, l] = margin[g*j + l//spr, l%spr] with g = 128//spr)"
+        )
     if (block_rows * spr) % 128 or (block_rows * spr) // 128 < 8:
         raise ValueError("block_rows*spr must be a multiple of 128 (>= 8 sublanes)")
     if w_all.shape[1] != c:

@@ -112,6 +112,54 @@ def test_fsk_dual_rows_batch_plan_geometries():
     assert fsk_dual_rows_batch_plan(spb_ft8, 256) is None
 
 
+def test_fsk_dual_rows_batch_plan_rejects_non_dividing_spr():
+    """The kernel's lane redistribution is a bijection only when spr divides
+    128; MSK@1000 Bd (spb=96 -> spr=12) must stay on the XLA einsum path."""
+    spb = _samples_per_bit(SAMPLE_RATE, 1000.0)  # MSK alias geometry
+    spr, _row, _ov = _fsk_geometry(spb)
+    assert spr == 12 and 128 % spr != 0  # the geometry this guards against
+    assert fsk_dual_rows_batch_plan(spb, 256) is None
+
+
+def test_fsk_tile_kernel_wrapper_rejects_non_dividing_spr():
+    from audio_modem_radio_tpu.ops.pallas_kernels import fsk_tile_bits_batch
+
+    x = jnp.zeros((1, 256, 1280), jnp.float32)
+    w = jnp.zeros((8, 1280, 48), jnp.float32)
+    with pytest.raises(ValueError, match="divide 128"):
+        fsk_tile_bits_batch(
+            x, w, jnp.zeros((1,), jnp.int32), rows_per_capture=256, spr=12,
+            block_rows=256, interpret=True,
+        )
+
+
+def test_fsk_tile_kernel_matches_xla_spr8():
+    """Equality at a second dividing geometry (spb=128 -> spr=8, g=16)."""
+    baud = SAMPLE_RATE / 128.0  # spb=128 -> unit=1, spr=8
+    spb = _samples_per_bit(SAMPLE_RATE, baud)
+    spr, row, ov = _fsk_geometry(spb)
+    assert spr == 8
+    assert fsk_dual_rows_batch_plan(spb, 256) == 256
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 256, 128, dtype=np.uint8).tobytes()
+    framed = pack_frame("h.bin", payload, 0, 1, len(payload), crc32(payload))
+    wave = np.asarray(fsk_modulate(framed, baud, MARK, SPACE, SAMPLE_RATE), np.float32)
+    n = 256 * row
+    batch = 0.01 * rng.normal(size=(2, n)).astype(np.float32)
+    for i in range(2):
+        off = i * 37
+        batch[i, off : off + len(wave)] += wave[: n - off]
+    shaped = _overlap_rows(batch, 256, row, ov, dtype=np.float32)
+    x = jnp.asarray(shaped)
+    bits_k = np.asarray(
+        fsk_dual_bits_rows_batch(x, baud, MARK, SPACE, SAMPLE_RATE, kernel=True)
+    )
+    bits_x = np.asarray(
+        fsk_dual_bits_rows_batch(x, baud, MARK, SPACE, SAMPLE_RATE, kernel=False)
+    )
+    assert np.array_equal(bits_k, bits_x)
+
+
 def test_fsk_batch_surface_still_decodes():
     """decode_sample_batch FSK1200 end to end (CPU: XLA fallback path, rows
     unpadded) — the integration must not regress the plain surface."""

@@ -86,11 +86,10 @@ if [ ! -x "$DIR/bin/$PYBIN" ]; then
     mkdir -p "$TMP"
     LINE=$(awk '/^__ARCHIVE__$/{print NR+1; exit 0}' "$0")
     tail -n +"$LINE" "$0" | gzip -dc | tar -xf - -C "$TMP"
-    if mkdir "$DIR" 2>/dev/null; then
-        # First extractor wins; move contents into the digest-keyed prefix.
-        (cd "$TMP" && tar -cf - .) | (cd "$DIR" && tar -xf -)
-    fi
-    rm -rf "$TMP"
+    # Atomic install: $DIR only ever appears via rename, so an interrupted
+    # or concurrent extraction can never leave a partial prefix behind
+    # (the race loser just discards its temp tree).
+    mv "$TMP" "$DIR" 2>/dev/null || rm -rf "$TMP"
 fi
 export PYTHONHOME="$DIR"
 export LD_LIBRARY_PATH="$DIR/lib${LD_LIBRARY_PATH:+:$LD_LIBRARY_PATH}"
