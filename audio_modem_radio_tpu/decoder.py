@@ -506,6 +506,13 @@ def _nosync_streams(samples: np.ndarray, mode: str, symbol_rate: int) -> List[by
         from .parallel.batch import resolve_demod_plan
 
         kind, params = resolve_demod_plan(mode, symbol_rate)
+        if kind == "psk8":
+            from .ops.psk import psk8_nosync_streams
+
+            baud, carrier = params
+            return psk8_nosync_streams(
+                pad_to_bucket(samples), baud, carrier, SAMPLE_RATE
+            )
         if kind not in ("psk2", "psk4"):
             return []
         from .ops.psk import psk_nosync_streams

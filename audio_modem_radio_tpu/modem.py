@@ -7,7 +7,10 @@ aliases DBPSK, MSK/FT8 alias FSK with derived tone plans, PSK31 is DBPSK at
 31.25 baud, and FELD_HELL wraps the Hellschreiber codec with lossy utf-8
 text conversion. This module reproduces that exact capability surface (so
 WAVs interoperate config-for-config) and additionally registers structured
-mode metadata used by the encoder/decoder dispatch tables.
+mode metadata used by the encoder/decoder dispatch tables. Three of the
+aliased names are REAL here by default with probe-gated alias fallbacks on
+receive: OFDM4/OFDM8 (multicarrier, ops/ofdm.py; ``modem.ofdm_compat_alias``)
+and 8PSK (D8PSK tribits, ops/psk.py; ``modem.psk8_compat_alias``).
 
 ``wav_from_array`` and ``SAMPLE_RATE`` complete the reference's public modem
 surface (modem.py:11,360-368).
@@ -34,7 +37,14 @@ from .ops.neural import (
     neural_mode_modulate,
 )
 from .ops.ofdm import estimate_subcarrier_gains, ofdm_demodulate, ofdm_modulate
-from .ops.psk import bpsk_demodulate, bpsk_modulate, qpsk_demodulate, qpsk_modulate
+from .ops.psk import (
+    bpsk_demodulate,
+    bpsk_modulate,
+    psk8_real_demodulate,
+    psk8_real_modulate,
+    qpsk_demodulate,
+    qpsk_modulate,
+)
 from .utils.wavio import SAMPLE_RATE, wav_from_array  # re-export
 
 __all__ = [
@@ -123,38 +133,24 @@ def _ofdm_mode_modulate(d, baud, carrier, num_subcarriers, samp_rate=96000):
     return ofdm_modulate(d, baud, carrier, num_subcarriers, samp_rate)
 
 
-def _ofdm_mode_demodulate(x, baud, carrier, num_subcarriers, samp_rate=96000):
-    """Real-OFDM receive with probe-gated alias fallback.
+def _alias_probe_hits(xs: np.ndarray, baud, carrier, samp_rate) -> bool:
+    """True when a SHORT DQPSK probe of the capture finds the frame magic —
+    i.e. the capture was produced by a reference-style alias modulator.
 
-    Reference-produced "OFDM" WAVs are actually single-carrier DQPSK; when
-    the multicarrier demodulator finds no frame magic, a SHORT DQPSK probe
-    (<= 2^16 samples from the first non-silent region — frames open with the
-    preamble + magic, so any alias-generation capture demodulates its magic
-    inside the probe) decides whether the full-capture alias demod runs.
-    Round 2 ran the full second demod unconditionally, doubling the cost of
-    every garbage capture (VERDICT r2 weak #7); a damaged-magic alias
-    capture no longer auto-falls-back — set ``modem.ofdm_compat_alias`` for
-    known-alias captures needing tolerant recovery.
+    Probe windows: the first above-threshold sample (normal captures), plus
+    the FIRST 2^16-sample block near peak energy (captures led by >0.68 s of
+    hum/noise above threshold, where the first window lands in the noise and
+    would miss the transmission). The earliest near-peak block is the
+    transmission start — the magic lives there, not in the loudest
+    mid-payload block — and a half-block-shifted second candidate covers a
+    start that lands near a block boundary. Fixed window length, so the
+    probe demod compiles once.
     """
-    if CONFIG.get("modem.ofdm_compat_alias", False):
-        return ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate)
-    raw = ofdm_demodulate(x, baud, carrier, num_subcarriers, samp_rate)
     from .framing import MAGIC
 
-    if MAGIC in raw:
-        return raw
-    xs = np.asarray(x, np.float32)
     nz = np.flatnonzero(np.abs(xs) > 0.02)
     if nz.size == 0:
-        return raw
-    # Probe windows: the first above-threshold sample (normal captures),
-    # plus the FIRST 2^16-sample block near peak energy (captures led by
-    # >0.68 s of hum/noise above threshold, where nz[0] lands in the noise
-    # and the first window would miss the transmission). The earliest
-    # near-peak block is the transmission start — the magic lives there,
-    # not in the loudest mid-payload block — and a half-block-shifted
-    # second candidate covers a start that lands near a block boundary.
-    # Fixed window length, so the probe demod compiles once.
+        return False
     P = 1 << 16
     blocks = len(xs) // P
     starts = [int(nz[0])]
@@ -171,9 +167,62 @@ def _ofdm_mode_demodulate(x, baud, carrier, num_subcarriers, samp_rate=96000):
         try:
             probed = qpsk_demodulate(probe, baud, carrier, samp_rate)
         except Exception:
-            return raw
+            return False
         if MAGIC in probed:
-            return ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate)
+            return True
+    return False
+
+
+def _ofdm_mode_demodulate(x, baud, carrier, num_subcarriers, samp_rate=96000):
+    """Real-OFDM receive with probe-gated alias fallback.
+
+    Reference-produced "OFDM" WAVs are actually single-carrier DQPSK; when
+    the multicarrier demodulator finds no frame magic, a SHORT DQPSK probe
+    (:func:`_alias_probe_hits` — frames open with the preamble + magic, so
+    any alias-generation capture demodulates its magic inside the probe)
+    decides whether the full-capture alias demod runs. Round 2 ran the full
+    second demod unconditionally, doubling the cost of every garbage capture
+    (VERDICT r2 weak #7); a damaged-magic alias capture no longer
+    auto-falls-back — set ``modem.ofdm_compat_alias`` for known-alias
+    captures needing tolerant recovery.
+    """
+    if CONFIG.get("modem.ofdm_compat_alias", False):
+        return ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate)
+    raw = ofdm_demodulate(x, baud, carrier, num_subcarriers, samp_rate)
+    from .framing import MAGIC
+
+    if MAGIC in raw:
+        return raw
+    xs = np.asarray(x, np.float32)
+    if _alias_probe_hits(xs, baud, carrier, samp_rate):
+        return ofdm_demodulate_simple(x, baud, carrier, num_subcarriers, samp_rate)
+    return raw
+
+
+def _psk8_mode_modulate(d, b, c, s=96000):
+    """8PSK transmit: REAL D8PSK (3 Gray bits/symbol — the throughput the
+    reference's own efficiency map promises for this mode, encoder.py:66-73,
+    but its alias never delivers) unless ``modem.psk8_compat_alias`` selects
+    the reference-interoperable DQPSK alias wire format (modem.py:345)."""
+    if CONFIG.get("modem.psk8_compat_alias", False):
+        return psk8_modulate(d, b, c, s)
+    return psk8_real_modulate(d, b, c, s)
+
+
+def _psk8_mode_demodulate(x, b, c, sr=96000):
+    """Real-D8PSK receive with probe-gated alias fallback (the real-OFDM
+    pattern): when no frame magic decodes, a short DQPSK probe detects
+    reference-style alias captures and reruns the alias demodulator."""
+    if CONFIG.get("modem.psk8_compat_alias", False):
+        return psk8_demodulate(x, b, c, sr)
+    raw = psk8_real_demodulate(x, b, c, sr)
+    from .framing import MAGIC
+
+    if MAGIC in raw:
+        return raw
+    xs = np.asarray(x, np.float32)
+    if _alias_probe_hits(xs, b, c, sr):
+        return psk8_demodulate(x, b, c, sr)
     return raw
 
 
@@ -292,8 +341,8 @@ MODES: Dict[str, ModeSpec] = {
     ),
     "8PSK": _spec(
         "8PSK",
-        lambda d, r: psk8_modulate(d, r, 12000.0),
-        lambda x, r: psk8_demodulate(x, r, 12000.0),
+        lambda d, r: _psk8_mode_modulate(d, r, 12000.0),
+        lambda x, r: _psk8_mode_demodulate(x, r, 12000.0),
         lambda r: (r * 3) // 8,
     ),
     "OFDM4": _spec(

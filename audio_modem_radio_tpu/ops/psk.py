@@ -250,6 +250,7 @@ def psk_demod_streams(
     carrier: float,
     sample_rate: int,
     n_offsets: int = 8,
+    n_psk: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Differential phasor streams (d_re, d_im, best_offset_score).
 
@@ -312,8 +313,10 @@ def psk_demod_streams(
     # differential phasor sits on a quarter-angle multiple (|e^{j4θ}| sums
     # coherently, for DBPSK and DQPSK alike, and a CFO-induced common
     # rotation doesn't change the magnitude); misaligned windows produce
-    # mixture angles that average the coherence toward zero.
-    score = _coherence_score(s_re, s_im, axis=1)
+    # mixture angles that average the coherence toward zero. (8PSK data
+    # moves in π/4 steps, so its 4th power alternates ±1 and averages to
+    # zero on random tribits — that family scores with the 8th power.)
+    score = _coherence_score_pow(s_re, s_im, 1, n_psk)
     best = jnp.argmax(score)
 
     # --- pass 2: full-signal projection at the winning offset ---------------
@@ -407,6 +410,26 @@ def _coherence_score(d_re: jnp.ndarray, d_im: jnp.ndarray, axis) -> jnp.ndarray:
     return jnp.hypot(num_re, num_im)
 
 
+def _eighth_power(d_re: jnp.ndarray, d_im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Energy-normalized 8th power: |z|² e^{j8θ} as (re, im).
+
+    Squares the 4th-power phasor and renormalizes by its magnitude (=|z|²),
+    keeping the linear energy weight of :func:`_fourth_power` — 8PSK data
+    sits on k·π/4 multiples, which only the 8th power cancels."""
+    r4, i4 = _fourth_power(d_re, d_im)
+    w = jnp.sqrt(r4 * r4 + i4 * i4) + 1e-20  # = |z|²
+    return (r4 * r4 - i4 * i4) / w, (2 * r4 * i4) / w
+
+
+def _coherence_score_pow(d_re, d_im, axis, n_psk: int) -> jnp.ndarray:
+    """Timing-offset coherence at the data-cancelling power for ``n_psk``:
+    the 4th power cancels DBPSK/DQPSK data, the 8th cancels D8PSK's."""
+    if n_psk == 8:
+        re8, im8 = _eighth_power(d_re, d_im)
+        return jnp.hypot(jnp.sum(re8, axis=axis), jnp.sum(im8, axis=axis))
+    return _coherence_score(d_re, d_im, axis)
+
+
 @functools.lru_cache(maxsize=64)
 def _offset_grams(spsym: int, carrier: float, sample_rate: int, n_offsets: int) -> np.ndarray:
     """(n_offsets, 3) per-offset Gram entries (gxx, gxy, gyy) of the raw
@@ -489,8 +512,18 @@ def estimate_common_rotation(d_re: jnp.ndarray, d_im: jnp.ndarray) -> jnp.ndarra
     return jnp.arctan2(jnp.sum(im4, axis=-1), jnp.sum(re4, axis=-1)) / 4
 
 
+def estimate_common_rotation8(d_re: jnp.ndarray, d_im: jnp.ndarray) -> jnp.ndarray:
+    """Blind CFO estimate for D8PSK: θ̂ = arg(Σ |z|²e^{j8θ})/8, resolved mod
+    π/4 — the residual k·π/4 ambiguity is a Gray-sector relabeling handled
+    by the 8-hypothesis rotation sync (:func:`psk8_sync_and_pack_rotations`).
+    Noisier than the 4th-power estimate (the 8th power doubles the angular
+    noise gain), so the sync ladder keeps the underotated fallback."""
+    re8, im8 = _eighth_power(d_re, d_im)
+    return jnp.arctan2(jnp.sum(im8, axis=-1), jnp.sum(re8, axis=-1)) / 8
+
+
 def estimate_common_rotation_windows(
-    d_re: jnp.ndarray, d_im: jnp.ndarray, win: int = 1 << 15
+    d_re: jnp.ndarray, d_im: jnp.ndarray, win: int = 1 << 15, n_psk: int = 4
 ) -> jnp.ndarray:
     """Rotation estimate from 3 contiguous windows instead of the full array.
 
@@ -499,13 +532,14 @@ def estimate_common_rotation_windows(
     pipeline. Three spread windows keep coverage (leading/trailing silence
     contributes ~zero energy weight). Reduces over the last axis.
     """
+    est = estimate_common_rotation8 if n_psk == 8 else estimate_common_rotation
     n = d_re.shape[-1]
     if n <= 3 * win:
-        return estimate_common_rotation(d_re, d_im)
+        return est(d_re, d_im)
     starts = (0, (n - win) // 2, n - win)
     sl_re = jnp.concatenate([d_re[..., s : s + win] for s in starts], axis=-1)
     sl_im = jnp.concatenate([d_im[..., s : s + win] for s in starts], axis=-1)
-    return estimate_common_rotation(sl_re, sl_im)
+    return est(sl_re, sl_im)
 
 
 def derotate(
@@ -530,7 +564,7 @@ def quarter_turn(d_re: jnp.ndarray, d_im: jnp.ndarray, k: int) -> Tuple[jnp.ndar
     return -d_im, d_re
 
 
-def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets, r_pre):
+def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets, r_pre, n_psk=4):
     """Shared batched pass 1: build the blocked row tensor, score every
     timing offset on up to 3 row windows, and blind-estimate each capture's
     common differential rotation (the CFO signature) from the winning
@@ -595,7 +629,7 @@ def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offse
     # In-row differentials (127 per row) are plenty for scoring.
     dr = re[..., 1:] * re[..., :-1] + im[..., 1:] * im[..., :-1]
     di = im[..., 1:] * re[..., :-1] - re[..., 1:] * im[..., :-1]
-    score = _coherence_score(dr, di, axis=(1, 3))  # (B, K)
+    score = _coherence_score_pow(dr, di, (1, 3), n_psk)  # (B, K)
     best = jnp.argmax(score, axis=1).astype(jnp.int32)
 
     # Per-capture blind rotation estimate from the winning offset's windows
@@ -603,12 +637,13 @@ def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offse
     idx = best[:, None, None, None]
     dr_b = jnp.take_along_axis(dr, idx, axis=2)[:, :, 0]  # (B, nw, 127)
     di_b = jnp.take_along_axis(di, idx, axis=2)[:, :, 0]
-    theta = estimate_common_rotation(dr_b.reshape(b, -1), di_b.reshape(b, -1))
+    est = estimate_common_rotation8 if n_psk == 8 else estimate_common_rotation
+    theta = est(dr_b.reshape(b, -1), di_b.reshape(b, -1))
     return x3d, r, best, theta
 
 
 @functools.partial(
-    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_offsets")
+    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_offsets", "n_psk")
 )
 def psk_demod_streams_batch(
     samples: jnp.ndarray,
@@ -616,6 +651,7 @@ def psk_demod_streams_batch(
     carrier: float,
     sample_rate: int,
     n_offsets: int = 8,
+    n_psk: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched (B, N) differential phasor streams — the TPU hot path.
 
@@ -647,14 +683,14 @@ def psk_demod_streams_batch(
         n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
         if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
             d_re, d_im, _ = jax.vmap(
-                lambda s: psk_demod_streams(s, baud, carrier, sample_rate, n_offsets)
+                lambda s: psk_demod_streams(s, baud, carrier, sample_rate, n_offsets, n_psk)
             )(samples)
             return d_re, d_im
         x3d = None
 
     x3d, r, best, _theta = _batch_pass1(
         samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets,
-        r if x3d is not None else 0,
+        r if x3d is not None else 0, n_psk,
     )
     W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
     row = _BLOCK_SYM * spsym
@@ -1032,3 +1068,237 @@ def qpsk_demodulate(
 ) -> bytes:
     """DQPSK receive chain: dibits -> magic-aligned bytes."""
     return _demod_to_bytes(samples, baud, carrier, samp_rate, 4, None)
+
+
+# --- D8PSK (real 8-phase mode) -------------------------------------------------
+#
+# The reference's "8PSK" is an alias that transmits DQPSK and throws away the
+# promised third bit (/root/reference/modem.py:345; its own efficiency map
+# claims 3·rate/8 bytes/s, encoder.py:66-73). This section implements the mode
+# the reference advertises: differential 8-PSK, Gray-coded tribits, 1.5x the
+# DQPSK bit rate at the same baud. The wire format is ours (the reference has
+# none to match); modem.py keeps the alias behind ``modem.psk8_compat_alias``
+# and probe-falls-back on alias-generated captures, the real-OFDM pattern.
+#
+# Same TPU-first architecture as DQPSK: the projection/differential front end
+# is shared verbatim (psk_demod_streams, n_psk=8 for 8th-power timing scores),
+# sector decisions are pure elementwise compares (no (n, 8) argmax layout —
+# a minor dim of 8 pads to 128 lanes), and the rotation sync transforms the
+# magic PATTERN 8 ways on the host instead of relabeling the stream 8 times.
+
+_ET_SQ = float(np.sqrt(0.5))
+# cos/sin of k·π/4 — the 8PSK constellation directions.
+_ET_COS = np.array([1, _ET_SQ, 0, -_ET_SQ, -1, -_ET_SQ, 0, _ET_SQ], np.float64)
+_ET_SIN = np.array([0, _ET_SQ, 1, _ET_SQ, 0, -_ET_SQ, -1, -_ET_SQ], np.float64)
+# 3-bit reflected Gray code: sector k carries tribit value _GRAY8[k]
+# (adjacent sectors differ in one bit), inverse maps tribit -> phase delta.
+_GRAY8 = np.array([0, 1, 3, 2, 6, 7, 5, 4], np.uint8)
+_GRAY8_INV = np.argsort(_GRAY8).astype(np.uint8)
+
+# 40 symbols: 30 zero-deltas then 10 half-turn deltas — the same carrier
+# settle + timing-energy shape as QPSK_PREAMBLE_BITS, in tribit space.
+# 120 bits ≡ 0 mod 3, so the frame magic always lands tribit-aligned.
+PSK8_PREAMBLE_BITS = [0, 0, 0] * 30 + [1, 1, 0] * 10
+
+
+@functools.partial(jax.jit, static_argnames=("spsym", "carrier", "sample_rate"))
+def _synthesize8(phase_et: jnp.ndarray, spsym: int, carrier: float, sample_rate: int) -> jnp.ndarray:
+    """Eighth-turn phase indices (n_sym,) -> waveform, same matmul synthesis
+    as :func:`_synthesize` with the 8-entry unit-circle table."""
+    basis = jnp.asarray(_carrier_basis(spsym, carrier, sample_rate))
+    cs = jnp.stack(
+        [jnp.asarray(_ET_COS, jnp.float32)[phase_et], jnp.asarray(_ET_SIN, jnp.float32)[phase_et]],
+        axis=1,
+    )
+    return (cs @ basis).reshape(-1)
+
+
+def psk8_real_modulate(
+    data_bytes: bytes, baud: float = 1200, carrier: float = 3000.0, samp_rate: int = 96000
+) -> np.ndarray:
+    """D8PSK: Gray-coded tribit phase deltas, 3 bits/symbol."""
+    bits = np.concatenate(
+        [np.asarray(PSK8_PREAMBLE_BITS, np.uint8), bytes_to_bits(data_bytes)]
+    )
+    if len(bits) % 3:
+        bits = np.concatenate([bits, np.zeros(3 - len(bits) % 3, np.uint8)])
+    tri = bits[0::3].astype(np.int64) * 4 + bits[1::3] * 2 + bits[2::3]
+    deltas = _GRAY8_INV[tri].astype(np.int64)
+    phase_et = (np.cumsum(deltas) % 8).astype(np.int32)
+    spsym = _samples_per_symbol(samp_rate, baud)
+    n_sym = len(phase_et)
+    phase_et = np.pad(phase_et, (0, _bucket_symbols(n_sym) - n_sym))
+    out = _synthesize8(jnp.asarray(phase_et), spsym, float(carrier), int(samp_rate))
+    return np.asarray(out)[: n_sym * spsym]
+
+
+def psk8_sector_stream(d_re: jnp.ndarray, d_im: jnp.ndarray) -> jnp.ndarray:
+    """Differential phasor -> nearest k·π/4 sector, compares only.
+
+    Boundaries at 22.5°+k·45°: a phasor is an AXIS sector when one component
+    dominates by more than tan(67.5°) (|v| ≤ tan(22.5°)·|u| or vice versa),
+    a DIAGONAL sector otherwise — all elementwise, no (n, 8) score layout
+    (a minor dim of 8 pads to 128 lanes on TPU)."""
+    t = float(np.tan(np.pi / 8))
+    a, b = d_re, d_im
+    ax, bx = jnp.abs(a), jnp.abs(b)
+    diag = (bx > t * ax) & (ax > t * bx)
+    horiz = ax >= bx
+    k_axis = jnp.where(
+        horiz,
+        jnp.where(a >= 0, 0, 4),
+        jnp.where(b >= 0, 2, 6),
+    )
+    k_diag = jnp.where(
+        b >= 0,
+        jnp.where(a >= 0, 1, 3),
+        jnp.where(a >= 0, 7, 5),
+    )
+    return jnp.where(diag, k_diag, k_axis).astype(jnp.uint8)
+
+
+def _psk8_expected_sectors(pattern: str, k: int) -> list:
+    """Host transform: the bit pattern as the RECEIVED sector sequence under
+    a channel rotation of k·π/4. Only full tribits transform (a rotation
+    relabels whole symbols); trailing 1-2 pattern bits are dropped by the
+    caller's split logic."""
+    out = []
+    for t in range(0, len(pattern) - 2, 3):
+        tri = int(pattern[t]) * 4 + int(pattern[t + 1]) * 2 + int(pattern[t + 2])
+        out.append((int(_GRAY8_INV[tri]) + k) % 8)
+    return out
+
+
+def _psk8_gray_bits(sec: jnp.ndarray) -> jnp.ndarray:
+    """Sector stream (m,) -> interleaved Gray bit stream (3m,) uint8."""
+    g = sec ^ (sec >> 1)
+    lanes = jnp.stack([(g >> 2) & 1, (g >> 1) & 1, g & 1], axis=1)
+    return lanes.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("pattern", "pattern2", "tol"))
+def psk8_sync_and_pack_rotations(
+    sec: jnp.ndarray, pattern: str, pattern2: str = "", tol: int = 3
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sync + byte-pack a D8PSK sector stream under the 8 π/4-rotation
+    CFO hypotheses.
+
+    The wire format keeps the frame magic tribit-aligned (the preamble is a
+    whole number of tribits), so matching runs in SECTOR space at symbol
+    granularity: the pattern transforms 8 ways on the host
+    (:func:`_psk8_expected_sectors`), full tribits of the exact region match
+    as sector equality, the validation region counts Gray-bit mismatches via
+    the 3-bit popcount of the sector XOR (tolerance semantics identical to
+    the dibit sync). The stream relabels and packs ONCE on the winning
+    hypothesis. Returns ``(packed, n_valid, found)``.
+    """
+    m = sec.shape[0]
+    both = pattern + pattern2
+    n_sym_pat = len(both) // 3  # full tribits only (trailing bits dropped)
+    n_exact_sym = len(pattern) // 3  # symbols fully inside the exact region
+    L = m - n_sym_pat + 1
+    g_rx = sec ^ (sec >> 1)
+
+    starts, founds = [], []
+    for k in range(8):
+        exp = _psk8_expected_sectors(both, k)
+        match = jnp.ones((L,), dtype=bool)
+        miss = jnp.zeros((L,), jnp.int32)
+        for j, e in enumerate(exp):
+            if j < n_exact_sym:
+                match &= sec[j : j + L] == e
+            else:
+                x = g_rx[j : j + L] ^ (e ^ (e >> 1))
+                bits_off = (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1)
+                if j == n_exact_sym and len(pattern) % 3:
+                    # Straddling symbol: its leading len(pattern)%3 bits are
+                    # in the exact region — match them exactly. At surviving
+                    # positions those bits XOR to 0, so ``bits_off`` counts
+                    # only the trailing (tolerant) bits.
+                    lead_mask = (0, 0b100, 0b110)[len(pattern) % 3]
+                    match &= (x & lead_mask) == 0
+                miss = miss + bits_off
+        if pattern2:
+            match &= miss <= tol
+        idx = jnp.argmax(match).astype(jnp.int32)
+        founds.append(match[idx])
+        starts.append(jnp.where(match[idx], idx, 0))
+
+    found8 = jnp.stack(founds)
+    start8 = jnp.stack(starts)
+    ksel = jnp.argmax(found8)  # first found rotation, else 0
+    idx = start8[ksel]
+    found = found8[ksel]
+
+    st = (sec.astype(jnp.int32) + (8 - ksel)) % 8  # relabel: true = rx − k
+    bits = _psk8_gray_bits(st.astype(jnp.uint8))
+    packed, n_valid = pack_bits_from(bits, 3 * idx)
+    return packed, n_valid, found
+
+
+@functools.partial(
+    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "pattern", "pattern2")
+)
+def _psk8_bytes_cfo(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int,
+    pattern: str, pattern2: str = "",
+):
+    """CFO-robust D8PSK demod to bytes — the DQPSK ladder at π/4 granularity:
+    validated rotation sync on the 8th-power-derotated sector stream, then
+    underotated (a junk blind θ̂ on a carrier-exact capture), then a plain
+    k=0 pack from offset 0 (the header-tolerant rescue's input)."""
+    d_re0, d_im0, _ = psk_demod_streams(samples, baud, carrier, sample_rate, n_psk=8)
+    d_re, d_im = derotate(d_re0, d_im0, estimate_common_rotation8(d_re0, d_im0))
+    sec = psk8_sector_stream(d_re, d_im)
+    sec0 = psk8_sector_stream(d_re0, d_im0)
+    res1 = psk8_sync_and_pack_rotations(sec, pattern, pattern2)
+
+    def _fallback():
+        res2 = psk8_sync_and_pack_rotations(sec0, pattern, pattern2)
+
+        def _plain():
+            packed, n_valid = pack_bits_from(_psk8_gray_bits(sec0), jnp.int32(0))
+            return packed, n_valid, jnp.asarray(False)
+
+        return jax.lax.cond(res2[2], lambda: res2, _plain)
+
+    return jax.lax.cond(res1[2], lambda: res1, _fallback)
+
+
+def psk8_real_demodulate(
+    samples: np.ndarray, baud: float = 1200, carrier: float = 3000.0, samp_rate: int = 96000
+) -> bytes:
+    """D8PSK receive chain: tribits -> magic-aligned bytes."""
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+
+    packed, n_valid, _found = _psk8_bytes_cfo(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(samp_rate), MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2,
+    )
+    return bytes(np.asarray(packed)[: int(n_valid)])
+
+
+@functools.partial(jax.jit, static_argnames=("baud", "carrier", "sample_rate"))
+def _psk8_bytes_nosync(samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int):
+    """D8PSK no-sync rescue front end: the derotated sector stream packed
+    from offset 0 under ALL 8 rotation relabelings (the byte-level rescue
+    sweep has no sector knowledge, so every hypothesis ships as its own
+    stream — the D8PSK analog of :func:`_psk_bytes_nosync`)."""
+    d_re, d_im, _ = psk_demod_streams(samples, baud, carrier, sample_rate, n_psk=8)
+    d_re, d_im = derotate(d_re, d_im, estimate_common_rotation8(d_re, d_im))
+    sec = psk8_sector_stream(d_re, d_im)
+    out = []
+    for k in range(8):
+        st = ((sec.astype(jnp.int32) + (8 - k)) % 8).astype(jnp.uint8)
+        out.append(pack_bits_from(_psk8_gray_bits(st), jnp.int32(0)))
+    return out
+
+
+def psk8_nosync_streams(
+    samples: np.ndarray, baud: float, carrier: float, samp_rate: int
+) -> list:
+    """Host wrapper for :func:`_psk8_bytes_nosync`: 8 full byte streams."""
+    pairs = _psk8_bytes_nosync(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(samp_rate)
+    )
+    return [bytes(np.asarray(p)[: int(n)]) for p, n in pairs]

@@ -40,7 +40,7 @@ from ..ops.common import (
 )
 from ..ops.fsk import fsk_demod_bits
 from ..ops.ofdm import ofdm_decision_streams_batch
-from ..ops.psk import psk_decision_streams_batch
+from ..ops.psk import psk_decision_streams_batch, psk_demod_streams_batch
 from ..utils.wavio import read_wav, resample
 from .mesh import batch_sharding, get_mesh, pad_batch
 
@@ -61,7 +61,7 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
         "FSK19200": ("fsk", (19200.0, 8000.0, 16000.0)),
         "BPSK": ("psk2", (float(r), 3000.0)),
         "QPSK": ("psk4", (float(r), 3000.0)),
-        "8PSK": ("psk4", (float(r), 12000.0)),
+        "8PSK": ("psk8", (float(r), 12000.0)),
         "OFDM4": ("ofdm", (float(r), 12000.0, 4)),
         "OFDM8": ("ofdm", (float(r), 12000.0, 8)),
         "APSK16": ("psk4", (float(r), 12000.0)),
@@ -257,6 +257,35 @@ def demod_pack_batch(
     kind, params = resolve_demod_plan(mode, symbol_rate)
     if kind == "ofdm" and CONFIG.get("modem.ofdm_compat_alias", False):
         kind, params = "psk4", (params[0], params[1])
+    if kind == "psk8" and CONFIG.get("modem.psk8_compat_alias", False):
+        kind = "psk4"  # alias wire format IS DQPSK at the same carrier
+
+    if kind == "psk8":
+        # Real D8PSK (ops/psk.py): the shared blocked projection/differential
+        # front end at 8th-power timing scores, elementwise π/4-sector
+        # decisions, and the 8-hypothesis rotation sync vmapped per capture
+        # (the sync is symbol-granular pattern matching — cheap slice scans,
+        # no Pallas tail needed at this mode's duty cycle).
+        from ..ops.psk import (
+            estimate_common_rotation_windows,
+            psk8_sector_stream,
+            psk8_sync_and_pack_rotations,
+        )
+        from ..ops.psk import derotate as psk_derotate
+
+        baud, carrier = params
+        d_re, d_im = psk_demod_streams_batch(
+            samples, baud, carrier, SAMPLE_RATE, n_psk=8
+        )
+        if cfo_retry:
+            theta = estimate_common_rotation_windows(d_re, d_im, n_psk=8)
+            d_re, d_im = psk_derotate(d_re, d_im, theta)
+        sec = psk8_sector_stream(d_re, d_im)
+        return jax.vmap(
+            lambda s: psk8_sync_and_pack_rotations(
+                s, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+            )
+        )(sec)
 
     if kind == "neural":
         # Learned-codebook detection IS a batched matmul already; symbols are
@@ -494,7 +523,9 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
     b = batch.shape[0]
 
     kind, params = resolve_demod_plan(mode, symbol_rate)
-    if kind in ("psk2", "psk4"):
+    if kind == "psk8" and CONFIG.get("modem.psk8_compat_alias", False):
+        kind = "psk4"  # demod_pack_batch applies the same rewrite
+    if kind in ("psk2", "psk4", "psk8"):
         from ..ops.psk import blocked_row_shape
 
         shape = blocked_row_shape(batch.shape[1], params[0], SAMPLE_RATE)
@@ -504,7 +535,13 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             i16 = CONFIG.get("tpu.int16_rows", None)
             if i16 is None:
                 i16 = jax.default_backend() == "tpu"
-            if CONFIG.get("tpu.int8_rows", False):
+            if kind == "psk8":
+                # The D8PSK batch path runs the float-stream front end
+                # (psk_demod_streams_batch), which takes f32 rows; the
+                # int16/int8 in-VMEM casts live in the decide kernel the
+                # psk2/psk4 paths use.
+                i16 = False
+            if CONFIG.get("tpu.int8_rows", False) and kind != "psk8":
                 # Opt-in: quarters the f32 HBM read of the DMA-bound decide
                 # kernel. ~-50 dB quantization noise — negligible against
                 # any channel this modem operates in, but NOT bit-exact to

@@ -172,12 +172,12 @@ def cfo_sweep(
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    # All 8 physical configs (VERDICT r2 #5): the sweep must include
-    # FSK9600/FSK19200 — the two configs with known equalizer floors where a
-    # regression would actually hide (ops/fsk.py).
+    # All 9 physical configs (VERDICT r2 #5 + the round-3 real D8PSK): the
+    # sweep must include FSK9600/FSK19200 — the two configs with known
+    # equalizer floors where a regression would actually hide (ops/fsk.py).
     ap.add_argument(
         "--modes",
-        default="QPSK,BPSK,FSK1200,FSK9600,FSK19200,OFDM4,OFDM8,NEURAL",
+        default="QPSK,BPSK,8PSK,FSK1200,FSK9600,FSK19200,OFDM4,OFDM8,NEURAL",
     )
     ap.add_argument("--snrs", default="0,5,10,15,20,30")
     ap.add_argument("--payload", type=int, default=2048)
