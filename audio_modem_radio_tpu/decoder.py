@@ -513,6 +513,13 @@ def _nosync_streams(samples: np.ndarray, mode: str, symbol_rate: int) -> List[by
             return psk8_nosync_streams(
                 pad_to_bucket(samples), baud, carrier, SAMPLE_RATE
             )
+        if kind == "dsss":
+            from .ops.dsss import dsss_nosync_streams
+
+            baud, carrier = params
+            return dsss_nosync_streams(
+                pad_to_bucket(samples), baud, carrier, SAMPLE_RATE
+            )
         if kind not in ("psk2", "psk4"):
             return []
         from .ops.psk import psk_nosync_streams

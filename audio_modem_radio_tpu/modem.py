@@ -7,10 +7,11 @@ aliases DBPSK, MSK/FT8 alias FSK with derived tone plans, PSK31 is DBPSK at
 31.25 baud, and FELD_HELL wraps the Hellschreiber codec with lossy utf-8
 text conversion. This module reproduces that exact capability surface (so
 WAVs interoperate config-for-config) and additionally registers structured
-mode metadata used by the encoder/decoder dispatch tables. Three of the
+mode metadata used by the encoder/decoder dispatch tables. Four of the
 aliased names are REAL here by default with probe-gated alias fallbacks on
-receive: OFDM4/OFDM8 (multicarrier, ops/ofdm.py; ``modem.ofdm_compat_alias``)
-and 8PSK (D8PSK tribits, ops/psk.py; ``modem.psk8_compat_alias``).
+receive: OFDM4/OFDM8 (multicarrier, ops/ofdm.py; ``modem.ofdm_compat_alias``),
+8PSK (D8PSK tribits, ops/psk.py; ``modem.psk8_compat_alias``) and DSSS
+(16-chip spread spectrum, ops/dsss.py; ``modem.dsss_compat_alias``).
 
 ``wav_from_array`` and ``SAMPLE_RATE`` complete the reference's public modem
 surface (modem.py:11,360-368).
@@ -133,9 +134,11 @@ def _ofdm_mode_modulate(d, baud, carrier, num_subcarriers, samp_rate=96000):
     return ofdm_modulate(d, baud, carrier, num_subcarriers, samp_rate)
 
 
-def _alias_probe_hits(xs: np.ndarray, baud, carrier, samp_rate) -> bool:
-    """True when a SHORT DQPSK probe of the capture finds the frame magic —
-    i.e. the capture was produced by a reference-style alias modulator.
+def _alias_probe_hits(xs: np.ndarray, baud, carrier, samp_rate, probe_demod=None) -> bool:
+    """True when a SHORT alias-layer probe of the capture finds the frame
+    magic — i.e. the capture was produced by a reference-style alias
+    modulator. ``probe_demod`` is the alias's physical receive function
+    (DQPSK by default; the DSSS alias probes with DBPSK).
 
     Probe windows: the first above-threshold sample (normal captures), plus
     the FIRST 2^16-sample block near peak energy (captures led by >0.68 s of
@@ -160,12 +163,13 @@ def _alias_probe_hits(xs: np.ndarray, baud, carrier, samp_rate) -> bool:
         for cand in (flb * P, flb * P + P // 2):
             if all(abs(cand - s) > P // 2 for s in starts):
                 starts.append(cand)
+    demod = probe_demod or qpsk_demodulate
     for s0 in starts:
         probe = np.zeros(P, np.float32)
         w = xs[s0 : s0 + P]
         probe[: len(w)] = w
         try:
-            probed = qpsk_demodulate(probe, baud, carrier, samp_rate)
+            probed = demod(probe, baud, carrier, samp_rate)
         except Exception:
             return False
         if MAGIC in probed:
@@ -235,11 +239,43 @@ def apsk16_demodulate(x, b, c, s=96000):
 
 
 def dsss_modulate(d, b, c, s=96000):
+    """DSSS alias -> DBPSK, no spreading (reference modem.py:380-383)."""
     return bpsk_modulate(d, b, c, s)
 
 
 def dsss_demodulate(x, b, c, s=96000):
     return bpsk_demodulate(x, b, c, s)
+
+
+def _dsss_mode_modulate(d, b, c, s=96000):
+    """DSSS transmit: REAL spread spectrum (16-chip PN over DBPSK, ~12 dB
+    processing gain — the capability the reference's alias only names;
+    ops/dsss.py) unless ``modem.dsss_compat_alias`` selects the
+    reference-interoperable plain-DBPSK wire format."""
+    if CONFIG.get("modem.dsss_compat_alias", False):
+        return dsss_modulate(d, b, c, s)
+    from .ops.dsss import dsss_real_modulate
+
+    return dsss_real_modulate(d, b, c, s)
+
+
+def _dsss_mode_demodulate(x, b, c, sr=96000):
+    """Real-DSSS receive with probe-gated alias fallback: when no frame
+    magic despreads, a short DBPSK probe detects reference-style alias
+    captures (their wire IS plain DBPSK) and reruns the alias demodulator."""
+    if CONFIG.get("modem.dsss_compat_alias", False):
+        return dsss_demodulate(x, b, c, sr)
+    from .ops.dsss import dsss_real_demodulate
+
+    raw = dsss_real_demodulate(x, b, c, sr)
+    from .framing import MAGIC
+
+    if MAGIC in raw:
+        return raw
+    xs = np.asarray(x, np.float32)
+    if _alias_probe_hits(xs, b, c, sr, probe_demod=bpsk_demodulate):
+        return dsss_demodulate(x, b, c, sr)
+    return raw
 
 
 def msk_modulate(d, b, c, s=96000):
@@ -365,9 +401,13 @@ MODES: Dict[str, ModeSpec] = {
     ),
     "DSSS": _spec(
         "DSSS",
-        lambda d, r: dsss_modulate(d, r, 3000.0),
-        lambda x, r: dsss_demodulate(x, r, 3000.0),
-        lambda r: r // 16,
+        lambda d, r: _dsss_mode_modulate(d, r, 3000.0),
+        lambda x, r: _dsss_mode_demodulate(x, r, 3000.0),
+        # Real spread spectrum: r chips/s / 16 chips/bit / 8 = r/128 B/s.
+        # The alias transmits plain DBPSK, where the reference's own r/16
+        # estimate applies (2x pessimistic for its r/8 actual — kept for
+        # interop so duration estimates match the reference's).
+        lambda r: (r // 16) if CONFIG.get("modem.dsss_compat_alias", False) else max(1, r // 128),
     ),
     "MSK": _spec(
         "MSK",

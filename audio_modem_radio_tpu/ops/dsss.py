@@ -1,0 +1,168 @@
+"""Real direct-sequence spread spectrum (DSSS) over the DBPSK physical layer.
+
+The reference's "DSSS" is a bare DBPSK alias — no spreading happens
+(/root/reference/modem.py:380-383), yet the mode name promises exactly the
+one thing an acoustic modem wants from DSSS: decoding BELOW the noise floor.
+This module implements it: each differentially-encoded data bit is spread
+over a 16-chip PN sequence at the mode's chip rate, and the receiver sums
+the per-chip projection phasors coherently per bit before the differential —
+a ~12 dB processing gain, so frames recover at negative SNR where plain
+DBPSK (the alias) is long dead. modem.py keeps the alias behind
+``modem.dsss_compat_alias`` with a probe-gated receive fallback, the same
+deviation pattern as real OFDM/8PSK (COMPAT.md).
+
+TPU-first structure, built on the shared PSK machinery (ops/psk.py):
+
+* The chip front end IS the DBPSK front end: blocked projection matmuls at
+  chip rate (:func:`psk.psk_symbol_streams` — raw phasors, because the
+  despread sum must happen BEFORE the differential; chip differentials only
+  carry data at bit boundaries, which would forfeit the gain).
+* Despreading is one (n_bits, 16) @ (16,) matmul per chip alignment; all 16
+  alignment hypotheses are scored by the 4-fold differential coherence (the
+  despread bits are BPSK-valued) and the winner selected in-trace.
+* Bit sync + byte pack reuse the DBPSK rotation-sync tail verbatim
+  (ops/common.py bit_sync_and_pack_rotations).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import bytes_to_bits, pack_bits_from
+from .psk import (
+    BPSK_PREAMBLE_BITS,
+    _bucket_symbols,
+    _samples_per_symbol,
+    _synthesize,
+    psk_symbol_streams,
+)
+
+# 16-chip PN sequence: the K=4 m-sequence (x^4 + x + 1, 15 chips, ideal
+# two-valued periodic autocorrelation) with its final chip repeated to a
+# power-of-two length. 0/1 chips; ±1 signs derived below.
+SPREAD = 16
+_PN_BITS = np.array([1, 1, 1, 1, 0, 1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 0], np.uint8)
+_PN_SIGN = (1.0 - 2.0 * _PN_BITS).astype(np.float32)  # bit 1 -> -1 (phase π)
+
+
+def dsss_real_modulate(
+    data_bytes: bytes, baud: float = 1200, carrier: float = 3000.0, samp_rate: int = 96000
+) -> np.ndarray:
+    """DSSS-DBPSK: differential data bits spread over the 16-chip PN.
+
+    ``baud`` is the CHIP rate (the registry's symbol_rate, like every PSK
+    mode here); the data rate is ``baud / 16`` bits/s. Chip phase =
+    diff_bit XOR pn_chip, synthesized by the shared quarter-turn matmul
+    (values 0/2 — BPSK antipodal)."""
+    bits = np.concatenate(
+        [np.asarray(BPSK_PREAMBLE_BITS, np.uint8), bytes_to_bits(data_bytes)]
+    ).astype(np.int64)
+    diff = np.cumsum(bits) % 2  # DBPSK convention: 1 = invert phase
+    chips = diff[:, None] ^ _PN_BITS[None, :].astype(np.int64)  # (n_bits, 16)
+    phase_qt = (chips.reshape(-1) * 2).astype(np.int32)
+    spchip = _samples_per_symbol(samp_rate, baud)
+    n_chips = len(phase_qt)
+    phase_qt = np.pad(phase_qt, (0, _bucket_symbols(n_chips) - n_chips))
+    out = _synthesize(jnp.asarray(phase_qt), spchip, float(carrier), int(samp_rate))
+    return np.asarray(out)[: n_chips * spchip]
+
+
+def _despread_all(re_f: jnp.ndarray, im_f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chip phasors -> (16, n_bits) despread bit phasors, one row per chip
+    alignment hypothesis. Each row is one reshape + one (n_bits, 16) @ (16,)
+    matmul — the coherent sum that realizes the processing gain."""
+    n = re_f.shape[0]
+    n_bits = n // SPREAD
+    # Zero-pad so every alignment despreads the FULL chip stream: a uniform
+    # (n - 15)//16 group count dropped the final bit at a=0 — the frame's
+    # last CRC byte (found by the clean round-trip test). Pad chips are
+    # zero phasors, so a nonzero alignment's trailing group only appends
+    # one garbage bit past the capture, which the parser ignores.
+    re_p = jnp.concatenate([re_f, jnp.zeros((SPREAD,), re_f.dtype)])
+    im_p = jnp.concatenate([im_f, jnp.zeros((SPREAD,), im_f.dtype)])
+    pn = jnp.asarray(_PN_SIGN)
+    rows_re, rows_im = [], []
+    for a in range(SPREAD):
+        rows_re.append(re_p[a : a + n_bits * SPREAD].reshape(n_bits, SPREAD) @ pn)
+        rows_im.append(im_p[a : a + n_bits * SPREAD].reshape(n_bits, SPREAD) @ pn)
+    return jnp.stack(rows_re), jnp.stack(rows_im)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "pattern", "pattern2")
+)
+def _dsss_bits_cfo(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int,
+    pattern: str, pattern2: str = "",
+):
+    """Despread + sync + pack: the full DSSS receive tail.
+
+    Chip alignment is selected by the 4-fold coherence of the despread bit
+    DIFFERENTIALS (despread bits are BPSK-valued, so the DQPSK/DBPSK timing
+    argument applies unchanged; a misaligned despread mixes two diff bits
+    under a rotated PN and its coherence collapses). The byte tail is the
+    DBPSK rotation sync verbatim — a CFO-induced common rotation survives
+    the coherent chip sum untouched and cancels in the bit differential.
+    """
+    from .common import bit_sync_and_pack_rotations
+    from .psk import _coherence_score, derotate, estimate_common_rotation
+
+    re_f, im_f, _score = psk_symbol_streams(
+        samples, baud, carrier, sample_rate, n_psk=2
+    )
+    b_re, b_im = _despread_all(re_f, im_f)  # (16, n_bits)
+    d_re = b_re[:, 1:] * b_re[:, :-1] + b_im[:, 1:] * b_im[:, :-1]
+    d_im = b_im[:, 1:] * b_re[:, :-1] - b_re[:, 1:] * b_im[:, :-1]
+    a = jnp.argmax(_coherence_score(d_re, d_im, axis=1))
+    dr, di = d_re[a], d_im[a]
+    dr, di = derotate(dr, di, estimate_common_rotation(dr, di))
+    bits_re = (dr < 0).astype(jnp.uint8)
+    bits_im = (di < 0).astype(jnp.uint8)
+    return bit_sync_and_pack_rotations(bits_re, bits_im, pattern, pattern2)
+
+
+def dsss_real_demodulate(
+    samples: np.ndarray, baud: float = 1200, carrier: float = 3000.0, samp_rate: int = 96000
+) -> bytes:
+    """DSSS receive chain: chips -> despread bits -> magic-aligned bytes."""
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+
+    packed, n_valid, _found = _dsss_bits_cfo(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(samp_rate), MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2,
+    )
+    return bytes(np.asarray(packed)[: int(n_valid)])
+
+
+@functools.partial(jax.jit, static_argnames=("baud", "carrier", "sample_rate"))
+def _dsss_bytes_nosync(samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int):
+    """DSSS no-sync rescue front end: the best-alignment despread bit
+    streams (re and im signs, derotated) packed from offset 0 — the DBPSK
+    analog for the header-tolerant rescue sweep."""
+    from .psk import _coherence_score, derotate, estimate_common_rotation
+
+    re_f, im_f, _ = psk_symbol_streams(samples, baud, carrier, sample_rate, n_psk=2)
+    b_re, b_im = _despread_all(re_f, im_f)
+    d_re = b_re[:, 1:] * b_re[:, :-1] + b_im[:, 1:] * b_im[:, :-1]
+    d_im = b_im[:, 1:] * b_re[:, :-1] - b_re[:, 1:] * b_im[:, :-1]
+    a = jnp.argmax(_coherence_score(d_re, d_im, axis=1))
+    dr, di = derotate(d_re[a], d_im[a], estimate_common_rotation(d_re[a], d_im[a]))
+    out = []
+    for comp in ((dr < 0), (di < 0)):
+        out.append(pack_bits_from(comp.astype(jnp.uint8), jnp.int32(0)))
+    return out
+
+
+def dsss_nosync_streams(
+    samples: np.ndarray, baud: float, carrier: float, samp_rate: int
+) -> list:
+    """Host wrapper for :func:`_dsss_bytes_nosync`: list of byte streams."""
+    pairs = _dsss_bytes_nosync(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(samp_rate)
+    )
+    return [bytes(np.asarray(p)[: int(n)]) for p, n in pairs]

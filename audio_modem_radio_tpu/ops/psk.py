@@ -272,24 +272,75 @@ def psk_demod_streams(
       (materializing all 8 hypotheses costs 16x the input in HBM writes).
     """
     spsym = _samples_per_symbol(sample_rate, baud)
+    x_flat, n_frames = _psk_frame_setup(samples, spsym)
+    best, score = _psk_pass1(
+        x_flat, n_frames, spsym, carrier, sample_rate, n_offsets, n_psk
+    )
+
+    # --- pass 2: full-signal projection at the winning offset ---------------
+    if spsym <= _BLOCK_MAX_SPSYM and jax.default_backend() == "tpu":
+        # Fused overlap+projection+differential kernel: runs at HBM
+        # bandwidth; the same math as XLA ops pays heavy relayouts (the
+        # lane-axis overlap concat alone costs more than the kernel).
+        from .pallas_kernels import psk_project_diff
+
+        W = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
+        row = _BLOCK_SYM * spsym
+        blk = 64  # pallas kernel tile rows
+        r = -(-n_frames // _BLOCK_SYM)  # ceil: rows of 128 symbols
+        r = -(-r // blk) * blk  # kernel needs a whole number of tiles
+        x_pad = jnp.pad(x_flat[: n_frames * spsym], (0, r * row - n_frames * spsym))
+        dr2, di2 = psk_project_diff(x_pad.reshape(r, row), W[best], block_rows=blk)
+        # Trailing entries (pad symbols + the final no-successor slot)
+        # carry garbage; downstream sync/parse ignores them, matching the
+        # XLA path's behavior for zero-padded signals.
+        return dr2.reshape(-1), di2.reshape(-1), score[best]
+
+    re_f, im_f = _psk_project_xla(
+        x_flat, n_frames, spsym, carrier, sample_rate, n_offsets, best
+    )
+    d_re = re_f[1:] * re_f[:-1] + im_f[1:] * im_f[:-1]
+    d_im = im_f[1:] * re_f[:-1] - re_f[1:] * im_f[:-1]
+    return d_re, d_im, score[best]
+
+
+def _psk_frame_setup(samples: jnp.ndarray, spsym: int) -> Tuple[jnp.ndarray, int]:
+    """Zero-pad a capture to a whole symbol count (f32 flat, n_frames).
+
+    CEIL, not floor: at a timing offset o > 0 the final symbol's last o
+    samples fall in the trailing partial block — flooring truncated them,
+    corrupting exactly the frame's LAST dibit (the tail of the part CRC)
+    whenever a capture's leading-silence length was ≢ 0 mod spsym
+    (found by the round-3 randomized chaos sweep; the zero-pad keeps
+    every real sample and an all-zero tail adds only one garbage dibit,
+    which the parser ignores)."""
     n = samples.shape[-1]
-    # CEIL, not floor: at a timing offset o > 0 the final symbol's last o
-    # samples fall in the trailing partial block — flooring truncated them,
-    # corrupting exactly the frame's LAST dibit (the tail of the part CRC)
-    # whenever a capture's leading-silence length was ≢ 0 mod spsym
-    # (found by the round-3 randomized chaos sweep; the zero-pad below keeps
-    # every real sample and an all-zero tail adds only one garbage dibit,
-    # which the parser ignores).
     n_frames = -(-n // spsym)
     if n_frames < 2:
         raise ValueError("signal shorter than two symbols")
     x_flat = samples.astype(jnp.float32)
     if n_frames * spsym > n:
         x_flat = jnp.pad(x_flat, (0, n_frames * spsym - n))
+    return x_flat, n_frames
+
+
+def _psk_pass1(x_flat, n_frames, spsym, carrier, sample_rate, n_offsets, n_psk):
+    """Pass 1 (shared): timing-offset selection from 3 contiguous windows.
+
+    Returns ``(best, score)`` with score (n_offsets,). Score = energy-
+    weighted phase coherence |Σ |d|²e^{jPθ_d}| at the data-cancelling power
+    P. Raw energy is NOT a valid criterion here: the Gram-inverse dual basis
+    amplifies misaligned-window projections, so a half-symbol-off hypothesis
+    can carry more energy than the true one. At the true offset every
+    differential phasor sits on a quarter-angle multiple (|e^{j4θ}| sums
+    coherently, for DBPSK and DQPSK alike, and a CFO-induced common
+    rotation doesn't change the magnitude); misaligned windows produce
+    mixture angles that average the coherence toward zero. (8PSK data
+    moves in π/4 steps, so its 4th power alternates ±1 and averages to
+    zero on random tribits — that family scores with the 8th power.)
+    """
     T = jnp.asarray(_offset_templates(spsym, float(carrier), sample_rate, n_offsets))
     dims = (((1,), (1,)), ((), ()))
-
-    # --- pass 1: timing-offset scores from 3 contiguous windows -------------
     w = min(n_frames, 1 << 13)
     starts = sorted({0, max(0, (n_frames // 2 - w // 2)), max(0, n_frames - w)})
     subs = [
@@ -306,39 +357,22 @@ def psk_demod_streams(
     re, im = _gram_scale(re, im, grams, offset_axis=0)
     s_re = re[:, 1:] * re[:, :-1] + im[:, 1:] * im[:, :-1]
     s_im = im[:, 1:] * re[:, :-1] - re[:, 1:] * im[:, :-1]
-    # Score = energy-weighted 4-fold phase coherence |Σ |d|²e^{j4θ_d}|.
-    # Raw energy is NOT a valid criterion here: the Gram-inverse dual basis
-    # amplifies misaligned-window projections, so a half-symbol-off hypothesis
-    # can carry more energy than the true one. At the true offset every
-    # differential phasor sits on a quarter-angle multiple (|e^{j4θ}| sums
-    # coherently, for DBPSK and DQPSK alike, and a CFO-induced common
-    # rotation doesn't change the magnitude); misaligned windows produce
-    # mixture angles that average the coherence toward zero. (8PSK data
-    # moves in π/4 steps, so its 4th power alternates ±1 and averages to
-    # zero on random tribits — that family scores with the 8th power.)
     score = _coherence_score_pow(s_re, s_im, 1, n_psk)
-    best = jnp.argmax(score)
+    return jnp.argmax(score), score
 
-    # --- pass 2: full-signal projection at the winning offset ---------------
+
+def _psk_project_xla(x_flat, n_frames, spsym, carrier, sample_rate, n_offsets, best):
+    """Pass 2, XLA: raw per-symbol projection phasors at the winning offset.
+
+    The blocked layout for small symbols, the (n_frames, spsym) template
+    pair for large ones. Returns ``(re_f, im_f)`` of length >= n_frames
+    (trailing block-pad entries are garbage the callers ignore)."""
+    dims = (((1,), (1,)), ((), ()))
     if spsym <= _BLOCK_MAX_SPSYM:
         W = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
         row = _BLOCK_SYM * spsym
         ov = W.shape[1] - row
-        blk = 64  # pallas kernel tile rows
         r = -(-n_frames // _BLOCK_SYM)  # ceil: rows of 128 symbols
-        if jax.default_backend() == "tpu":
-            # Fused overlap+projection+differential kernel: runs at HBM
-            # bandwidth; the same math as XLA ops pays heavy relayouts (the
-            # lane-axis overlap concat alone costs more than the kernel).
-            from .pallas_kernels import psk_project_diff
-
-            r = -(-r // blk) * blk  # kernel needs a whole number of tiles
-            x_pad = jnp.pad(x_flat[: n_frames * spsym], (0, r * row - n_frames * spsym))
-            dr2, di2 = psk_project_diff(x_pad.reshape(r, row), W[best], block_rows=blk)
-            # Trailing entries (pad symbols + the final no-successor slot)
-            # carry garbage; downstream sync/parse ignores them, matching the
-            # XLA path's behavior for zero-padded signals.
-            return dr2.reshape(-1), di2.reshape(-1), score[best]
         x_pad = jnp.pad(x_flat[: n_frames * spsym], (0, r * row + ov - n_frames * spsym))
         xr = x_pad[: r * row].reshape(r, row)
         xn = jnp.concatenate(
@@ -346,19 +380,40 @@ def psk_demod_streams(
         )
         xov = jnp.concatenate([xr, xn], axis=1)  # (r, row+ov)
         out = xov @ W[best]  # (r, 2*_BLOCK_SYM)
-        re_f = out[:, :_BLOCK_SYM].reshape(-1)
-        im_f = out[:, _BLOCK_SYM:].reshape(-1)
-    else:
-        T_best = jax.lax.dynamic_slice(T, (0, 2 * best), (2 * spsym, 2))
-        x = x_flat[: n_frames * spsym].reshape(n_frames, spsym)
-        top = jax.lax.dot_general(T_best[:spsym].T, x, dims)
-        bot = jax.lax.dot_general(T_best[spsym:].T, x, dims)
-        pj = top + jnp.concatenate([bot[:, 1:], jnp.zeros((2, 1), jnp.float32)], axis=1)
-        re_f, im_f = pj[0], pj[1]
+        return out[:, :_BLOCK_SYM].reshape(-1), out[:, _BLOCK_SYM:].reshape(-1)
+    T = jnp.asarray(_offset_templates(spsym, float(carrier), sample_rate, n_offsets))
+    T_best = jax.lax.dynamic_slice(T, (0, 2 * best), (2 * spsym, 2))
+    x = x_flat[: n_frames * spsym].reshape(n_frames, spsym)
+    top = jax.lax.dot_general(T_best[:spsym].T, x, dims)
+    bot = jax.lax.dot_general(T_best[spsym:].T, x, dims)
+    pj = top + jnp.concatenate([bot[:, 1:], jnp.zeros((2, 1), jnp.float32)], axis=1)
+    return pj[0], pj[1]
 
-    d_re = re_f[1:] * re_f[:-1] + im_f[1:] * im_f[:-1]
-    d_im = im_f[1:] * re_f[:-1] - re_f[1:] * im_f[:-1]
-    return d_re, d_im, score[best]
+
+def psk_symbol_streams(
+    samples: jnp.ndarray,
+    baud: float,
+    carrier: float,
+    sample_rate: int,
+    n_offsets: int = 8,
+    n_psk: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RAW per-symbol projection phasors (pre-differential): (re, im, score).
+
+    The DSSS despreader's front end: chips must sum coherently per data bit
+    BEFORE any differential (differentials of consecutive chips carry data
+    only at bit boundaries — despreading them would forfeit the processing
+    gain). Shares pass 1/2 with :func:`psk_demod_streams`; always the XLA
+    projection (the Pallas pass-2 kernel fuses the differential away)."""
+    spsym = _samples_per_symbol(sample_rate, baud)
+    x_flat, n_frames = _psk_frame_setup(samples, spsym)
+    best, score = _psk_pass1(
+        x_flat, n_frames, spsym, carrier, sample_rate, n_offsets, n_psk
+    )
+    re_f, im_f = _psk_project_xla(
+        x_flat, n_frames, spsym, carrier, sample_rate, n_offsets, best
+    )
+    return re_f, im_f, score[best]
 
 
 def _fourth_power(d_re: jnp.ndarray, d_im: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -66,7 +66,7 @@ def resolve_demod_plan(mode: str, symbol_rate: int) -> Tuple[str, tuple]:
         "OFDM8": ("ofdm", (float(r), 12000.0, 8)),
         "APSK16": ("psk4", (float(r), 12000.0)),
         "SSTV": ("psk4", (float(r), 3000.0)),
-        "DSSS": ("psk2", (float(r), 3000.0)),
+        "DSSS": ("dsss", (float(r), 3000.0)),
         "MSK": ("fsk", (float(r), 6000.0, 6000.0 + r)),
         "FT8": ("fsk", (50.0, 3000.0, 3050.0)),
         "PSK31": ("psk2", (31.25, 3000.0)),
@@ -259,6 +259,22 @@ def demod_pack_batch(
         kind, params = "psk4", (params[0], params[1])
     if kind == "psk8" and CONFIG.get("modem.psk8_compat_alias", False):
         kind = "psk4"  # alias wire format IS DQPSK at the same carrier
+    if kind == "dsss" and CONFIG.get("modem.dsss_compat_alias", False):
+        kind = "psk2"  # alias wire format IS plain DBPSK
+
+    if kind == "dsss":
+        # Real spread spectrum (ops/dsss.py): chip-rate front end + coherent
+        # 16-chip despread + DBPSK sync tail, vmapped per capture (the data
+        # rate is baud/16 bits/s — the bit-level tail is 16x smaller than
+        # DBPSK's, nowhere near kernel-worthy).
+        from ..ops.dsss import _dsss_bits_cfo
+
+        baud, carrier = params
+        return jax.vmap(
+            lambda x: _dsss_bits_cfo(
+                x, baud, carrier, SAMPLE_RATE, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+            )
+        )(samples)
 
     if kind == "psk8":
         # Real D8PSK (ops/psk.py): the shared blocked projection/differential
@@ -525,6 +541,8 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
     kind, params = resolve_demod_plan(mode, symbol_rate)
     if kind == "psk8" and CONFIG.get("modem.psk8_compat_alias", False):
         kind = "psk4"  # demod_pack_batch applies the same rewrite
+    if kind == "dsss" and CONFIG.get("modem.dsss_compat_alias", False):
+        kind = "psk2"
     if kind in ("psk2", "psk4", "psk8"):
         from ..ops.psk import blocked_row_shape
 

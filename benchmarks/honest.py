@@ -56,6 +56,7 @@ CONFIGS = {
     "QPSK-nocfo": (9600, 64, 24, {"cfo_retry": False}),
     "BPSK": (9600, 64, 24, {"cfo_retry": True}),
     "8PSK": (9600, 64, 22, {"cfo_retry": True}),
+    "DSSS": (9600, 32, 22, {}),
     "FSK1200": (9600, 64, 23, {}),
     "FSK9600": (9600, 64, 23, {}),
     "FSK19200": (9600, 64, 23, {}),
