@@ -61,6 +61,10 @@ def find_bit_pattern(bits: jnp.ndarray, pattern: str) -> Tuple[jnp.ndarray, jnp.
     kernel (~10x in practice).
     """
     L = bits.shape[0] - len(pattern) + 1
+    if L <= 0:
+        # Capture shorter than the sync pattern (e.g. a truncated DSSS
+        # stream after 16x despreading): nothing to find, not a crash.
+        return jnp.int32(0), jnp.asarray(False)
     match = jnp.ones((L,), dtype=bool)
     for t, c in enumerate(pattern):
         match &= bits[t : t + L] == (1 if c == "1" else 0)
@@ -81,6 +85,11 @@ def find_bit_pattern_validated(
     n1 = len(pattern)
     n_all = n1 + len(pattern2)
     L = bits.shape[0] - n_all + 1
+    if L <= 0:
+        # Too short to hold pattern+validation window: fall back to the
+        # plain finder (which itself degrades to not-found when even the
+        # bare pattern cannot fit).
+        return find_bit_pattern(bits, pattern)
     match = jnp.ones((L,), dtype=bool)
     for t, c in enumerate(pattern):
         match &= bits[t : t + L] == (1 if c == "1" else 0)

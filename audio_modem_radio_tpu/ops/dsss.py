@@ -139,6 +139,83 @@ def dsss_real_demodulate(
     return bytes(np.asarray(packed)[: int(n_valid)])
 
 
+@functools.lru_cache(maxsize=1)
+def _despread_band() -> np.ndarray:
+    """(2*SPREAD-1, SPREAD) banded despread template: column ``a`` holds the
+    PN signs shifted down by ``a``, so window j (chips 16j..16j+30) @ band
+    yields the despread phasor of bit j at every chip alignment at once."""
+    T = np.zeros((2 * SPREAD - 1, SPREAD), np.float32)
+    for a in range(SPREAD):
+        T[a : a + SPREAD, a] = _PN_SIGN
+    return T
+
+
+def _despread_all_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, n) chip phasors -> (B, 16, n_bits) despread rows, one per chip
+    alignment. ONE overlapped-window matmul against the banded PN template —
+    the single-capture path's 16 strided reshapes would relayout the whole
+    batch 16x on TPU. Bit-group semantics match :func:`_despread_all`:
+    alignment ``a``'s group ``j`` sums chips [16j+a, 16j+a+16) with chips
+    past the capture reading zero."""
+    b, n = x.shape
+    nb = n // SPREAD
+    rows = x[:, : nb * SPREAD].reshape(b, nb, SPREAD)
+    # Next-row heads (15 chips); the final row's head is the capture's
+    # remainder chips (n may exceed nb*16) zero-padded — exactly the
+    # single-capture path's zero-pad semantics.
+    tail = jnp.zeros((b, SPREAD - 1), x.dtype)
+    rem = n - nb * SPREAD
+    if rem > 0:
+        tail = tail.at[:, :rem].set(x[:, nb * SPREAD :])
+    nxt = jnp.concatenate([rows[:, 1:, : SPREAD - 1], tail[:, None, :]], axis=1)
+    wins = jnp.concatenate([rows, nxt], axis=2)  # (B, nb, 31)
+    out = wins @ jnp.asarray(_despread_band())  # (B, nb, 16)
+    return out.transpose(0, 2, 1)  # (B, 16, nb)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "pattern", "pattern2")
+)
+def dsss_bits_cfo_batch(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int,
+    pattern: str, pattern2: str = "",
+):
+    """Batched DSSS receive: (B, N) captures (or pre-shaped (B, r, 128*spchip)
+    rows) -> (packed (B, max_bytes), n_valid (B,), found (B,)).
+
+    The chip front end is the shared blocked batch machinery at raw phasors
+    (:func:`ops.psk.psk_raw_streams_batch` — pass-1 timing scores + ONE
+    einsum at each capture's winning offset); despreading is one banded
+    matmul over 16x-reduced data; alignment select / derotation / sync run
+    per capture on the bit-rate stream (nowhere near kernel-worthy at
+    baud/16 bits/s). Replaces the vmapped single-capture path, whose
+    per-capture pass-1 window gathers and 16 strided despread reshapes
+    measured 3.8 GS/s where DBPSK's batch front end runs >30 (PERF.md).
+    """
+    from .common import bit_sync_and_pack_rotations
+    from .psk import (
+        _coherence_score,
+        derotate,
+        estimate_common_rotation,
+        psk_raw_streams_batch,
+    )
+
+    re_f, im_f = psk_raw_streams_batch(samples, baud, carrier, sample_rate, n_psk=2)
+    b_re = _despread_all_batch(re_f)  # (B, 16, nb)
+    b_im = _despread_all_batch(im_f)
+    d_re = b_re[:, :, 1:] * b_re[:, :, :-1] + b_im[:, :, 1:] * b_im[:, :, :-1]
+    d_im = b_im[:, :, 1:] * b_re[:, :, :-1] - b_re[:, :, 1:] * b_im[:, :, :-1]
+    a = jnp.argmax(_coherence_score(d_re, d_im, axis=2), axis=1)  # (B,)
+    dr = jnp.take_along_axis(d_re, a[:, None, None], axis=1)[:, 0]
+    di = jnp.take_along_axis(d_im, a[:, None, None], axis=1)[:, 0]
+    dr, di = derotate(dr, di, estimate_common_rotation(dr, di))
+    bits_re = (dr < 0).astype(jnp.uint8)
+    bits_im = (di < 0).astype(jnp.uint8)
+    return jax.vmap(
+        lambda br, bi: bit_sync_and_pack_rotations(br, bi, pattern, pattern2)
+    )(bits_re, bits_im)
+
+
 @functools.partial(jax.jit, static_argnames=("baud", "carrier", "sample_rate"))
 def _dsss_bytes_nosync(samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int):
     """DSSS no-sync rescue front end: the best-alignment despread bit

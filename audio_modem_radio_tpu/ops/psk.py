@@ -770,6 +770,65 @@ def psk_demod_streams_batch(
     return d_re, d_im
 
 
+@functools.partial(
+    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_offsets", "n_psk")
+)
+def psk_raw_streams_batch(
+    samples: jnp.ndarray,
+    baud: float,
+    carrier: float,
+    sample_rate: int,
+    n_offsets: int = 8,
+    n_psk: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched RAW per-symbol projection phasors — pre-differential.
+
+    The DSSS despreader's batch front end (:mod:`.dsss`): chips must sum
+    coherently per data bit BEFORE any differential, so the fused Pallas
+    pass-2 kernel (which folds the differential away) can't serve here.
+    Shares pass 1 (blocked timing scores + per-capture offset select) with
+    :func:`psk_demod_streams_batch`; pass 2 is the batched blocked einsum at
+    each capture's winning offset. Accepts flat (B, N) captures or
+    pre-shaped (B, r, 128*spsym) rows (``blocked_row_shape``); ship rows as
+    f32 — an int16 einsum operand materializes the convert in HBM (the same
+    reason plain-XLA FSK keeps f32 rows; PERF.md ledger).
+
+    Returns ``(re_f, im_f)`` of shape (B, n_out >= n_frames); trailing
+    entries per capture are zero-pad garbage downstream alignment ignores.
+    """
+    spsym = _samples_per_symbol(sample_rate, baud)
+    if samples.ndim == 3:
+        b, r, row = samples.shape
+        if row != _BLOCK_SYM * spsym:
+            raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
+        n_frames = r * _BLOCK_SYM
+        x3d = samples if jnp.issubdtype(samples.dtype, jnp.integer) else samples.astype(jnp.float32)
+    else:
+        b, n = samples.shape
+        n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
+        if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
+            re_f, im_f, _ = jax.vmap(
+                lambda s: psk_symbol_streams(s, baud, carrier, sample_rate, n_offsets, n_psk)
+            )(samples)
+            return re_f, im_f
+        x3d = None
+
+    x3d, r, best, _theta = _batch_pass1(
+        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets,
+        r if x3d is not None else 0, n_psk,
+    )
+    W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
+    row = _BLOCK_SYM * spsym
+    ov = W8.shape[1] - row
+    x3d = x3d.astype(jnp.float32)
+    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
+    xov_rows = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
+    out = jnp.einsum("brc,bck->brk", xov_rows, W8[best])  # (B, r, 256)
+    re_f = out[:, :, :_BLOCK_SYM].reshape(b, -1)
+    im_f = out[:, :, _BLOCK_SYM:].reshape(b, -1)
+    return re_f, im_f
+
+
 def _decide_streams(d_re, d_im, n_psk: int):
     """Float differential streams -> uint8 decision streams (XLA path)."""
     if n_psk == 4:

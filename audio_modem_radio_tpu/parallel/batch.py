@@ -263,18 +263,16 @@ def demod_pack_batch(
         kind = "psk2"  # alias wire format IS plain DBPSK
 
     if kind == "dsss":
-        # Real spread spectrum (ops/dsss.py): chip-rate front end + coherent
-        # 16-chip despread + DBPSK sync tail, vmapped per capture (the data
-        # rate is baud/16 bits/s — the bit-level tail is 16x smaller than
-        # DBPSK's, nowhere near kernel-worthy).
-        from ..ops.dsss import _dsss_bits_cfo
+        # Real spread spectrum (ops/dsss.py): the blocked batch chip front
+        # end (shared with the PSK family, raw phasors) + one banded despread
+        # matmul + the DBPSK sync tail vmapped on the 16x-reduced bit stream.
+        # The old vmapped single-capture path measured 3.8 GS/s (PERF.md).
+        from ..ops.dsss import dsss_bits_cfo_batch
 
         baud, carrier = params
-        return jax.vmap(
-            lambda x: _dsss_bits_cfo(
-                x, baud, carrier, SAMPLE_RATE, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
-            )
-        )(samples)
+        return dsss_bits_cfo_batch(
+            samples, baud, carrier, SAMPLE_RATE, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+        )
 
     if kind == "psk8":
         # Real D8PSK (ops/psk.py): the shared blocked projection/differential
@@ -543,7 +541,7 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
         kind = "psk4"  # demod_pack_batch applies the same rewrite
     if kind == "dsss" and CONFIG.get("modem.dsss_compat_alias", False):
         kind = "psk2"
-    if kind in ("psk2", "psk4", "psk8"):
+    if kind in ("psk2", "psk4", "psk8", "dsss"):
         from ..ops.psk import blocked_row_shape
 
         shape = blocked_row_shape(batch.shape[1], params[0], SAMPLE_RATE)
@@ -553,13 +551,14 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
             i16 = CONFIG.get("tpu.int16_rows", None)
             if i16 is None:
                 i16 = jax.default_backend() == "tpu"
-            if kind == "psk8":
-                # The D8PSK batch path runs the float-stream front end
-                # (psk_demod_streams_batch), which takes f32 rows; the
-                # int16/int8 in-VMEM casts live in the decide kernel the
-                # psk2/psk4 paths use.
+            if kind in ("psk8", "dsss"):
+                # The D8PSK and DSSS batch paths run float-stream front ends
+                # (psk_demod_streams_batch / psk_raw_streams_batch via the
+                # XLA einsum), which take f32 rows — an int16 einsum operand
+                # materializes the convert in HBM; the int16/int8 in-VMEM
+                # casts live in the decide kernel the psk2/psk4 paths use.
                 i16 = False
-            if CONFIG.get("tpu.int8_rows", False) and kind != "psk8":
+            if CONFIG.get("tpu.int8_rows", False) and kind not in ("psk8", "dsss"):
                 # Opt-in: quarters the f32 HBM read of the DMA-bound decide
                 # kernel. ~-50 dB quantization noise — negligible against
                 # any channel this modem operates in, but NOT bit-exact to

@@ -155,3 +155,42 @@ def test_dsss_encode_decode_pipeline(tmp_path):
     wav = encode_file(str(src), mode="DSSS", cache_dir=str(tmp_path / "cache"))
     saved = decode_wav_file(wav, "DSSS", 9600, recv_dir=str(tmp_path / "recv"))
     assert saved and open(saved[0], "rb").read() == payload
+
+
+def test_despread_batch_matches_single():
+    """The batched banded-matmul despreader reproduces the single-capture
+    strided-reshape despreader at EVERY chip alignment (including the
+    zero-padded tail groups past the capture)."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.ops.dsss import _despread_all, _despread_all_batch
+
+    rng = np.random.default_rng(77)
+    for n in (16 * 40, 16 * 40 + 7):  # exact and ragged chip counts
+        re = rng.normal(size=n).astype(np.float32)
+        im = rng.normal(size=n).astype(np.float32)
+        s_re, s_im = _despread_all(jnp.asarray(re), jnp.asarray(im))
+        b_re = _despread_all_batch(jnp.asarray(re)[None, :])[0]
+        b_im = _despread_all_batch(jnp.asarray(im)[None, :])[0]
+        np.testing.assert_allclose(np.asarray(b_re), np.asarray(s_re), rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b_im), np.asarray(s_im), rtol=0, atol=1e-5)
+
+
+def test_dsss_batched_preshaped_rows_decode():
+    """The host row-shaping path (blocked (B, r, 128*spchip) f32 rows) feeds
+    the batched DSSS front end directly — same frames out as flat input."""
+    from audio_modem_radio_tpu.parallel.batch import demod_pack_batch, host_shape_batch
+
+    payload, framed = _framed(80, name="rows.bin")
+    wave = np.asarray(amr.modulate("DSSS", framed, 9600), np.float32)
+    n = 1 << 21
+    batch = np.zeros((2, n), np.float32)
+    batch[0, 300 : 300 + len(wave)] = wave[: n - 300]
+    batch[1, 4096 : 4096 + len(wave)] = wave[: n - 4096]
+    shaped = host_shape_batch(batch, "DSSS", 9600)
+    assert shaped.ndim == 3 and shaped.dtype == np.float32
+    packed, n_valid, _found = demod_pack_batch(shaped, "DSSS", 9600)
+    for i in range(2):
+        raw = bytes(np.asarray(packed[i])[: int(n_valid[i])])
+        frames = amr.parse_frames(raw)
+        assert frames and frames[0].data == payload

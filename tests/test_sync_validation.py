@@ -96,3 +96,27 @@ def test_pallas_matcher_validates(k_true, rng):
     # the decoy at 500.
     assert found8[0, k_true]
     assert first[0, k_true] == true_pos
+
+
+def test_pattern_find_on_stream_shorter_than_pattern():
+    """A bit stream shorter than the sync pattern (a truncated DSSS capture
+    after 16x despreading hit this as a negative-shape crash) must report
+    not-found, both with and without the validation window."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+    from audio_modem_radio_tpu.ops.common import (
+        find_bit_pattern,
+        find_bit_pattern_validated,
+    )
+
+    short = jnp.asarray([1, 0, 1], dtype=jnp.uint8)
+    s, found = find_bit_pattern(short, MAGIC_BIT_PATTERN)
+    assert int(s) == 0 and not bool(found)
+    # Long enough for the bare pattern but not pattern+validation window:
+    # degrades to the plain finder instead of crashing.
+    bits = jnp.asarray([int(c) for c in MAGIC_BIT_PATTERN] + [0], dtype=jnp.uint8)
+    s, found = find_bit_pattern_validated(
+        bits, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+    )
+    assert bool(found) and int(s) == 0
