@@ -86,10 +86,17 @@ def find_bit_pattern_validated(
     n_all = n1 + len(pattern2)
     L = bits.shape[0] - n_all + 1
     if L <= 0:
-        # Too short to hold pattern+validation window: fall back to the
-        # plain finder (which itself degrades to not-found when even the
-        # bare pattern cannot fit).
-        return find_bit_pattern(bits, pattern)
+        # Too short to hold pattern + the full validation window: validate
+        # against the longest pattern2 prefix that DOES fit, with ``tol``
+        # scaled proportionally (ceil, min 1), instead of silently accepting
+        # fully unvalidated matches — even a short validated prefix keeps
+        # most of the ~60x false-accept protection. Only when not a single
+        # validation bit fits does this degrade to the plain finder.
+        k2 = min(int(bits.shape[0]) - n1, len(pattern2))
+        if k2 <= 0:
+            return find_bit_pattern(bits, pattern)
+        scaled = max(1, -(-tol * k2 // len(pattern2)))
+        return find_bit_pattern_validated(bits, pattern, pattern2[:k2], scaled)
     match = jnp.ones((L,), dtype=bool)
     for t, c in enumerate(pattern):
         match &= bits[t : t + L] == (1 if c == "1" else 0)

@@ -159,6 +159,12 @@ def _despread_all_batch(x: jnp.ndarray) -> jnp.ndarray:
     past the capture reading zero."""
     b, n = x.shape
     nb = n // SPREAD
+    if nb == 0:
+        # Fewer chips than one spread group (truncated capture): no
+        # despreadable bits. Return empty rows so the batch path degrades
+        # to not-found, exactly like the single-capture ``_despread_all``
+        # (the concat below would otherwise build mismatched shapes).
+        return jnp.zeros((b, SPREAD, 0), x.dtype)
     rows = x[:, : nb * SPREAD].reshape(b, nb, SPREAD)
     # Next-row heads (15 chips); the final row's head is the capture's
     # remainder chips (n may exceed nb*16) zero-padded — exactly the

@@ -697,6 +697,48 @@ def _batch_pass1(samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offse
     return x3d, r, best, theta
 
 
+def _batch_block_setup(samples: jnp.ndarray, spsym: int):
+    """Shared 3D/flat input setup for the batched blocked receivers.
+
+    ``(B, r, 128*spsym)`` pre-shaped rows (``blocked_row_shape``) pass
+    through (integer rows kept integer for the Pallas pass-2 kernels);
+    flat ``(B, N)`` captures return ``x3d=None`` for pass 1 to build the
+    rows on device. Returns ``None`` when the caller must take its vmapped
+    single-capture fallback (symbol too large / capture too short to
+    block); otherwise ``(b, n_frames, x3d, r)`` with ``r=0`` for flat
+    input. Shapes are static under jit, so the gate is plain Python."""
+    if samples.ndim == 3:
+        b, r, row = samples.shape
+        if row != _BLOCK_SYM * spsym:
+            raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
+        n_frames = r * _BLOCK_SYM
+        x3d = samples if jnp.issubdtype(samples.dtype, jnp.integer) else samples.astype(jnp.float32)
+        return b, n_frames, x3d, r
+    b, n = samples.shape
+    n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
+    if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
+        return None
+    return b, n_frames, None, 0
+
+
+def _blocked_project_xla(
+    x3d: jnp.ndarray, W8: jnp.ndarray, best: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pass-2 blocked projection (XLA path): overlap-row build + ONE einsum
+    against each capture's winning-offset template. Returns the raw
+    per-symbol phasors ``(re_f, im_f)`` of shape (B, n_out). Integer rows
+    cast to f32 here (the einsum operand must be float either way)."""
+    b = x3d.shape[0]
+    ov = W8.shape[1] - x3d.shape[2]
+    x3d = x3d.astype(jnp.float32)
+    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
+    xov_rows = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
+    out = jnp.einsum("brc,bck->brk", xov_rows, W8[best])  # (B, r, 256)
+    re_f = out[:, :, :_BLOCK_SYM].reshape(b, -1)
+    im_f = out[:, :, _BLOCK_SYM:].reshape(b, -1)
+    return re_f, im_f
+
+
 @functools.partial(
     jax.jit, static_argnames=("baud", "carrier", "sample_rate", "n_offsets", "n_psk")
 )
@@ -724,47 +766,27 @@ def psk_demod_streams_batch(
     are garbage (pad symbols), which downstream sync/parse ignores.
     """
     spsym = _samples_per_symbol(sample_rate, baud)
-    if samples.ndim == 3:
-        # Pre-shaped (B, r, row) rows from the host (see blocked_row_shape):
-        # avoids a device-side pad+reshape whose tiled-layout shuffle costs
-        # more than the entire demod kernel.
-        b, r, row = samples.shape
-        if row != _BLOCK_SYM * spsym:
-            raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
-        n_frames = r * _BLOCK_SYM
-        x3d = samples if jnp.issubdtype(samples.dtype, jnp.integer) else samples.astype(jnp.float32)
-    else:
-        b, n = samples.shape
-        n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
-        if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
-            d_re, d_im, _ = jax.vmap(
-                lambda s: psk_demod_streams(s, baud, carrier, sample_rate, n_offsets, n_psk)
-            )(samples)
-            return d_re, d_im
-        x3d = None
+    setup = _batch_block_setup(samples, spsym)
+    if setup is None:
+        d_re, d_im, _ = jax.vmap(
+            lambda s: psk_demod_streams(s, baud, carrier, sample_rate, n_offsets, n_psk)
+        )(samples)
+        return d_re, d_im
+    b, n_frames, x3d, r = setup
 
     x3d, r, best, _theta = _batch_pass1(
-        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets,
-        r if x3d is not None else 0, n_psk,
+        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets, r, n_psk,
     )
     W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
-    row = _BLOCK_SYM * spsym
-    ov = W8.shape[1] - row
-    blk = 256
 
     # --- pass 2 ---------------------------------------------------------------
     if jax.default_backend() == "tpu":
         from .pallas_kernels import psk_project_diff_batch
 
-        d2r, d2i = psk_project_diff_batch(x3d, W8, best, rows_per_capture=r, block_rows=blk)
+        d2r, d2i = psk_project_diff_batch(x3d, W8, best, rows_per_capture=r, block_rows=256)
         return d2r.reshape(b, -1), d2i.reshape(b, -1)
 
-    x3d = x3d.astype(jnp.float32)  # XLA fallback: integer rows cast here
-    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
-    xov_rows = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
-    out = jnp.einsum("brc,bck->brk", xov_rows, W8[best])  # (B, r, 256)
-    re_f = out[:, :, :_BLOCK_SYM].reshape(b, -1)
-    im_f = out[:, :, _BLOCK_SYM:].reshape(b, -1)
+    re_f, im_f = _blocked_project_xla(x3d, W8, best)
     d_re = re_f[:, 1:] * re_f[:, :-1] + im_f[:, 1:] * im_f[:, :-1]
     d_im = im_f[:, 1:] * re_f[:, :-1] - re_f[:, 1:] * im_f[:, :-1]
     return d_re, d_im
@@ -797,36 +819,19 @@ def psk_raw_streams_batch(
     entries per capture are zero-pad garbage downstream alignment ignores.
     """
     spsym = _samples_per_symbol(sample_rate, baud)
-    if samples.ndim == 3:
-        b, r, row = samples.shape
-        if row != _BLOCK_SYM * spsym:
-            raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
-        n_frames = r * _BLOCK_SYM
-        x3d = samples if jnp.issubdtype(samples.dtype, jnp.integer) else samples.astype(jnp.float32)
-    else:
-        b, n = samples.shape
-        n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
-        if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
-            re_f, im_f, _ = jax.vmap(
-                lambda s: psk_symbol_streams(s, baud, carrier, sample_rate, n_offsets, n_psk)
-            )(samples)
-            return re_f, im_f
-        x3d = None
+    setup = _batch_block_setup(samples, spsym)
+    if setup is None:
+        re_f, im_f, _ = jax.vmap(
+            lambda s: psk_symbol_streams(s, baud, carrier, sample_rate, n_offsets, n_psk)
+        )(samples)
+        return re_f, im_f
+    b, n_frames, x3d, r = setup
 
     x3d, r, best, _theta = _batch_pass1(
-        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets,
-        r if x3d is not None else 0, n_psk,
+        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets, r, n_psk,
     )
     W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
-    row = _BLOCK_SYM * spsym
-    ov = W8.shape[1] - row
-    x3d = x3d.astype(jnp.float32)
-    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
-    xov_rows = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
-    out = jnp.einsum("brc,bck->brk", xov_rows, W8[best])  # (B, r, 256)
-    re_f = out[:, :, :_BLOCK_SYM].reshape(b, -1)
-    im_f = out[:, :, _BLOCK_SYM:].reshape(b, -1)
-    return re_f, im_f
+    return _blocked_project_xla(x3d, W8, best)
 
 
 def _decide_streams(d_re, d_im, n_psk: int):
@@ -869,32 +874,21 @@ def psk_decision_streams_batch(
     symbols.
     """
     spsym = _samples_per_symbol(sample_rate, baud)
-    if samples.ndim == 3:
-        b, r, row = samples.shape
-        if row != _BLOCK_SYM * spsym:
-            raise ValueError(f"row width {row} != 128*spsym ({_BLOCK_SYM * spsym})")
-        n_frames = r * _BLOCK_SYM
-        x3d = samples if jnp.issubdtype(samples.dtype, jnp.integer) else samples.astype(jnp.float32)
-    else:
-        b, n = samples.shape
-        n_frames = -(-n // spsym)  # ceil — keep the trailing partial symbol
-        if spsym > _BLOCK_MAX_SPSYM or n_frames < 2 * _BLOCK_SYM:
-            d_re, d_im = psk_demod_streams_batch(
-                samples, baud, carrier, sample_rate, n_offsets
-            )
-            if cfo:
-                theta = estimate_common_rotation_windows(d_re, d_im)
-                d_re, d_im = derotate(d_re, d_im, theta)
-            return jax.vmap(lambda a, c: _decide_streams(a, c, n_psk))(d_re, d_im)
-        x3d = None
+    setup = _batch_block_setup(samples, spsym)
+    if setup is None:
+        d_re, d_im = psk_demod_streams_batch(
+            samples, baud, carrier, sample_rate, n_offsets
+        )
+        if cfo:
+            theta = estimate_common_rotation_windows(d_re, d_im)
+            d_re, d_im = derotate(d_re, d_im, theta)
+        return jax.vmap(lambda a, c: _decide_streams(a, c, n_psk))(d_re, d_im)
+    b, n_frames, x3d, r = setup
 
     x3d, r, best, theta = _batch_pass1(
-        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets,
-        r if x3d is not None else 0,
+        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets, r,
     )
     W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
-    row = _BLOCK_SYM * spsym
-    ov = W8.shape[1] - row
     blk = 256
     if cfo:
         rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
@@ -929,12 +923,7 @@ def psk_decision_streams_batch(
         )
         return hi.reshape(b, -1), lo.reshape(b, -1)
 
-    x3d = x3d.astype(jnp.float32)  # XLA fallback: integer rows cast here
-    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
-    xov_rows = jnp.concatenate([x3d, x_next], axis=2)  # (B, r, row+ov)
-    out = jnp.einsum("brc,bck->brk", xov_rows, W8[best])  # (B, r, 256)
-    re_f = out[:, :, :_BLOCK_SYM].reshape(b, -1)
-    im_f = out[:, :, _BLOCK_SYM:].reshape(b, -1)
+    re_f, im_f = _blocked_project_xla(x3d, W8, best)  # XLA fallback
     d_re = re_f[:, 1:] * re_f[:, :-1] + im_f[:, 1:] * im_f[:, :-1]
     d_im = im_f[:, 1:] * re_f[:, :-1] - re_f[:, 1:] * im_f[:, :-1]
     if cfo:

@@ -194,3 +194,17 @@ def test_dsss_batched_preshaped_rows_decode():
         raw = bytes(np.asarray(packed[i])[: int(n_valid[i])])
         frames = amr.parse_frames(raw)
         assert frames and frames[0].data == payload
+
+
+def test_dsss_batch_shorter_than_one_spread_group():
+    """A batch of captures whose despread chip stream holds ZERO complete
+    spread groups must degrade to not-found like the single-capture path
+    (the banded batch despreader once crashed on a concat shape mismatch)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_modem_radio_tpu.ops.dsss import SPREAD, _despread_all_batch
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, SPREAD - 1)), jnp.float32)
+    rows = _despread_all_batch(x)
+    assert rows.shape == (3, SPREAD, 0)

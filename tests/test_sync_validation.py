@@ -120,3 +120,25 @@ def test_pattern_find_on_stream_shorter_than_pattern():
         bits, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
     )
     assert bool(found) and int(s) == 0
+
+
+def test_short_stream_validates_against_pattern2_prefix():
+    """When the capture fits the pattern plus only PART of the validation
+    window, the finder must validate against the truncated pattern2 prefix
+    (tol scaled down) rather than silently accept unvalidated matches."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+    from audio_modem_radio_tpu.ops.common import find_bit_pattern_validated
+
+    prefix = [int(c) for c in MAGIC_BIT_PATTERN2[:6]]
+    good = jnp.asarray([int(c) for c in MAGIC_BIT_PATTERN] + prefix, jnp.uint8)
+    s, found = find_bit_pattern_validated(good, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2)
+    assert bool(found) and int(s) == 0
+    # All six following bits flipped: scaled tol = ceil(3*6/16) = 2 < 6
+    # mismatches, so the match must be REJECTED (pre-fix it was accepted).
+    bad = jnp.asarray(
+        [int(c) for c in MAGIC_BIT_PATTERN] + [1 - b for b in prefix], jnp.uint8
+    )
+    s, found = find_bit_pattern_validated(bad, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2)
+    assert not bool(found)
