@@ -387,7 +387,7 @@ def recover_payload_fec_soft(
     damaged: List[Frame],
     stats: Optional[dict] = None,
 ) -> List[Frame]:
-    """Soft-decision recovery of damaged FECV payloads (PSK family).
+    """Soft-decision recovery of damaged FECV payloads (all non-text families).
 
     The hard path feeds a damaged FECV container to the Viterbi decoder as
     thresholded bits; at low SNR the soft phasor magnitudes are worth ~2 dB
@@ -408,33 +408,36 @@ def recover_payload_fec_soft(
     from .fec import TAG_VITERBI, ConvolutionalEncoder, ViterbiDecoder
     from .framing import MAGIC, _META
 
-    todo = [d for d in damaged if d.data[:4] == TAG_VITERBI]
+    def _fecv_like(blob: bytes) -> bool:
+        # The container tag rides the same noisy channel as the payload;
+        # requiring it byte-exact rejects precisely the low-SNR captures
+        # this escalation exists for. A <=8-of-32-bit Hamming gate admits
+        # them (random 4 bytes pass with p~3e-3) and the exact re-encode
+        # CRC proof below still rules every false candidate out.
+        if len(blob) < 4:
+            return False
+        dist = int(np.unpackbits(
+            np.frombuffer(blob[:4], np.uint8)
+            ^ np.frombuffer(TAG_VITERBI, np.uint8)
+        ).sum())
+        return dist <= 8
+
+    todo = [d for d in damaged if _fecv_like(d.data)]
     if not todo:
         return []
     try:
         got = _soft_bit_stream(np.asarray(samples, np.float32), mode, symbol_rate)
         if got is None:
             return []
-        soft, n_psk = got
+        # All residual-rotation hypotheses of the family, producer-expanded
+        # (quarter turns for DQPSK/OFDM, inversion for DBPSK/DSSS, the 8
+        # π/4 relabelings for D8PSK, a single stream for FSK).
+        rotations, _n_psk = got
     except Exception:
         logger.exception("soft payload-FEC demod failed")
         return []
 
     out: List[Frame] = []
-    # Quarter-turn relabelings of the soft dibit stream (k*pi/2 residual of
-    # the blind CFO derotation): (hi, lo) -> (1-lo, hi). For DBPSK the two
-    # hypotheses are identity and inversion.
-    rotations = []
-    s_k = soft
-    for _k in range(4 if n_psk == 4 else 2):
-        rotations.append(s_k)
-        if n_psk == 4:
-            hi, lo = s_k[0::2], s_k[1::2]
-            nxt = np.empty_like(s_k)
-            nxt[0::2], nxt[1::2] = 1.0 - lo, hi
-            s_k = nxt
-        else:
-            s_k = 1.0 - s_k
     for frame in todo:
         # The header bytes, verbatim from the hard stream (incl. true pcrc).
         nb = frame.name.encode("utf-8", "ignore")
@@ -534,43 +537,109 @@ def _nosync_streams(samples: np.ndarray, mode: str, symbol_rate: int) -> List[by
         return []
 
 
-def _soft_bit_stream(samples: np.ndarray, mode: str, symbol_rate: int):
-    """Soft bit stream for the PSK and OFDM families, else None.
+def _soft_rotation_variants(soft: np.ndarray, n_psk: int) -> List[np.ndarray]:
+    """Expand one soft stream into its residual-rotation hypotheses.
 
-    The OFDM dibits use the identical diagonal Gray mapping as DQPSK
-    (ops.ofdm.ofdm_soft_bits), so every soft-decision escalation that works
-    on PSK captures works on OFDM captures too."""
+    The blind CFO derotation leaves a k·π/2 (DQPSK/OFDM) or inversion
+    (DBPSK/DSSS) ambiguity; on soft values a quarter turn is exactly
+    ``(hi, lo) -> (1-lo, hi)`` and an inversion is ``1-x``. Element 0 is the
+    as-produced (k=0) stream."""
+    rotations = [soft]
+    s_k = soft
+    for _k in range(3 if n_psk == 4 else (1 if n_psk == 2 else 0)):
+        if n_psk == 4:
+            hi, lo = s_k[0::2], s_k[1::2]
+            nxt = np.empty_like(s_k)
+            nxt[0::2], nxt[1::2] = 1.0 - lo, hi
+            s_k = nxt
+        else:
+            s_k = 1.0 - s_k
+        rotations.append(s_k)
+    return rotations
+
+
+def _soft_bit_stream(samples: np.ndarray, mode: str, symbol_rate: int):
+    """Soft bit streams for every non-text mode family, else None.
+
+    Returns ``(rotations, n_psk)``: a list of [0,1] soft streams, one per
+    residual-rotation hypothesis of the family (element 0 = k=0), and the
+    family's constellation order (1 for FSK — no ambiguity). OFDM dibits use
+    the identical diagonal Gray mapping as DQPSK (ops.ofdm.ofdm_soft_bits);
+    D8PSK enumerates its 8 π/4 hypotheses at the producer (the Gray-tribit
+    relabel is nonlinear in soft space); DSSS soft bits carry the full
+    16-chip coherent processing gain (ops.dsss.dsss_soft_bits)."""
     from .parallel.batch import resolve_demod_plan
 
     kind, params = resolve_demod_plan(mode, symbol_rate)
+    # The compat aliases transmit a different physical layer; mirror
+    # demod_pack_batch's rewrites so the soft stream matches the wire.
+    if kind == "ofdm" and CONFIG.get("modem.ofdm_compat_alias", False):
+        kind, params = "psk4", (params[0], params[1])
+    if kind == "psk8" and CONFIG.get("modem.psk8_compat_alias", False):
+        kind = "psk4"
+    if kind == "dsss" and CONFIG.get("modem.dsss_compat_alias", False):
+        kind = "psk2"
     if kind in ("psk2", "psk4"):
         from .ops.psk import psk_soft_bits
 
         baud, carrier = params
-        return psk_soft_bits(
-            pad_to_bucket(samples), baud, carrier, SAMPLE_RATE,
-            2 if kind == "psk2" else 4,
-        ), (2 if kind == "psk2" else 4)
+        n_psk = 2 if kind == "psk2" else 4
+        soft = psk_soft_bits(pad_to_bucket(samples), baud, carrier, SAMPLE_RATE, n_psk)
+        return _soft_rotation_variants(soft, n_psk), n_psk
     if kind == "ofdm":
         from .ops.ofdm import ofdm_soft_bits
 
         baud, carrier, n_sub = params
-        return ofdm_soft_bits(
+        soft = ofdm_soft_bits(
             pad_to_bucket(samples), baud, carrier, int(n_sub), SAMPLE_RATE
-        ), 4
+        )
+        return _soft_rotation_variants(soft, 4), 4
+    if kind == "psk8":
+        from .ops.psk import psk8_soft_bits_rotations
+
+        baud, carrier = params
+        return psk8_soft_bits_rotations(
+            pad_to_bucket(samples), baud, carrier, SAMPLE_RATE
+        ), 8
+    if kind == "dsss":
+        from .ops.dsss import dsss_soft_bits
+
+        baud, carrier = params
+        soft = dsss_soft_bits(pad_to_bucket(samples), baud, carrier, SAMPLE_RATE)
+        return _soft_rotation_variants(soft, 2), 2
+    if kind == "fsk":
+        from .ops.fsk import fsk_soft_bits
+
+        baud, mark, space = params
+        soft = fsk_soft_bits(pad_to_bucket(samples), baud, mark, space, SAMPLE_RATE)
+        return [soft], 1
     return None
 
 
 def _stream_fec_soft(samples: np.ndarray, mode: str, symbol_rate: int):
-    """Soft-decision stream-FEC decode for PSK/OFDM-family modes, else None."""
+    """Soft-decision stream-FEC decode for any non-text mode family, else None."""
     try:
         from .fec import stream_fec_decode_soft
 
         got = _soft_bit_stream(samples, mode, symbol_rate)
         if got is None:
             return None
-        soft, _n_psk = got
-        return stream_fec_decode_soft(soft)
+        rotations, _n_psk = got
+        # Rotation gate: the coded stream leads with a plaintext sync magic
+        # (fec.stream_fec_encode); a residual rotation scrambles it, so only
+        # the hypothesis whose THRESHOLDED bits contain the magic is worth a
+        # full Viterbi pass. Fall back to k=0 when none match (the decoder
+        # still self-aligns on its own magic scan).
+        magic = np.unpackbits(np.frombuffer(b"FBPC", np.uint8))
+        pick = rotations[0]
+        for soft in rotations:
+            hard = (soft > 0.5).astype(np.uint8)
+            if len(hard) > len(magic):
+                win = np.lib.stride_tricks.sliding_window_view(hard, len(magic))
+                if (win == magic).all(axis=1).any():
+                    pick = soft
+                    break
+        return stream_fec_decode_soft(pick)
     except Exception:
         logger.exception("soft stream-FEC decode failed")
         return None

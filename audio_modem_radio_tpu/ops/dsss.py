@@ -93,6 +93,26 @@ def _despread_all(re_f: jnp.ndarray, im_f: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     return jnp.stack(rows_re), jnp.stack(rows_im)
 
 
+def _dsss_best_diff(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared DSSS receive core: chip phasors -> best-alignment despread bit
+    DIFFERENTIALS, blind-derotated. Returns ``(dr, di)``; the data rides the
+    real axis (bit = dr < 0). Used by the sync tail, the no-sync rescue, and
+    the soft-bit producer — three consumers of the identical front end."""
+    from .psk import _coherence_score, derotate, estimate_common_rotation
+
+    re_f, im_f, _score = psk_symbol_streams(
+        samples, baud, carrier, sample_rate, n_psk=2
+    )
+    b_re, b_im = _despread_all(re_f, im_f)  # (16, n_bits)
+    d_re = b_re[:, 1:] * b_re[:, :-1] + b_im[:, 1:] * b_im[:, :-1]
+    d_im = b_im[:, 1:] * b_re[:, :-1] - b_re[:, 1:] * b_im[:, :-1]
+    a = jnp.argmax(_coherence_score(d_re, d_im, axis=1))
+    dr, di = d_re[a], d_im[a]
+    return derotate(dr, di, estimate_common_rotation(dr, di))
+
+
 @functools.partial(
     jax.jit, static_argnames=("baud", "carrier", "sample_rate", "pattern", "pattern2")
 )
@@ -110,17 +130,8 @@ def _dsss_bits_cfo(
     the coherent chip sum untouched and cancels in the bit differential.
     """
     from .common import bit_sync_and_pack_rotations
-    from .psk import _coherence_score, derotate, estimate_common_rotation
 
-    re_f, im_f, _score = psk_symbol_streams(
-        samples, baud, carrier, sample_rate, n_psk=2
-    )
-    b_re, b_im = _despread_all(re_f, im_f)  # (16, n_bits)
-    d_re = b_re[:, 1:] * b_re[:, :-1] + b_im[:, 1:] * b_im[:, :-1]
-    d_im = b_im[:, 1:] * b_re[:, :-1] - b_re[:, 1:] * b_im[:, :-1]
-    a = jnp.argmax(_coherence_score(d_re, d_im, axis=1))
-    dr, di = d_re[a], d_im[a]
-    dr, di = derotate(dr, di, estimate_common_rotation(dr, di))
+    dr, di = _dsss_best_diff(samples, baud, carrier, sample_rate)
     bits_re = (dr < 0).astype(jnp.uint8)
     bits_im = (di < 0).astype(jnp.uint8)
     return bit_sync_and_pack_rotations(bits_re, bits_im, pattern, pattern2)
@@ -227,14 +238,7 @@ def _dsss_bytes_nosync(samples: jnp.ndarray, baud: float, carrier: float, sample
     """DSSS no-sync rescue front end: the best-alignment despread bit
     streams (re and im signs, derotated) packed from offset 0 — the DBPSK
     analog for the header-tolerant rescue sweep."""
-    from .psk import _coherence_score, derotate, estimate_common_rotation
-
-    re_f, im_f, _ = psk_symbol_streams(samples, baud, carrier, sample_rate, n_psk=2)
-    b_re, b_im = _despread_all(re_f, im_f)
-    d_re = b_re[:, 1:] * b_re[:, :-1] + b_im[:, 1:] * b_im[:, :-1]
-    d_im = b_im[:, 1:] * b_re[:, :-1] - b_re[:, 1:] * b_im[:, :-1]
-    a = jnp.argmax(_coherence_score(d_re, d_im, axis=1))
-    dr, di = derotate(d_re[a], d_im[a], estimate_common_rotation(d_re[a], d_im[a]))
+    dr, di = _dsss_best_diff(samples, baud, carrier, sample_rate)
     out = []
     for comp in ((dr < 0), (di < 0)):
         out.append(pack_bits_from(comp.astype(jnp.uint8), jnp.int32(0)))
@@ -249,3 +253,29 @@ def dsss_nosync_streams(
         jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(samp_rate)
     )
     return [bytes(np.asarray(p)[: int(n)]) for p, n in pairs]
+
+
+_dsss_soft_core = jax.jit(
+    _dsss_best_diff, static_argnames=("baud", "carrier", "sample_rate")
+)
+
+
+def dsss_soft_bits(
+    samples: np.ndarray, baud: float, carrier: float, samp_rate: int
+) -> np.ndarray:
+    """Soft bit stream in [0, 1] for the soft-decision FEC escalations.
+
+    The despread bit differentials are BPSK-valued (bit = sign of the real
+    part after derotation), so each bit's soft value is a linear scaling of
+    the COHERENT 16-chip sum — the soft stream carries the full ~12 dB
+    processing gain, making this the family where the soft Viterbi's ~2 dB
+    matters most (DSSS is the designated below-the-noise-floor mode).
+    Same [0,1] convention as :func:`ops.psk.psk_soft_bits` (n_psk=2: the
+    residual inversion ambiguity is the consumer's two-hypothesis sweep).
+    """
+    dr, di = _dsss_soft_core(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(samp_rate)
+    )
+    dr, di = np.asarray(dr), np.asarray(di)
+    scale = np.mean(np.abs(dr) + np.abs(di)) + 1e-9
+    return np.clip(0.5 - dr / scale, 0.0, 1.0).astype(np.float32)

@@ -1266,7 +1266,8 @@ def fsk_dual_bits_rows_batch(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "baud", "mark", "space", "sample_rate", "n_offsets", "mlse", "frontend"
+        "baud", "mark", "space", "sample_rate", "n_offsets", "mlse", "frontend",
+        "want_soft",
     ),
 )
 def fsk_demod_bits(
@@ -1278,8 +1279,17 @@ def fsk_demod_bits(
     n_offsets: int = 8,
     mlse: bool = True,
     frontend: str = "matmul",
+    want_soft: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Demodulate CPFSK to a bit array; returns ``(bits, best_offset_score)``.
+
+    ``want_soft=True`` returns ``(bits, score, margin)`` instead, where
+    ``margin`` is the per-bit SIGNED decision statistic (positive = mark =
+    bit 1): mark/space energy difference on the matched-filter paths, the
+    equalized-frequency distance difference on the discriminator path
+    (pre-MLSE — the trellis emits hard decisions; the equalizer's analog
+    margin is the soft information). Feeds the soft-decision FEC ladder
+    (decoder._soft_bit_stream -> fec.stream_fec_decode_soft).
 
     Two statically-chosen strategies, both in the blocked lanes-major layout
     (bit index on the 128-lane axis; see ARCHITECTURE.md):
@@ -1367,6 +1377,8 @@ def fsk_demod_bits(
         pj = (xov @ W[best]).reshape(r, 4, spr)
         margin = (pj[:, 0] ** 2 + pj[:, 1] ** 2) - (pj[:, 2] ** 2 + pj[:, 3] ** 2)
         bits = (margin > 0).astype(jnp.uint8).reshape(-1)
+        if want_soft:
+            return bits[: max(n_bits, 1)], score[best], margin.reshape(-1)[: max(n_bits, 1)]
         return bits[: max(n_bits, 1)], score[best]
 
     if sep >= 0.4:
@@ -1427,6 +1439,8 @@ def fsk_demod_bits(
         n_ = (ri @ W[best]).reshape(r, 4, spr)
         margin = energies(m, n_)  # (r, spr)
         bits = (margin > 0).astype(jnp.uint8).reshape(-1)
+        if want_soft:
+            return bits[: max(n_bits, 1)], score[best], margin.reshape(-1)[: max(n_bits, 1)]
         return bits[: max(n_bits, 1)], score[best]
 
     # Discriminator path. The analytic signal is DECIMATED by the largest
@@ -1514,6 +1528,10 @@ def fsk_demod_bits(
 
     bits = (jnp.abs(eq - mark) < jnp.abs(eq - space)).astype(jnp.uint8)
     bits = bits[: max(n_bits, 1)]
+    if want_soft and not mlse:
+        # Equalized-frequency margin: how much closer to mark than to space.
+        margin_d = (jnp.abs(eq - space) - jnp.abs(eq - mark))[: max(n_bits, 1)]
+        return bits, score[best], margin_d
 
     # MLSE refinement on RAW-sample correlations: the equalizer floors around
     # 1.5e-5 BER at tiny modulation indices; the phase-trellis Viterbi is the
@@ -1539,6 +1557,16 @@ def fsk_demod_bits(
             s_corr, c_corr, bits, n_states, adv_m, adv_s,
             spb, float(mark), float(space), sample_rate,
         )
+
+    if want_soft:
+        # Discriminator-family soft stream: SIGNS from the (possibly
+        # MLSE-refined) decisions — the equalizer alone runs ~16% BER in the
+        # regime the soft ladder targets, which would poison the soft
+        # Viterbi — MAGNITUDES from the equalized-frequency margin (the
+        # trellis emits hard decisions; |margin| is the per-bit reliability).
+        margin_d = (jnp.abs(eq - space) - jnp.abs(eq - mark))[: max(n_bits, 1)]
+        signed = jnp.where(bits > 0, jnp.abs(margin_d), -jnp.abs(margin_d))
+        return bits, score[best], signed
 
     return bits, score[best]
 
@@ -1577,6 +1605,34 @@ def fsk_demodulate(
         if parse_frames(eq_raw):
             return eq_raw
     return raw
+
+
+def fsk_soft_bits(
+    samples: np.ndarray,
+    baud: float,
+    mark: float,
+    space: float,
+    samp_rate: int,
+) -> np.ndarray:
+    """Soft bit stream in [0, 1] for the soft-decision FEC escalations.
+
+    Per-bit signed margins from the family's own detector (mark/space energy
+    difference, quadrature energy difference, or MLSE signs carrying
+    equalizer-margin magnitudes on the close-tone discriminator path — see
+    :func:`fsk_demod_bits` ``want_soft``), scaled to the same [0,1]
+    convention as :func:`ops.psk.psk_soft_bits`. FSK bits carry no
+    rotation/inversion ambiguity, so the consumer sweeps one hypothesis.
+    ``mlse=True`` matches the single-capture hard path, so the thresholded
+    soft stream bit-agrees with the stream the damaged header was parsed
+    from (decoder.recover_payload_fec_soft's search requirement).
+    """
+    _bits, _score, margin = fsk_demod_bits(
+        jnp.asarray(samples, jnp.float32), float(baud), float(mark), float(space),
+        int(samp_rate), mlse=True, want_soft=True,
+    )
+    margin = np.asarray(margin)
+    scale = 2.0 * np.mean(np.abs(margin)) + 1e-9
+    return np.clip(0.5 + margin / scale, 0.0, 1.0).astype(np.float32)
 
 
 def fsk_high_speed_modulate(data_bytes: bytes, baud: float = 19200, samp_rate: int = 96000) -> np.ndarray:

@@ -1405,3 +1405,100 @@ def psk8_nosync_streams(
         jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(samp_rate)
     )
     return [bytes(np.asarray(p)[: int(n)]) for p, n in pairs]
+
+
+@functools.partial(jax.jit, static_argnames=("baud", "carrier", "sample_rate"))
+def _psk8_soft_core(samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int):
+    """Derotated D8PSK differential phasors -> per-sector scores (n, 8)."""
+    d_re, d_im, _ = psk_demod_streams(samples, baud, carrier, sample_rate, n_psk=8)
+    d_re, d_im = derotate(d_re, d_im, estimate_common_rotation8(d_re, d_im))
+    dirs = jnp.stack(
+        [jnp.asarray(_ET_COS, jnp.float32), jnp.asarray(_ET_SIN, jnp.float32)]
+    )  # (2, 8)
+    return jnp.stack([d_re, d_im], axis=1) @ dirs  # (n, 8)
+
+
+def psk8_soft_bits_rotations(
+    samples: np.ndarray, baud: float, carrier: float, samp_rate: int
+) -> list:
+    """D8PSK soft Gray tribit streams under ALL 8 π/4-rotation hypotheses.
+
+    Per symbol, the per-sector score is the projection of the differential
+    phasor onto each k·π/4 direction; each Gray bit's soft value is the
+    max-log LLR — max score over sectors labeling the bit 1 minus max over
+    sectors labeling it 0 — mapped to [0,1]. A channel rotation of k·π/4
+    relabels RECEIVED sector r as transmitted r−k, which on the score matrix
+    is a column permutation, so all 8 hypotheses come from ONE device pass.
+    (The rotation relabel is nonlinear on Gray bits — unlike DQPSK's
+    quarter-turn shuffle — which is why the producer enumerates hypotheses
+    instead of the consumer.) Element 0 is the k=0 stream for stream-FEC.
+    """
+    scores = np.asarray(_psk8_soft_core(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier), int(samp_rate)
+    ))  # (n, 8) — column t = score of TRANSMITTED sector t under k=0
+    n = scores.shape[0]
+    # Gray label of each transmitted sector, split into 3 bit lanes.
+    g = _GRAY8.astype(np.int64)
+    bit_is_one = np.stack([(g >> 2) & 1, (g >> 1) & 1, g & 1]).astype(bool)  # (3, 8)
+    out = []
+    for k in range(8):
+        # Under hypothesis k, transmitted sector t was received as (t+k)%8.
+        s_k = scores[:, (np.arange(8) + k) % 8]  # (n, 8) indexed by t
+        scale = np.mean(np.abs(s_k)) * 2.0 + 1e-9
+        soft = np.empty(3 * n, np.float32)
+        for j in range(3):
+            llr = np.max(s_k[:, bit_is_one[j]], axis=1) - np.max(
+                s_k[:, ~bit_is_one[j]], axis=1
+            )
+            soft[j::3] = np.clip(0.5 + llr / scale, 0.0, 1.0)
+        out.append(soft)
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _psk8_pack_weights() -> np.ndarray:
+    """(3, 128, 48) banded byte-pack template for tribit symbol rows.
+
+    128 symbols = 384 bits = exactly 48 bytes, so a symbol-aligned row packs
+    with NO cross-row spill: W[q, t, n] = 2^(7-j) when Gray bit ``q`` of
+    symbol ``t`` lands at bit ``j`` of byte ``n`` (3t+q == 8n+j). Packing is
+    then one einsum against the three Gray planes — the (m, 3) stack +
+    reshape of the vmapped path pads its minor dim to 128 lanes on TPU (42x
+    memory amplification), and the dynamic bit-stream shift of
+    ``pack_bits_from`` costs two more full passes.
+    """
+    W = np.zeros((3, 128, 48), np.float32)
+    for t in range(128):
+        for q in range(3):
+            i = 3 * t + q
+            W[q, t, i // 8] = float(1 << (7 - (i % 8)))
+    return W
+
+
+@jax.jit
+def psk8_relabel_pack_batch(
+    sec: jnp.ndarray, ksel: jnp.ndarray, idx: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Relabel + byte-pack D8PSK sector streams on the winning hypothesis.
+
+    ``sec`` (B, m) received sectors (m % 128 == 0), ``ksel`` (B,) the
+    rotation hypothesis, ``idx`` (B,) the match start in SYMBOLS. True
+    sector = received − k (mod 8); the stream is shifted so the magic's
+    first tribit lands at bit 0 (byte-aligned, like pack_bits_from), Gray
+    bit planes come out elementwise, and one banded einsum packs bytes.
+    Returns ``(packed (B, m//128*48) uint8, n_valid (B,))``.
+    """
+    b, m = sec.shape
+    true = (sec.astype(jnp.int32) + (8 - ksel.astype(jnp.int32))[:, None]) & 7
+    # Batched shift-left by idx symbols, zero-filled tail (beyond n_valid).
+    pos = jnp.arange(m, dtype=jnp.int32)[None, :] + idx.astype(jnp.int32)[:, None]
+    shifted = jnp.take_along_axis(true, jnp.minimum(pos, m - 1), axis=1)
+    shifted = jnp.where(pos < m, shifted, 0)
+    g = shifted ^ (shifted >> 1)
+    planes = jnp.stack([(g >> 2) & 1, (g >> 1) & 1, g & 1]).astype(jnp.float32)
+    rows = planes.reshape(3, b, m // 128, 128)
+    W = jnp.asarray(_psk8_pack_weights())
+    out = jnp.einsum("qbrt,qtn->brn", rows, W, preferred_element_type=jnp.float32)
+    packed = out.reshape(b, (m // 128) * 48).astype(jnp.uint8)
+    n_valid = (3 * (jnp.int32(m) - idx.astype(jnp.int32))) // 8
+    return packed, n_valid
