@@ -1690,3 +1690,157 @@ def rotation_match_batch(
     limit = r * _BLOCK_SYM - (_n_pat + 1)
     found = (first < 2**30) & (local < limit)
     return jnp.where(found, local, 0), found
+
+
+# --- fused D8PSK sector-rotation magic match -----------------------------------
+
+def psk8_match_conditions(pattern: str, pattern2: str = ""):
+    """The 8 D8PSK π/4-rotation magic hypotheses as uniform plane conditions.
+
+    The received SECTOR under a channel rotation of k·π/4 is (true + k) % 8;
+    matching the frame magic in rotation-k sector space reduces to per-bit
+    conditions on the THREE Gray bit planes of the received sector: with raw
+    sector planes (b2, b1, b0), the Gray bits are g2 = b2, g1 = b2^b1,
+    g0 = b1^b0 — each a XOR of at most two planes. Returns
+    ``conds[k] = tuple of (planes, symbol_offset, bitval, exact)`` where
+    ``planes`` indexes (b2, b1, b0); ``exact`` marks bits inside ``pattern``
+    (must all match), the rest count toward the tolerance like the dibit
+    matcher's validation region. Trailing bits of a partial final tribit are
+    dropped — sector granularity, exactly like ops.psk._psk8_expected_sectors.
+    """
+    from .psk import _GRAY8_INV
+
+    both = pattern + pattern2
+    n_sym = len(both) // 3
+    n_exact_bits = len(pattern)
+    conds = []
+    for k in range(8):
+        c = []
+        for j in range(n_sym):
+            tri = (
+                int(both[3 * j]) * 4 + int(both[3 * j + 1]) * 2 + int(both[3 * j + 2])
+            )
+            e = (int(_GRAY8_INV[tri]) + k) % 8  # expected RECEIVED sector
+            ge = e ^ (e >> 1)
+            for t, (planes, gb) in enumerate(
+                (((0,), (ge >> 2) & 1), ((0, 1), (ge >> 1) & 1), ((1, 2), ge & 1))
+            ):
+                c.append((planes, j, gb, (3 * j + t) < n_exact_bits))
+        conds.append(tuple(c))
+    return tuple(conds), n_sym
+
+
+def _sector_match_kernel(
+    p2_ref, p2n_ref, p1_ref, p1n_ref, p0_ref, p0n_ref, out_ref, *, conds, blk, tol
+):
+    """Per-tile first-match SYMBOL position for all 8 rotation hypotheses.
+
+    One pass over the (blk, 128) sector bit-plane tiles (b2, b1, b0): builds
+    the lane-shifted views of each plane once, then every hypothesis is an
+    int accumulation of XOR mismatches (1- or 2-plane Gray-bit conditions)
+    -> position min. Replaces the ~8x36 XLA slice-compare passes of
+    ops.psk.psk8_sync_and_pack_rotations — the D8PSK CFO robustness tax.
+    """
+    i = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk, _BLOCK_SYM), 1)
+
+    def shifted_views(v_ref, vn_ref, max_off):
+        v = v_ref[:].astype(jnp.int32)
+        vn = vn_ref[:].astype(jnp.int32)
+        views = [v]
+        ext = jnp.concatenate([v, vn], axis=0)  # (blk+8, 128)
+        nxt = pltpu.roll(ext, ext.shape[0] - 1, axis=0)[:blk]  # row r+1
+        for j in range(1, max_off + 1):
+            same_r = pltpu.roll(v, _BLOCK_SYM - j, axis=1)
+            nxt_r = pltpu.roll(nxt, _BLOCK_SYM - j, axis=1)
+            views.append(jnp.where(lane >= _BLOCK_SYM - j, nxt_r, same_r))
+        return views
+
+    max_off = max(off for c in conds for (_p, off, _b, _e) in c)
+    vs = [
+        shifted_views(p2_ref, p2n_ref, max_off),
+        shifted_views(p1_ref, p1n_ref, max_off),
+        shifted_views(p0_ref, p0n_ref, max_off),
+    ]
+
+    pos = (
+        (i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, _BLOCK_SYM), 0))
+        * _BLOCK_SYM
+        + lane
+    )
+    big = jnp.int32(2**30)
+    firsts = []
+    for c in conds:
+        acc1 = jnp.zeros((blk, _BLOCK_SYM), jnp.int32)
+        acc2 = jnp.zeros((blk, _BLOCK_SYM), jnp.int32)
+        for planes, off, bit, exact in c:
+            src = vs[planes[0]][off]
+            for p in planes[1:]:
+                src = src ^ vs[p][off]
+            if exact:
+                acc1 = acc1 + (src ^ bit)
+            else:
+                acc2 = acc2 + (src ^ bit)
+        good = (acc1 == 0) & (acc2 <= tol)
+        firsts.append(jnp.min(jnp.where(good, pos, big)))
+    out_ref[0] = jnp.stack([jnp.full((_BLOCK_SYM,), f, jnp.int32) for f in firsts])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pattern", "rows_per_capture", "block_rows", "interpret", "pattern2", "tol",
+    ),
+)
+def sector_match_batch(
+    b2: jnp.ndarray,
+    b1: jnp.ndarray,
+    b0: jnp.ndarray,
+    pattern: str,
+    rows_per_capture: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+    pattern2: str = "",
+    tol: int = 3,
+):
+    """(B, R, 128) uint8 sector bit planes -> per-capture (first_pos, found)
+    for the 8 D8PSK rotation hypotheses, positions in SYMBOLS (tribits).
+
+    The dual of :func:`rotation_match_batch` for 3-bit sectors: tiles never
+    straddle captures (R % block_rows == 0); zero-pad tails cannot match the
+    exact region (the magic contains 1-bits) and the end-of-capture limit
+    below rejects boundary-straddling windows, mirroring the XLA matcher's
+    scan bound.
+    """
+    b, r, w = b2.shape
+    if w != _BLOCK_SYM or r != rows_per_capture or r % block_rows:
+        raise ValueError(f"bad shapes {b2.shape} for rows_per_capture={rows_per_capture}")
+    conds, n_sym = psk8_match_conditions(pattern, pattern2)
+    n_hyp = len(conds)
+    planes2d = [v.reshape(b * r, w) for v in (b2, b1, b0)]
+    steps = (b * r) // block_rows
+    last_block8 = b * r // 8 - 1
+
+    look = pl.BlockSpec(
+        (8, w),
+        lambda i: (jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    main = pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kern = functools.partial(_sector_match_kernel, conds=conds, blk=block_rows, tol=tol)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        in_specs=[main, look, main, look, main, look],
+        out_specs=pl.BlockSpec((1, n_hyp, _BLOCK_SYM), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((steps, n_hyp, _BLOCK_SYM), jnp.int32),
+        interpret=interpret,
+    )(planes2d[0], planes2d[0], planes2d[1], planes2d[1], planes2d[2], planes2d[2])
+
+    first_all = out[:, :, 0].reshape(b, steps // b, n_hyp)
+    first = jnp.min(first_all, axis=1)  # (B, n_hyp) global symbol position
+    base = (jnp.arange(b) * r * _BLOCK_SYM)[:, None]
+    local = first - base
+    limit = r * _BLOCK_SYM - (n_sym + 1)
+    found = (first < 2**30) & (local < limit)
+    return jnp.where(found, local, 0), found

@@ -1,0 +1,164 @@
+"""D8PSK Pallas sector-matcher sync tail vs the vmapped XLA path (round 4).
+
+VERDICT r3 weak #1: the 8PSK batched receive ran the rotation sync as a
+vmapped symbol-granular XLA slice scan (~8x36 full-stream passes) — 14.1
+GS/s at batch 64 vs 141 for QPSK through the same front end. The new tail is
+one Pallas VMEM sweep (ops.pallas_kernels.sector_match_batch) plus a banded
+pack einsum (ops.psk.psk8_relabel_pack_batch). These tests execute the exact
+production wiring in interpret mode and pin equivalence against
+ops.psk.psk8_sync_and_pack_rotations per rotation hypothesis.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audio_modem_radio_tpu.framing import (
+    MAGIC_BIT_PATTERN,
+    MAGIC_BIT_PATTERN2,
+    crc32,
+    pack_frame,
+    parse_frames,
+)
+from audio_modem_radio_tpu.ops.common import bytes_to_bits
+from audio_modem_radio_tpu.ops.pallas_kernels import sector_match_batch
+from audio_modem_radio_tpu.ops.psk import (
+    _GRAY8_INV,
+    psk8_relabel_pack_batch,
+    psk8_sync_and_pack_rotations,
+)
+
+
+def _sectors_from_bytes(data: bytes, lead_symbols: int, k: int, m: int, rng,
+                        junk: int = 256):
+    """A received sector stream carrying ``data``'s tribits under channel
+    rotation k. ``data`` is zero-padded to a whole number of tribits (the
+    parser ignores the trailing pad, like a real modulator's bit pad). A
+    short random-junk window precedes the lead; the rest is constant sector
+    0 — an unbounded uniform-random filler would statistically produce a
+    tol-3 false accept on SOME rotation hypothesis (~1 expected per 32k
+    symbols), identically in the Pallas and XLA matchers, which is channel
+    physics, not a tail property under test."""
+    data = data + b"\x00" * ((3 - len(data) % 3) % 3)
+    bits = bytes_to_bits(data)
+    n_sym = len(bits) // 3
+    tris = (
+        bits[: n_sym * 3].reshape(n_sym, 3) @ np.array([4, 2, 1], np.uint8)
+    ).astype(np.uint8)
+    true = _GRAY8_INV[tris].astype(np.int32)
+    rx = ((true + k) % 8).astype(np.uint8)
+    out = np.zeros(m, dtype=np.uint8)
+    out[max(0, lead_symbols - junk) : lead_symbols] = rng.integers(
+        0, 8, min(junk, lead_symbols), dtype=np.uint8
+    )
+    out[lead_symbols : lead_symbols + n_sym] = rx
+    return out
+
+
+@pytest.mark.parametrize("k", [0, 1, 3, 5, 7])
+def test_sector_match_finds_rotated_magic(k, rng):
+    b, r = 2, 256
+    m = r * 128
+    frame = pack_frame("t.bin", b"payload" * 40, 0, 1, 280, crc32(b"x"))
+    leads = [37, 1000]
+    sec = np.stack(
+        [_sectors_from_bytes(frame, lead, k, m, rng) for lead in leads]
+    )
+    planes = [
+        jnp.asarray(((sec >> 2) & 1).reshape(b, r, 128)),
+        jnp.asarray(((sec >> 1) & 1).reshape(b, r, 128)),
+        jnp.asarray((sec & 1).reshape(b, r, 128)),
+    ]
+    first, found = sector_match_batch(
+        planes[0], planes[1], planes[2], MAGIC_BIT_PATTERN, r,
+        pattern2=MAGIC_BIT_PATTERN2, interpret=True,
+    )
+    first, found = np.asarray(first), np.asarray(found)
+    for i, lead in enumerate(leads):
+        assert found[i, k], f"capture {i}: hypothesis {k} not found"
+        assert first[i, k] == lead
+    # Sanity on garbage: a fresh random stream must not match any hypothesis
+    # (the validated 32-bit magic makes false accepts ~1e-4 per capture).
+    junk = rng.integers(0, 8, (1, m), dtype=np.uint8)
+    jp = [
+        jnp.asarray(((junk >> s) & 1).reshape(1, r, 128)) for s in (2, 1, 0)
+    ]
+    _f, fnd = sector_match_batch(
+        jp[0], jp[1], jp[2], MAGIC_BIT_PATTERN, r,
+        pattern2=MAGIC_BIT_PATTERN2, interpret=True,
+    )
+    assert not np.asarray(fnd).any()
+
+
+@pytest.mark.parametrize("k", [0, 2, 6])
+def test_kernel_tail_matches_vmapped_xla(k, rng):
+    """End-to-end tail equivalence: psk8_kernel_sync_tail(interpret) byte
+    stream parses the same frame the vmapped XLA sync does."""
+    from audio_modem_radio_tpu.parallel.batch import psk8_kernel_sync_tail
+
+    b, r = 2, 256
+    m = r * 128
+    payload = rng.integers(0, 256, 300, dtype=np.uint8).tobytes()
+    frame = pack_frame("k.bin", payload, 0, 1, len(payload), crc32(payload))
+    sec = np.stack([
+        _sectors_from_bytes(frame, 11, k, m, rng),
+        _sectors_from_bytes(frame, 801, (k + 3) % 8, m, rng),
+    ])
+    packed, n_valid, found = psk8_kernel_sync_tail(
+        jnp.asarray(sec), cfo_retry=True, interpret=True
+    )
+    packed, n_valid, found = np.asarray(packed), np.asarray(n_valid), np.asarray(found)
+    ref = [
+        psk8_sync_and_pack_rotations(
+            jnp.asarray(sec[i]), MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+        )
+        for i in range(b)
+    ]
+    for i in range(b):
+        assert found[i] and bool(np.asarray(ref[i][2]))
+        got = bytes(packed[i][: n_valid[i]])
+        want = bytes(np.asarray(ref[i][0])[: int(ref[i][1])])
+        f_got, f_want = parse_frames(got), parse_frames(want)
+        assert f_got and f_want
+        assert f_got[0].data == f_want[0].data == payload
+
+
+def test_relabel_pack_matches_pack_bits_from(rng):
+    """The banded pack einsum equals gray-bits + pack_bits_from per capture."""
+    from audio_modem_radio_tpu.ops.common import pack_bits_from
+    from audio_modem_radio_tpu.ops.psk import _psk8_gray_bits
+
+    b, m = 3, 128 * 16
+    sec = rng.integers(0, 8, (b, m), dtype=np.uint8)
+    ksel = np.asarray([0, 3, 7], np.int32)
+    idx = np.asarray([0, 5, 1021], np.int32)
+    packed, n_valid = psk8_relabel_pack_batch(
+        jnp.asarray(sec), jnp.asarray(ksel), jnp.asarray(idx)
+    )
+    packed, n_valid = np.asarray(packed), np.asarray(n_valid)
+    for i in range(b):
+        st = ((sec[i].astype(np.int32) + (8 - ksel[i])) % 8).astype(np.uint8)
+        bits = np.asarray(_psk8_gray_bits(jnp.asarray(st)))
+        ref, nv = pack_bits_from(jnp.asarray(bits), jnp.int32(3 * idx[i]))
+        ref = np.asarray(ref)[: int(nv)]
+        assert n_valid[i] == int(nv)
+        assert np.array_equal(packed[i][: n_valid[i]], ref)
+
+
+def test_cfo_retry_off_rejects_rotated(rng):
+    """cfo_retry=False must not silently decode a rotated capture."""
+    from audio_modem_radio_tpu.parallel.batch import psk8_kernel_sync_tail
+
+    r = 256
+    m = r * 128
+    frame = pack_frame("r.bin", b"z" * 64, 0, 1, 64, crc32(b"z" * 64))
+    sec = _sectors_from_bytes(frame, 50, 2, m, rng)[None, :]
+    _p, _n, found = psk8_kernel_sync_tail(
+        jnp.asarray(sec), cfo_retry=False, interpret=True
+    )
+    assert not bool(np.asarray(found)[0])
+    _p, _n, found = psk8_kernel_sync_tail(
+        jnp.asarray(sec), cfo_retry=True, interpret=True
+    )
+    assert bool(np.asarray(found)[0])
