@@ -226,6 +226,66 @@ def psk2_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False,
     n_valid = (jnp.int32(n_bits) - (s & 7)) // 8
     return packed, n_valid, found
 
+def psk8_kernel_sync_tail(sec, cfo_retry: bool, interpret: bool = False):
+    """The two-stage D8PSK sync tail: Pallas sector matcher + banded pack.
+
+    One VMEM sweep computes all 8 π/4-rotation magic hypotheses on the
+    sector bit planes (ops.pallas_kernels.sector_match_batch) — this match
+    was the whole D8PSK CFO robustness tax as ~8x36 vmapped XLA slice scans
+    (14.1 GS/s at batch 64 vs the QPSK family's 141 through the same front
+    end; PERF.md r3). Relabel+pack is the banded einsum of
+    ops.psk.psk8_relabel_pack_batch: the packed stream is byte-aligned at
+    the magic, identical to the vmapped psk8_sync_and_pack_rotations
+    contract. With cfo_retry off only the k=0 hypothesis is accepted.
+    ``interpret=True`` lets the CPU suite execute this exact wiring.
+    """
+    from ..ops.pallas_kernels import sector_match_batch
+    from ..ops.psk import psk8_relabel_pack_batch
+
+    b, m = sec.shape
+    r_sym = m // 128
+    planes = [
+        ((sec >> 2) & 1).reshape(b, r_sym, 128),
+        ((sec >> 1) & 1).reshape(b, r_sym, 128),
+        (sec & 1).reshape(b, r_sym, 128),
+    ]
+
+    def fold(first, found8):
+        if not cfo_retry:
+            found8 = found8.at[:, 1:].set(False)
+        ksel = jnp.argmax(found8, axis=1)
+        s = jnp.take_along_axis(first, ksel[:, None], 1)[:, 0]
+        found = jnp.take_along_axis(found8, ksel[:, None], 1)[:, 0]
+        return jnp.where(found, s, 0), ksel, found
+
+    def match(ps, rows):
+        return sector_match_batch(
+            ps[0], ps[1], ps[2], MAGIC_BIT_PATTERN, rows,
+            pattern2=MAGIC_BIT_PATTERN2, interpret=interpret,
+        )
+
+    # Tiered prefix scan with escalation (see psk4_kernel_sync_tail):
+    # accept a tier iff every capture matched hypothesis k=0 inside it —
+    # then ksel = argmax(found8) = 0 on both views and the prefix first IS
+    # the global first for k=0.
+    def scan_tiered(tiers):
+        if not tiers:
+            return fold(*match(planes, r_sym))
+        p = tiers[0]
+        first_p, found_p = match([v[:, :p] for v in planes], p)
+        pre = fold(first_p, found_p)
+        hit = jnp.all(found_p[:, 0])
+        return jax.lax.cond(hit, lambda: pre, lambda: scan_tiered(tiers[1:]))
+
+    r_pre = -(-r_sym // 8 // _MATCH_BLOCK_ROWS) * _MATCH_BLOCK_ROWS
+    tiers = sorted({_MATCH_BLOCK_ROWS, r_pre})
+    tiers = [p for p in tiers if 2 * p <= r_sym]
+    s, ksel, found = scan_tiered(tiers)
+
+    packed, n_valid = psk8_relabel_pack_batch(sec, ksel, s)
+    return packed, n_valid, found
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -277,9 +337,9 @@ def demod_pack_batch(
     if kind == "psk8":
         # Real D8PSK (ops/psk.py): the shared blocked projection/differential
         # front end at 8th-power timing scores, elementwise π/4-sector
-        # decisions, and the 8-hypothesis rotation sync vmapped per capture
-        # (the sync is symbol-granular pattern matching — cheap slice scans,
-        # no Pallas tail needed at this mode's duty cycle).
+        # decisions, then the Pallas sector-matcher sync tail on TPU (round 4
+        # — the vmapped symbol-granular XLA sync measured 14.1 GS/s at batch
+        # 64 vs the QPSK family's 141 through the same front end).
         from ..ops.psk import (
             estimate_common_rotation_windows,
             psk8_sector_stream,
@@ -295,6 +355,19 @@ def demod_pack_batch(
             theta = estimate_common_rotation_windows(d_re, d_im, n_psk=8)
             d_re, d_im = psk_derotate(d_re, d_im, theta)
         sec = psk8_sector_stream(d_re, d_im)
+        use_kernels = (
+            jax.default_backend() == "tpu"
+            and CONFIG.get("tpu.demod_backend", "auto") != "xla"
+        )
+        if use_kernels:
+            # Pad to the matcher's tile granularity: zero-pad sectors cannot
+            # match the exact region (the magic's tribits hit 5 distinct
+            # sector values under any single rotation) and packed bytes past
+            # n_valid are ignored downstream.
+            grain = 128 * _MATCH_BLOCK_ROWS
+            m_pad = -(-sec.shape[1] // grain) * grain
+            sec_p = jnp.pad(sec, ((0, 0), (0, m_pad - sec.shape[1])))
+            return psk8_kernel_sync_tail(sec_p, cfo_retry)
         return jax.vmap(
             lambda s: psk8_sync_and_pack_rotations(
                 s, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
@@ -524,7 +597,10 @@ def _bucket_length(lengths: Sequence[int]) -> int:
     return len(pad_to_bucket(probe))
 
 
-def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarray:
+def host_shape_batch(
+    batch: np.ndarray, mode: str, symbol_rate: int,
+    fsk_mlse: Optional[bool] = None,
+) -> np.ndarray:
     """Pre-shape (B, N) captures into the layout ``demod_pack_batch`` wants.
 
     PSK-family captures become blocked (B, r, 128*spsym) rows and dual-tone
@@ -532,6 +608,10 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
     numpy views, so the device never pays the pad+reshape tiled-layout
     shuffle (~half the pipeline when measured on v5e; PERF.md). Other mode
     families pass through unchanged.
+
+    ``fsk_mlse`` overrides CONFIG ``modem.batch_mlse`` for the FSK row-shape
+    decision (MLSE correlates the RAW samples, so an MLSE dispatch must keep
+    flat (B, N) input); None defers to CONFIG.
     """
     batch = np.asarray(batch, dtype=np.float32)
     b = batch.shape[0]
@@ -611,7 +691,10 @@ def host_shape_batch(batch: np.ndarray, mode: str, symbol_rate: int) -> np.ndarr
                 batch = _overlap_rows(batch, r_pad, row, ov, dtype=dtype)
             else:
                 batch = _overlap_rows(batch, r, row, ov)
-        elif not bool(CONFIG.get("modem.batch_mlse", False)):
+        elif not (
+            bool(CONFIG.get("modem.batch_mlse", False)) if fsk_mlse is None
+            else fsk_mlse
+        ):
             # Close/mid-tone configs (FSK9600/FSK19200): pre-shape the matmul
             # FIR front end's overlapped input windows instead — the same
             # relayout the device otherwise builds inside
@@ -707,15 +790,17 @@ def decode_sample_batch(
     mode: str,
     symbol_rate: int,
     mesh=None,
+    fsk_mlse: Optional[bool] = None,
 ) -> List[bytes]:
     """Demodulate a (B, N) batch to per-capture raw byte streams.
 
     When a mesh (or more than one device) is available the batch axis is
     sharded across it. PSK-family captures are pre-shaped into blocked rows
     on the host (cheap numpy) so the device never pays the pad+reshape
-    relayout.
+    relayout. ``fsk_mlse`` overrides CONFIG ``modem.batch_mlse`` (used by
+    the MLSE escalation in ``decode_wav_batch``); None defers to CONFIG.
     """
-    batch = host_shape_batch(batch, mode, symbol_rate)
+    batch = host_shape_batch(batch, mode, symbol_rate, fsk_mlse=fsk_mlse)
     b = batch.shape[0]
 
     if mesh is None and len(jax.devices()) > 1:
@@ -732,7 +817,10 @@ def decode_sample_batch(
         mode,
         int(symbol_rate),
         cfo_retry=bool(CONFIG.get("modem.cfo_retry", True)),
-        fsk_mlse=bool(CONFIG.get("modem.batch_mlse", False)),
+        fsk_mlse=(
+            bool(CONFIG.get("modem.batch_mlse", False)) if fsk_mlse is None
+            else bool(fsk_mlse)
+        ),
     )
     packed = np.asarray(packed)[:b]
     n_valid = np.asarray(n_valid)[:b]
@@ -900,8 +988,51 @@ def decode_wav_batch(
     for i, raw in enumerate(raws):
         frames, damaged, total_loss = _ladder(raw, arrays[i], rescue=True)
         out.append(save_decoded_files(frames, recv_dir, registry, damaged=damaged or None))
-        if total_loss and not out[-1]:
+        # A capture is "lost" (eligible for the MLSE / clock-drift
+        # escalations) when it saved nothing AND produced no CRC-valid
+        # frame — damaged-only parses count as lost (a 1-bit name corruption
+        # must not mask the escalation), but a valid multi-part frame that
+        # entered the assembly without completing it is progress, not loss.
+        if not out[-1] and not frames:
             lost.append(i)
+
+    kind, params = resolve_demod_plan(mode, symbol_rate)
+    if (
+        lost
+        and kind == "fsk"
+        and not bool(CONFIG.get("modem.batch_mlse", False))
+    ):
+        from ..ops.fsk import _separation_cycles
+
+        if _separation_cycles(params[0], params[1], params[2], SAMPLE_RATE) < 0.8:
+            # MLSE escalation: the batch skips the ~3x-cost trellis
+            # refinement by default (the equalizer's ~1.5e-5 floor is below
+            # frame-loss relevance on healthy captures), which made a
+            # marginal capture the single-file path decodes silently LOST
+            # in a batch. Re-dispatch ONLY the captures whose parse found
+            # nothing through the MLSE-refined path — overhead stays
+            # proportional to the failed fraction, and batch never decodes
+            # strictly worse than single-file. (The blanket batch_mlse
+            # config remains for pay-up-front workloads.)
+            esc = np.zeros((len(lost), batch.shape[1]), dtype=np.float32)
+            for j, i in enumerate(lost):
+                esc[j, : min(len(arrays[i]), esc.shape[1])] = arrays[i][: esc.shape[1]]
+            esc_raws = decode_sample_batch(
+                esc, mode, symbol_rate, mesh=mesh, fsk_mlse=True
+            )
+            still_lost: List[int] = []
+            for j, i in enumerate(lost):
+                frames, damaged, total_loss = _ladder(
+                    esc_raws[j], arrays[i], rescue=True
+                )
+                saved = save_decoded_files(
+                    frames, recv_dir, registry, damaged=damaged or None
+                )
+                if saved:
+                    out[i] = saved
+                elif not frames:
+                    still_lost.append(i)
+            lost = still_lost
 
     if drift_retry and lost:
         # Clock-drift hypotheses for the captures that yielded nothing: rows
