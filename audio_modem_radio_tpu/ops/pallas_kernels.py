@@ -1701,12 +1701,14 @@ def psk8_match_conditions(pattern: str, pattern2: str = ""):
     matching the frame magic in rotation-k sector space reduces to per-bit
     conditions on the THREE Gray bit planes of the received sector: with raw
     sector planes (b2, b1, b0), the Gray bits are g2 = b2, g1 = b2^b1,
-    g0 = b1^b0 — each a XOR of at most two planes. Returns
-    ``conds[k] = tuple of (planes, symbol_offset, bitval, exact)`` where
-    ``planes`` indexes (b2, b1, b0); ``exact`` marks bits inside ``pattern``
-    (must all match), the rest count toward the tolerance like the dibit
-    matcher's validation region. Trailing bits of a partial final tribit are
-    dropped — sector granularity, exactly like ops.psk._psk8_expected_sectors.
+    g0 = b1^b0 — derived ONCE in the kernel so every condition is a
+    single-plane lookup across all 8 hypotheses. Returns
+    ``conds[k] = tuple of (gray_plane, symbol_offset, bitval, exact)`` where
+    ``gray_plane`` indexes (g2, g1, g0); ``exact`` marks bits inside
+    ``pattern`` (must all match), the rest count toward the tolerance like
+    the dibit matcher's validation region. Trailing bits of a partial final
+    tribit are dropped — sector granularity, exactly like
+    ops.psk._psk8_expected_sectors.
     """
     from .psk import _GRAY8_INV
 
@@ -1722,31 +1724,31 @@ def psk8_match_conditions(pattern: str, pattern2: str = ""):
             )
             e = (int(_GRAY8_INV[tri]) + k) % 8  # expected RECEIVED sector
             ge = e ^ (e >> 1)
-            for t, (planes, gb) in enumerate(
-                (((0,), (ge >> 2) & 1), ((0, 1), (ge >> 1) & 1), ((1, 2), ge & 1))
-            ):
-                c.append((planes, j, gb, (3 * j + t) < n_exact_bits))
+            for t, gb in enumerate(((ge >> 2) & 1, (ge >> 1) & 1, ge & 1)):
+                c.append((t, j, gb, (3 * j + t) < n_exact_bits))
         conds.append(tuple(c))
     return tuple(conds), n_sym
 
 
-def _sector_match_kernel(
-    p2_ref, p2n_ref, p1_ref, p1n_ref, p0_ref, p0n_ref, out_ref, *, conds, blk, tol
-):
+def _sector_match_kernel(p2_ref, p2n_ref, out_ref, *, conds, blk, tol):
     """Per-tile first-match SYMBOL position for all 8 rotation hypotheses.
 
-    One pass over the (blk, 128) sector bit-plane tiles (b2, b1, b0): builds
-    the lane-shifted views of each plane once, then every hypothesis is an
-    int accumulation of XOR mismatches (1- or 2-plane Gray-bit conditions)
-    -> position min. Replaces the ~8x36 XLA slice-compare passes of
-    ops.psk.psk8_sync_and_pack_rotations — the D8PSK CFO robustness tax.
+    One pass over the (blk, 128) RAW SECTOR tiles: extracts the (b2, b1, b0)
+    bit planes in VMEM (an XLA plane build cost ~4 ms/batch on v5e — 40% of
+    the whole tail), derives the three GRAY planes once (g2 = b2,
+    g1 = b2^b1, g0 = b1^b0 — so the 8 hypotheses never recompute a
+    two-plane XOR), builds the lane-shifted views, then every hypothesis is
+    an int accumulation of XOR mismatches -> position min. Replaces the
+    ~8x36 XLA slice-compare passes of ops.psk.psk8_sync_and_pack_rotations
+    — the D8PSK CFO robustness tax.
     """
     i = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (blk, _BLOCK_SYM), 1)
+    sec = p2_ref[:].astype(jnp.int32)
+    secn = p2n_ref[:].astype(jnp.int32)
+    max_off = max(off for c in conds for (_p, off, _b, _e) in c)
 
-    def shifted_views(v_ref, vn_ref, max_off):
-        v = v_ref[:].astype(jnp.int32)
-        vn = vn_ref[:].astype(jnp.int32)
+    def shifted_views(v, vn):
         views = [v]
         ext = jnp.concatenate([v, vn], axis=0)  # (blk+8, 128)
         nxt = pltpu.roll(ext, ext.shape[0] - 1, axis=0)[:blk]  # row r+1
@@ -1756,11 +1758,13 @@ def _sector_match_kernel(
             views.append(jnp.where(lane >= _BLOCK_SYM - j, nxt_r, same_r))
         return views
 
-    max_off = max(off for c in conds for (_p, off, _b, _e) in c)
-    vs = [
-        shifted_views(p2_ref, p2n_ref, max_off),
-        shifted_views(p1_ref, p1n_ref, max_off),
-        shifted_views(p0_ref, p0n_ref, max_off),
+    v2 = shifted_views((sec >> 2) & 1, (secn >> 2) & 1)
+    v1 = shifted_views((sec >> 1) & 1, (secn >> 1) & 1)
+    v0 = shifted_views(sec & 1, secn & 1)
+    gs = [
+        v2,
+        [a ^ b for a, b in zip(v2, v1)],
+        [a ^ b for a, b in zip(v1, v0)],
     ]
 
     pos = (
@@ -1773,10 +1777,8 @@ def _sector_match_kernel(
     for c in conds:
         acc1 = jnp.zeros((blk, _BLOCK_SYM), jnp.int32)
         acc2 = jnp.zeros((blk, _BLOCK_SYM), jnp.int32)
-        for planes, off, bit, exact in c:
-            src = vs[planes[0]][off]
-            for p in planes[1:]:
-                src = src ^ vs[p][off]
+        for gplane, off, bit, exact in c:
+            src = gs[gplane][off]
             if exact:
                 acc1 = acc1 + (src ^ bit)
             else:
@@ -1793,9 +1795,7 @@ def _sector_match_kernel(
     ),
 )
 def sector_match_batch(
-    b2: jnp.ndarray,
-    b1: jnp.ndarray,
-    b0: jnp.ndarray,
+    sec3: jnp.ndarray,
     pattern: str,
     rows_per_capture: int,
     block_rows: int = 256,
@@ -1803,21 +1803,23 @@ def sector_match_batch(
     pattern2: str = "",
     tol: int = 3,
 ):
-    """(B, R, 128) uint8 sector bit planes -> per-capture (first_pos, found)
+    """(B, R, 128) uint8 RAW SECTOR rows -> per-capture (first_pos, found)
     for the 8 D8PSK rotation hypotheses, positions in SYMBOLS (tribits).
 
-    The dual of :func:`rotation_match_batch` for 3-bit sectors: tiles never
-    straddle captures (R % block_rows == 0); zero-pad tails cannot match the
-    exact region (the magic contains 1-bits) and the end-of-capture limit
-    below rejects boundary-straddling windows, mirroring the XLA matcher's
-    scan bound.
+    The dual of :func:`rotation_match_batch` for 3-bit sectors; bit planes
+    are extracted inside the kernel (feeding pre-built planes cost an extra
+    ~4 ms XLA pass per batch). Tiles never straddle captures
+    (R % block_rows == 0); zero-pad tails cannot match the exact region
+    (the magic's tribits hit 5 distinct sector values under any single
+    rotation) and the end-of-capture limit below rejects
+    boundary-straddling windows, mirroring the XLA matcher's scan bound.
     """
-    b, r, w = b2.shape
+    b, r, w = sec3.shape
     if w != _BLOCK_SYM or r != rows_per_capture or r % block_rows:
-        raise ValueError(f"bad shapes {b2.shape} for rows_per_capture={rows_per_capture}")
+        raise ValueError(f"bad shapes {sec3.shape} for rows_per_capture={rows_per_capture}")
     conds, n_sym = psk8_match_conditions(pattern, pattern2)
     n_hyp = len(conds)
-    planes2d = [v.reshape(b * r, w) for v in (b2, b1, b0)]
+    sec2d = sec3.reshape(b * r, w)
     steps = (b * r) // block_rows
     last_block8 = b * r // 8 - 1
 
@@ -1831,11 +1833,11 @@ def sector_match_batch(
     out = pl.pallas_call(
         kern,
         grid=(steps,),
-        in_specs=[main, look, main, look, main, look],
+        in_specs=[main, look],
         out_specs=pl.BlockSpec((1, n_hyp, _BLOCK_SYM), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((steps, n_hyp, _BLOCK_SYM), jnp.int32),
         interpret=interpret,
-    )(planes2d[0], planes2d[0], planes2d[1], planes2d[1], planes2d[2], planes2d[2])
+    )(sec2d, sec2d)
 
     first_all = out[:, :, 0].reshape(b, steps // b, n_hyp)
     first = jnp.min(first_all, axis=1)  # (B, n_hyp) global symbol position
@@ -1844,3 +1846,128 @@ def sector_match_batch(
     limit = r * _BLOCK_SYM - (n_sym + 1)
     found = (first < 2**30) & (local < limit)
     return jnp.where(found, local, 0), found
+
+
+@functools.lru_cache(maxsize=1)
+def _psk8_shifted_pack_weights() -> Tuple[np.ndarray, np.ndarray]:
+    """(8, 3, 128, 48) main + wrap weight tables for the D8PSK sector pack.
+
+    For symbol shift r8 (0..7), byte c of a 128-symbol row sums flat Gray
+    bits 8c + 3·r8 + i (i = 0..7) MSB-first, where flat bit p = 3t + q reads
+    Gray plane q of symbol t. 128 symbols = 384 bits = exactly 48 bytes per
+    row; positions past symbol 127 (the shifted last bytes' spill, ≤ 7
+    symbols) land in the wrap tables, applied to the NEXT row's planes. Byte
+    sums are sums of distinct powers of two (< 256, exact in f32), so the
+    output is bitwise equal to the XLA reference pack.
+    """
+    w = np.zeros((8, 3, 128, 48), np.float32)
+    ww = np.zeros((8, 3, 128, 48), np.float32)
+    for r8 in range(8):
+        for c in range(48):
+            for i in range(8):
+                p = 8 * c + 3 * r8 + i
+                t, q = divmod(p, 3)
+                v = float(1 << (7 - i))
+                if t < 128:
+                    w[r8, q, t, c] += v
+                else:
+                    ww[r8, q, t - 128, c] += v
+    return w, ww
+
+
+def _kernel_psk8_relabel_pack(
+    sc_ref, sec_ref, secn_ref, w_ref, ww_ref, out_ref, *, steps_per_capture
+):
+    """Fused D8PSK relabel + mod-8 shift + Gray + byte pack (one VMEM pass).
+
+    Per tile: true sector = (rx + 8 − k) & 7 (k from scalar prefetch), Gray
+    planes elementwise, then SIX (blk, 128) @ (128, 48) matmuls against the
+    per-capture r8-selected weight tables (three planes × main + next-row
+    wrap). The XLA reference path (ops.psk.psk8_relabel_pack_batch) pays
+    ~5.9 ms/batch in plane builds, an 8-way masked select, and the einsum;
+    this kernel reads the uint8 sectors once and writes packed bytes.
+    """
+    blk = out_ref.shape[0]
+    cap = pl.program_id(0) // steps_per_capture
+    k = sc_ref[cap, 0]
+
+    def gray_planes(s8):
+        t = (s8.astype(jnp.int32) + 8 - k) & 7
+        g = t ^ (t >> 1)
+        return (
+            ((g >> 2) & 1).astype(jnp.float32),
+            ((g >> 1) & 1).astype(jnp.float32),
+            (g & 1).astype(jnp.float32),
+        )
+
+    gs = gray_planes(sec_ref[:])
+    gn8 = gray_planes(secn_ref[:])
+    acc = jnp.zeros((blk, out_ref.shape[1]), jnp.float32)
+    for q in range(3):
+        ext = jnp.concatenate([gs[q], gn8[q]], axis=0)
+        nxt = pltpu.roll(ext, ext.shape[0] - 1, axis=0)[:blk]  # row r+1 plane
+        acc = acc + jnp.dot(gs[q], w_ref[0, q], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(nxt, ww_ref[0, q], preferred_element_type=jnp.float32)
+    # Mosaic has no f32->u8 cast; go through i32 (sums are exact, < 256).
+    out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_capture", "block_rows", "interpret")
+)
+def psk8_relabel_pack_rows(
+    sec3: jnp.ndarray,
+    ksel: jnp.ndarray,
+    r8: jnp.ndarray,
+    rows_per_capture: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch fused D8PSK relabel + byte pack (Pallas).
+
+    Args:
+      sec3: (B, R, 128) uint8 received sector rows (R = rows_per_capture,
+        multiple of block_rows).
+      ksel: (B,) int32 winning rotation hypothesis.
+      r8: (B,) int32 sync shift in symbols, already reduced mod 8 (the
+        whole-byte remainder is the parsers' magic scan's job — the QPSK
+        relabel+pack kernel's exact contract).
+    Returns packed uint8 of shape (B, R*48); the final bytes of each capture
+    may read the next capture's head (harmless tail garbage past n_valid).
+    """
+    b, r, w = sec3.shape
+    if w != _BLOCK_SYM or r != rows_per_capture or r % block_rows:
+        raise ValueError(f"bad shapes {sec3.shape} for rows_per_capture={rows_per_capture}")
+    steps_per_capture = r // block_rows
+    grid = (b * steps_per_capture,)
+    sec2d = sec3.reshape(b * r, w)
+    last_block8 = b * r // 8 - 1
+    scal = jnp.stack([ksel.astype(jnp.int32), r8.astype(jnp.int32)], axis=1)
+    wmain, wwrap = _psk8_shifted_pack_weights()
+    spc = steps_per_capture
+    wspec = pl.BlockSpec((1, 3, 128, 48), lambda i, sc, spc=spc: (sc[i // spc, 1], 0, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, w), lambda i, sc: (i, 0)),
+            pl.BlockSpec(
+                (8, w),
+                lambda i, sc: (
+                    jnp.minimum(i * (block_rows // 8) + block_rows // 8, last_block8),
+                    0,
+                ),
+            ),
+            wspec,
+            wspec,
+        ],
+        out_specs=pl.BlockSpec((block_rows, 48), lambda i, sc: (i, 0)),
+    )
+    kern = functools.partial(_kernel_psk8_relabel_pack, steps_per_capture=spc)
+    packed = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * r, 48), jnp.uint8),
+        interpret=interpret,
+    )(scal, sec2d, sec2d, jnp.asarray(wmain), jnp.asarray(wwrap))
+    return packed.reshape(b, r * 48)

@@ -1483,22 +1483,28 @@ def psk8_relabel_pack_batch(
 
     ``sec`` (B, m) received sectors (m % 128 == 0), ``ksel`` (B,) the
     rotation hypothesis, ``idx`` (B,) the match start in SYMBOLS. True
-    sector = received − k (mod 8); the stream is shifted so the magic's
-    first tribit lands at bit 0 (byte-aligned, like pack_bits_from), Gray
-    bit planes come out elementwise, and one banded einsum packs bytes.
-    Returns ``(packed (B, m//128*48) uint8, n_valid (B,))``.
+    sector = received − k (mod 8); the stream is shifted by ``idx mod 8``
+    symbols only — 3·8 = 24 bits per 8 symbols, so the magic then sits at
+    the WHOLE byte 3·(idx//8), which the frame parsers' magic scan absorbs
+    (the identical mod-8 contract as the QPSK relabel+pack kernel). The
+    per-capture shift is 8 static slices selected by mask: a
+    take_along_axis gather here measured 490 ms/batch on v5e — 46x the
+    whole sync tail. Gray bit planes come out elementwise and one banded
+    einsum packs bytes. Returns ``(packed (B, m//128*48) uint8,
+    n_valid (B,))``.
     """
     b, m = sec.shape
     true = (sec.astype(jnp.int32) + (8 - ksel.astype(jnp.int32))[:, None]) & 7
-    # Batched shift-left by idx symbols, zero-filled tail (beyond n_valid).
-    pos = jnp.arange(m, dtype=jnp.int32)[None, :] + idx.astype(jnp.int32)[:, None]
-    shifted = jnp.take_along_axis(true, jnp.minimum(pos, m - 1), axis=1)
-    shifted = jnp.where(pos < m, shifted, 0)
+    r8 = idx.astype(jnp.int32) % 8
+    xp = jnp.pad(true, ((0, 0), (0, 8)))  # zero tail: garbage beyond n_valid
+    shifted = xp[:, :m]
+    for k in range(1, 8):
+        shifted = jnp.where(r8[:, None] == k, xp[:, k : k + m], shifted)
     g = shifted ^ (shifted >> 1)
     planes = jnp.stack([(g >> 2) & 1, (g >> 1) & 1, g & 1]).astype(jnp.float32)
     rows = planes.reshape(3, b, m // 128, 128)
     W = jnp.asarray(_psk8_pack_weights())
     out = jnp.einsum("qbrt,qtn->brn", rows, W, preferred_element_type=jnp.float32)
     packed = out.reshape(b, (m // 128) * 48).astype(jnp.uint8)
-    n_valid = (3 * (jnp.int32(m) - idx.astype(jnp.int32))) // 8
+    n_valid = (3 * (jnp.int32(m) - r8)) // 8
     return packed, n_valid

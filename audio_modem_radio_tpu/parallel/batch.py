@@ -229,52 +229,59 @@ def psk2_kernel_sync_tail(hi, lo, cfo_retry: bool, interpret: bool = False,
 def psk8_kernel_sync_tail(sec, cfo_retry: bool, interpret: bool = False):
     """The two-stage D8PSK sync tail: Pallas sector matcher + banded pack.
 
-    One VMEM sweep computes all 8 π/4-rotation magic hypotheses on the
-    sector bit planes (ops.pallas_kernels.sector_match_batch) — this match
-    was the whole D8PSK CFO robustness tax as ~8x36 vmapped XLA slice scans
+    One VMEM sweep computes all 8 π/4-rotation magic hypotheses on the raw
+    sector rows (ops.pallas_kernels.sector_match_batch) — this match was
+    the whole D8PSK CFO robustness tax as ~8x36 vmapped XLA slice scans
     (14.1 GS/s at batch 64 vs the QPSK family's 141 through the same front
-    end; PERF.md r3). Relabel+pack is the banded einsum of
-    ops.psk.psk8_relabel_pack_batch: the packed stream is byte-aligned at
-    the magic, identical to the vmapped psk8_sync_and_pack_rotations
-    contract. With cfo_retry off only the k=0 hypothesis is accepted.
+    end; PERF.md r3). Relabel+pack is the fused weights-variant kernel
+    (psk8_relabel_pack_rows): the stream is aligned only mod 8 symbols —
+    the frame sits at byte 3·(s//8), which the parsers' magic scan absorbs.
+    With cfo_retry off only the k=0 hypothesis is accepted.
     ``interpret=True`` lets the CPU suite execute this exact wiring.
     """
-    from ..ops.pallas_kernels import sector_match_batch
-    from ..ops.psk import psk8_relabel_pack_batch
+    from ..ops.pallas_kernels import psk8_relabel_pack_rows, sector_match_batch
 
     b, m = sec.shape
     r_sym = m // 128
-    planes = [
-        ((sec >> 2) & 1).reshape(b, r_sym, 128),
-        ((sec >> 1) & 1).reshape(b, r_sym, 128),
-        (sec & 1).reshape(b, r_sym, 128),
-    ]
+    sec3 = sec.reshape(b, r_sym, 128)
 
     def fold(first, found8):
+        # EARLIEST-POSITION hypothesis select (k-order tiebreak): the true
+        # rotation is the one whose validated magic starts the frame; any
+        # other hypothesis matching is a rare false accept further into the
+        # stream. Earliest-position is also what makes the tiered prefix
+        # scan sound for ALL hypotheses (below) — a D8PSK capture's residual
+        # k after blind derotation is channel phase, uniform over 0..7, so
+        # a k=0-only acceptance (the QPSK tail's rule) would escalate to the
+        # full scan on 7 of 8 captures.
         if not cfo_retry:
             found8 = found8.at[:, 1:].set(False)
-        ksel = jnp.argmax(found8, axis=1)
+        big = jnp.int32(2**30)
+        score = jnp.where(found8, first * 8 + jnp.arange(8, dtype=jnp.int32), big)
+        ksel = jnp.argmin(score, axis=1)
         s = jnp.take_along_axis(first, ksel[:, None], 1)[:, 0]
         found = jnp.take_along_axis(found8, ksel[:, None], 1)[:, 0]
-        return jnp.where(found, s, 0), ksel, found
+        return jnp.where(found, s, 0), ksel.astype(jnp.int32), found
 
-    def match(ps, rows):
+    def match(s3, rows):
         return sector_match_batch(
-            ps[0], ps[1], ps[2], MAGIC_BIT_PATTERN, rows,
+            s3, MAGIC_BIT_PATTERN, rows,
             pattern2=MAGIC_BIT_PATTERN2, interpret=interpret,
         )
 
     # Tiered prefix scan with escalation (see psk4_kernel_sync_tail):
-    # accept a tier iff every capture matched hypothesis k=0 inside it —
-    # then ksel = argmax(found8) = 0 on both views and the prefix first IS
-    # the global first for k=0.
+    # accept a tier iff every capture matched ANY hypothesis inside it.
+    # Sound under the earliest-position fold: positions beyond the prefix
+    # are strictly larger, so if a capture has any in-prefix match, the
+    # globally earliest match (every hypothesis) lies in the prefix and the
+    # prefix fold equals the full-scan fold.
     def scan_tiered(tiers):
         if not tiers:
-            return fold(*match(planes, r_sym))
+            return fold(*match(sec3, r_sym))
         p = tiers[0]
-        first_p, found_p = match([v[:, :p] for v in planes], p)
+        first_p, found_p = match(sec3[:, :p], p)
         pre = fold(first_p, found_p)
-        hit = jnp.all(found_p[:, 0])
+        hit = jnp.all(found_p.any(axis=1) if cfo_retry else found_p[:, 0])
         return jax.lax.cond(hit, lambda: pre, lambda: scan_tiered(tiers[1:]))
 
     r_pre = -(-r_sym // 8 // _MATCH_BLOCK_ROWS) * _MATCH_BLOCK_ROWS
@@ -282,7 +289,11 @@ def psk8_kernel_sync_tail(sec, cfo_retry: bool, interpret: bool = False):
     tiers = [p for p in tiers if 2 * p <= r_sym]
     s, ksel, found = scan_tiered(tiers)
 
-    packed, n_valid = psk8_relabel_pack_batch(sec, ksel, s)
+    r8 = s % 8
+    packed = psk8_relabel_pack_rows(
+        sec3, ksel, r8, rows_per_capture=r_sym, interpret=interpret
+    )
+    n_valid = (3 * (jnp.int32(m) - r8)) // 8
     return packed, n_valid, found
 
 

@@ -59,23 +59,76 @@ def measure_mode(
     symbol_rate: int = 4800,
     trials: int = 3,
     seed: int = 0,
+    fec: str = "",
 ) -> Dict:
-    """One (mode, SNR) cell: returns BER and frame-recovery statistics."""
+    """One (mode, SNR) cell: returns BER and frame-recovery statistics.
+
+    ``fec="conv"`` transmits the payload in a convolutional FECV container
+    (rate 1/2, K=7) and measures the full receive ladder the decoder runs:
+    strict parse -> hard Viterbi heal of damaged payloads -> soft-decision
+    payload recovery (decoder.recover_payload_fec_soft). The row reports
+    ``recovery_hard`` (parse or hard FEC) and ``frame_recovery_rate``
+    (including the soft escalation) so the soft gain is visible per cell
+    (VERDICT r3 #4 — the FSK9600@15 dB and 8PSK@5-10 dB cells).
+    """
     from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
     from audio_modem_radio_tpu.modem import demodulate, modulate
+
+    if fec:
+        from audio_modem_radio_tpu.decoder import recover_payload_fec_soft
+        from audio_modem_radio_tpu.fec import unwrap_fec, wrap_fec
+        from audio_modem_radio_tpu.framing import parse_frames_detailed
 
     rng = np.random.default_rng(seed)
     bers: List[float] = []
     recovered = 0
+    recovered_hard = 0
     for t in range(trials):
         payload = rng.integers(0, 256, payload_len, dtype=np.uint8).tobytes()
-        framed = pack_frame("ber.bin", payload, 0, 1, payload_len, crc32(payload))
+        tx = wrap_fec(payload, "convolutional") if fec else payload
+        framed = pack_frame("ber.bin", tx, 0, 1, payload_len, crc32(payload))
         wave = np.asarray(modulate(mode, framed, symbol_rate), np.float64)
         p_sig = float(np.mean(wave**2))
         p_noise = p_sig / (10 ** (snr_db / 10))
         noisy = (wave + rng.normal(0, np.sqrt(p_noise), len(wave))).astype(np.float32)
 
         raw = demodulate(mode, noisy, symbol_rate)
+        if fec:
+            frames, damaged = parse_frames_detailed(raw)
+            got = None
+            if frames:
+                try:
+                    got = unwrap_fec(frames[0].data)
+                except Exception:
+                    got = None
+            if got != payload and damaged:
+                try:
+                    got = unwrap_fec(damaged[0].data)  # hard Viterbi heal
+                except Exception:
+                    got = None
+            if got == payload:
+                recovered_hard += 1
+                recovered += 1
+                bers.append(0.0)
+                continue
+            hard_try = got
+            rec = recover_payload_fec_soft(
+                raw, noisy, mode, symbol_rate, list(damaged)
+            )
+            if rec:
+                try:
+                    got = unwrap_fec(rec[0].data)
+                except Exception:
+                    got = None
+            if got == payload:
+                recovered += 1
+                bers.append(0.0)
+            else:
+                bers.append(
+                    _bit_errors(payload, hard_try or got or b"") if (hard_try or got)
+                    else 0.5
+                )
+            continue
         frames = parse_frames(raw)
         if frames and frames[0].data == payload:
             recovered += 1
@@ -89,7 +142,7 @@ def measure_mode(
                 bers.append(_bit_errors(payload, raw[idx + hdr :]))
             else:
                 bers.append(0.5)  # no sync at all
-    return {
+    cell = {
         "mode": mode,
         "snr_db": snr_db,
         "ber": float(np.mean(bers)),
@@ -98,17 +151,23 @@ def measure_mode(
         "payload_len": payload_len,
         "symbol_rate": symbol_rate,
     }
+    if fec:
+        cell["fec"] = fec
+        cell["recovery_hard"] = recovered_hard / trials
+    return cell
 
 
-def run(modes: List[str], snrs: List[float], payload_len: int, trials: int) -> List[Dict]:
+def run(modes: List[str], snrs: List[float], payload_len: int, trials: int,
+        fec: str = "") -> List[Dict]:
     results = []
     for mode in modes:
         for snr in snrs:
-            cell = measure_mode(mode, snr, payload_len, trials=trials)
+            cell = measure_mode(mode, snr, payload_len, trials=trials, fec=fec)
             results.append(cell)
+            extra = f"  hard {cell['recovery_hard']:.0%}" if fec else ""
             print(
                 f"{mode:10s} SNR {snr:5.1f} dB  BER {cell['ber']:.4f}  "
-                f"frames {cell['frame_recovery_rate']:.0%}",
+                f"frames {cell['frame_recovery_rate']:.0%}{extra}",
                 flush=True,
             )
     return results
@@ -184,6 +243,8 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default="ber_results.json")
     ap.add_argument("--cfo", action="store_true", help="run the CFO tolerance sweep instead")
+    ap.add_argument("--fec", action="store_true",
+                    help="convolutional-FEC rows: hard + soft recovery ladder per cell")
     args = ap.parse_args()
 
     if args.cfo:
@@ -203,9 +264,11 @@ def main() -> int:
         [float(s) for s in args.snrs.split(",")],
         args.payload,
         args.trials,
+        fec="conv" if args.fec else "",
     )
+    default_name = "ber_fec_results.json" if args.fec else "ber_results.json"
     out_path = args.out if args.out != "ber_results.json" else os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "ber_results.json"
+        os.path.dirname(os.path.abspath(__file__)), default_name
     )
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)

@@ -140,7 +140,14 @@ def main() -> int:
     ap.add_argument("--modes", default=",".join(CONFIGS))
     ap.add_argument("--batch", type=int, default=0, help="override the per-config batch size")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "honest_results.json"))
+    ap.add_argument("--backend", default="", choices=("", "auto", "xla"),
+                    help="override CONFIG tpu.demod_backend (A/B the Pallas sync tails vs the vmapped XLA paths)")
     args = ap.parse_args()
+
+    if args.backend:
+        from audio_modem_radio_tpu.config import CONFIG
+
+        CONFIG.set("tpu.demod_backend", args.backend)
 
     results = []
     for mode in args.modes.split(","):
