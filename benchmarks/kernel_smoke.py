@@ -13,13 +13,28 @@ independent references:
               psk4_kernel_sync_tail)                    vs interpret=True.
   bpsk_tail   rotation_match_batch(family="bpsk") + bit_select_pack_batch
               (psk2_kernel_sync_tail)                   vs interpret=True.
+  psk8_tail   sector_match_batch + psk8_relabel_pack_rows (production wiring
+              psk8_kernel_sync_tail, round 4)           vs interpret=True.
   fsk_optin   fsk_project_bits_batch (opt-in kernel)    vs interpret=True.
 
 Each entry records a pass/fail and a sha256 checksum of the non-interpreted
 output so the committed artifact (KERNEL_SMOKE.json) pins the exact device
-behavior per round. Run via ``python bench.py --smoke`` on the TPU; on a CPU
-backend the non-interpreted kernels cannot run and the harness reports
-skipped=true.
+behavior per round.
+
+PRODUCTION-SHAPE rows (VERDICT r3 #10): the small-shape rows above cannot
+exercise grid edges at full row counts or VMEM pressure at bench tiling.
+``--full`` adds one ``<mode>_full`` row per mode family that runs the FULL
+fused production program (parallel.batch.demod_pack_batch) at the honest
+bench's per-capture length (benchmarks/honest.py CONFIGS) on chip and
+verifies end to end: sync found on every capture, the frame magic parses
+out of capture 0's packed bytes, and a sha256 of those bytes pins the
+device behavior. Batch is reduced 64->8 where honest.py uses 64: Pallas
+grids here are (batch*rows/block,) — batch scales the number of identical
+grid steps, while tile shapes, block edges and VMEM footprint are set by
+the per-capture row geometry, which is kept at bench shape.
+
+Run via ``python bench.py --smoke [--full]`` on the TPU; on a CPU backend
+the non-interpreted kernels cannot run and the harness reports skipped=true.
 """
 
 from __future__ import annotations
@@ -135,6 +150,39 @@ def run_smoke() -> dict:
         ok = all(np.array_equal(np.asarray(a), np.asarray(c)) for a, c in zip(dev, ref))
         checks[name] = {"ok": bool(ok), "sha": _sha(*dev)}
 
+    # D8PSK sync tail (round 4): Pallas sector matcher + fused relabel/pack
+    # (production wiring psk8_kernel_sync_tail), real Mosaic vs interpreter
+    # on an identical sector stream.
+    try:
+        from audio_modem_radio_tpu.ops.psk import (
+            estimate_common_rotation_windows,
+            psk8_sector_stream,
+            psk_demod_streams_batch,
+        )
+        from audio_modem_radio_tpu.parallel.batch import (
+            _MATCH_BLOCK_ROWS,
+            psk8_kernel_sync_tail,
+        )
+
+        batch8 = _capture_batch("8PSK", int(baud), seed=11)
+        d_re, d_im = psk_demod_streams_batch(
+            jnp.asarray(batch8), baud, carrier, sr, n_psk=8
+        )
+        theta8 = estimate_common_rotation_windows(d_re, d_im, n_psk=8)
+        d_re, d_im = derotate(d_re, d_im, theta8)
+        sec = psk8_sector_stream(d_re, d_im)
+        grain = 128 * _MATCH_BLOCK_ROWS
+        m_pad = -(-sec.shape[1] // grain) * grain
+        sec_p = jnp.pad(sec, ((0, 0), (0, m_pad - sec.shape[1])))
+        dev = psk8_kernel_sync_tail(sec_p, cfo_retry=True)
+        ref = psk8_kernel_sync_tail(sec_p, cfo_retry=True, interpret=True)
+        ok = all(
+            np.array_equal(np.asarray(a), np.asarray(c)) for a, c in zip(dev, ref)
+        ) and bool(np.asarray(dev[2]).all())
+        checks["psk8_tail"] = {"ok": bool(ok), "sha": _sha(*dev)}
+    except Exception as e:
+        checks["psk8_tail"] = {"ok": False, "error": repr(e)[:200]}
+
     # Opt-in fused dual-tone FSK kernel (not the production path; PERF.md).
     try:
         from audio_modem_radio_tpu.ops.fsk import (
@@ -247,8 +295,92 @@ def run_smoke() -> dict:
     return out
 
 
+# Production shapes: benchmarks/honest.py CONFIGS row geometry (symbol_rate,
+# log2 per-capture samples, production kwargs); batch capped at 8 — grid
+# steps repeat identically per capture, tile/VMEM geometry does not depend
+# on batch (see module docstring).
+FULL_CONFIGS = {
+    "QPSK": (9600, 8, 24, {"cfo_retry": True}),
+    "BPSK": (9600, 8, 24, {"cfo_retry": True}),
+    "8PSK": (9600, 8, 22, {"cfo_retry": True}),
+    "DSSS": (9600, 8, 22, {}),
+    "FSK1200": (9600, 8, 23, {}),
+    "FSK9600": (9600, 8, 23, {}),
+    "FSK19200": (9600, 8, 23, {}),
+    "OFDM4": (9600, 8, 22, {}),
+    "OFDM8": (9600, 8, 22, {}),
+    "NEURAL": (9600, 8, 22, {}),
+    "HELLSCHREIBER": (9600, 8, 22, {}),
+}
+
+
+def run_full_smoke() -> dict:
+    """One ``<mode>_full`` row per mode family: the fused production decode
+    program (demod + sync + pack) at bench per-capture length, end-to-end
+    verified on chip — every Pallas kernel runs at its production tiling."""
+    import jax
+    import jax.numpy as jnp
+
+    out: dict = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
+    if jax.default_backend() != "tpu":
+        out["skipped"] = True
+        out["reason"] = "non-interpreted Pallas kernels need the TPU backend"
+        return out
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from honest import _signal
+
+    from audio_modem_radio_tpu.framing import parse_frames
+    from audio_modem_radio_tpu.parallel.batch import demod_pack_batch, host_shape_batch
+
+    # The exact payload/text honest._signal modulates (same rng stream).
+    rng = np.random.default_rng(0)
+    hell_text = "".join(chr(c) for c in rng.integers(33, 127, 512))
+    payload = np.random.default_rng(0).integers(0, 256, 16384, dtype=np.uint8).tobytes()
+
+    checks: dict = {}
+    for mode, (srate, batch, p, kw) in FULL_CONFIGS.items():
+        try:
+            sig = _signal(mode, srate, 1 << p)
+            one = host_shape_batch(sig[None], mode, srate)[0]
+            xd = jnp.asarray(one)
+            x = jnp.broadcast_to(xd, (batch,) + xd.shape) + 0
+            idx = (0,) * (x.ndim - 1)
+            _ = np.asarray(x[idx + (slice(0, 4),)])  # materialize sync
+            packed, n_valid, found = demod_pack_batch(x, mode, srate, **kw)
+            found_all = bool(np.asarray(found).all()) if mode != "NEURAL" else True
+            nv0 = int(np.asarray(n_valid[0]))
+            raw0 = np.asarray(packed[0][:nv0]).astype(np.uint8).tobytes()
+            if mode == "HELLSCHREIBER":
+                decoded_ok = hell_text[:100].encode("ascii", "ignore") in raw0
+            else:
+                frames = parse_frames(raw0)
+                decoded_ok = any(f.data == payload for f in frames)
+            checks[f"{mode}_full"] = {
+                "ok": bool(found_all and decoded_ok),
+                "found_all": found_all,
+                "frame_parse": bool(decoded_ok),
+                "batch": batch,
+                "n_samples": 1 << p,
+                "sha": _sha(np.frombuffer(raw0, np.uint8)),
+            }
+        except Exception as e:
+            checks[f"{mode}_full"] = {"ok": False, "error": repr(e)[:300]}
+        print(json.dumps({f"{mode}_full": checks[f"{mode}_full"]}), flush=True)
+
+    out["checks"] = checks
+    out["ok"] = all(c.get("ok") for c in checks.values())
+    return out
+
+
 def main() -> int:
     result = run_smoke()
+    if "--full" in sys.argv:
+        full = run_full_smoke()
+        result.setdefault("checks", {}).update(full.get("checks", {}))
+        result["ok"] = bool(result.get("ok")) and bool(full.get("ok"))
+        if full.get("skipped"):
+            result["full_skipped"] = True
     print(json.dumps(result))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "KERNEL_SMOKE.json"), "w") as f:
