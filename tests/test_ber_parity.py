@@ -84,3 +84,78 @@ def test_alignment_free_ber_metric():
     assert _ber(sent, noise) > 0.3
     # Empty/short output: 0.5 by definition.
     assert _ber(sent, b"") == 0.5
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DIR), reason="reference snapshot not present"
+)
+def test_tx_oracles_byte_exact_with_reference():
+    """The transmit oracles (round 4, bidirectional interop rows) must
+    reproduce the reference modulators sample-for-sample."""
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        import hellschreiber as refhell
+        import modem as refmodem
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+    from reference_oracle import (
+        bpsk_modulate_ref,
+        fsk_modulate_ref,
+        hellschreiber_demodulate_ref,
+        hellschreiber_modulate_ref,
+        qpsk_modulate_ref,
+    )
+
+    rng = np.random.default_rng(3)
+    framed = _framed(rng.integers(0, 256, 150, dtype=np.uint8).tobytes())
+
+    for mine, ref in (
+        (bpsk_modulate_ref(framed, 1200, 3000.0), refmodem.bpsk_modulate(framed, 1200, 3000.0)),
+        (qpsk_modulate_ref(framed, 1200, 3600.0), refmodem.qpsk_modulate(framed, 1200, 3600.0)),
+        (fsk_modulate_ref(framed, 600), refmodem.fsk_modulate(framed, 600)),
+        (
+            hellschreiber_modulate_ref("PARITY Test 123"),
+            refhell.hellschreiber_modulate("PARITY Test 123"),
+        ),
+    ):
+        mine = np.asarray(mine, np.float64)
+        ref = np.asarray(ref, np.float64)
+        assert mine.shape == ref.shape
+        assert np.abs(mine - ref).max() < 1e-6
+
+    # The Hellschreiber receive oracle matches the actual reference decoder.
+    w = np.asarray(refhell.hellschreiber_modulate("HELLO xyz 42"))
+    assert hellschreiber_demodulate_ref(w) == refhell.hellschreiber_demodulate(w)
+
+
+def test_interop_our_rx_decodes_reference_wire():
+    """Wire-interop spot checks: our receivers decode reference-TX captures —
+    including the ramped DBPSK wire the reference's own receiver cannot
+    decode, and the DSSS/8PSK alias wire through the probe-gated production
+    surfaces (reference modem.py:345-348, 380-383)."""
+    from reference_oracle import bpsk_modulate_ref, qpsk_modulate_ref
+
+    from audio_modem_radio_tpu.framing import parse_frames
+    from audio_modem_radio_tpu.modem import (
+        _dsss_mode_demodulate,
+        _psk8_mode_demodulate,
+        bpsk_demodulate,
+    )
+
+    rng = np.random.default_rng(4)
+    payload = rng.integers(0, 256, 120, dtype=np.uint8).tobytes()
+    framed = _framed(payload)
+
+    # Reference DBPSK TX -> our DBPSK RX.
+    w = bpsk_modulate_ref(framed, 1200, 3000.0).astype(np.float32)
+    frames = parse_frames(bpsk_demodulate(w, 1200, 3000.0))
+    assert frames and frames[0].data == payload
+
+    # Reference DBPSK TX (the DSSS alias wire) -> probe-gated DSSS surface.
+    frames = parse_frames(_dsss_mode_demodulate(w, 1200, 3000.0))
+    assert frames and frames[0].data == payload
+
+    # Reference DQPSK TX (the 8PSK alias wire) -> probe-gated 8PSK surface.
+    w = qpsk_modulate_ref(framed, 1200, 3600.0).astype(np.float32)
+    frames = parse_frames(_psk8_mode_demodulate(w, 1200, 3600.0))
+    assert frames and frames[0].data == payload
