@@ -485,6 +485,19 @@ def _coherence_score_pow(d_re, d_im, axis, n_psk: int) -> jnp.ndarray:
     return _coherence_score(d_re, d_im, axis)
 
 
+def _coherence_parts_pow(
+    d_re: jnp.ndarray, d_im: jnp.ndarray, axis, n_psk: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Summed complex parts of :func:`_coherence_score_pow` — for distributed
+    callers (parallel/sequence.py) that psum the parts across shards before
+    the magnitude (summing local magnitudes would over-count incoherent
+    shards). 8th power for D8PSK, 4th otherwise."""
+    if n_psk == 8:
+        re8, im8 = _eighth_power(d_re, d_im)
+        return jnp.sum(re8, axis=axis), jnp.sum(im8, axis=axis)
+    return _coherence_parts(d_re, d_im, axis)
+
+
 @functools.lru_cache(maxsize=64)
 def _offset_grams(spsym: int, carrier: float, sample_rate: int, n_offsets: int) -> np.ndarray:
     """(n_offsets, 3) per-offset Gram entries (gxx, gxy, gyy) of the raw

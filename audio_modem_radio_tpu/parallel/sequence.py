@@ -41,7 +41,7 @@ from ..ops.fsk import (
 from ..ops.psk import (
     _BLOCK_SYM,
     _blocked_templates,
-    _coherence_parts,
+    _coherence_parts_pow,
     _gram_scale,
     _offset_grams,
     _samples_per_symbol,
@@ -60,12 +60,18 @@ def demod_capture_sharded(
     n_psk: int = 4,
     sample_rate: int = SAMPLE_RATE,
     n_offsets: int = 8,
+    raw: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Demodulate ONE capture with its sample axis sharded over ``mesh``.
 
     Returns ``(d_re, d_im)`` differential streams (still sharded on the
     mesh's data axis). The capture is padded so each shard holds a whole
-    number of 128-symbol rows.
+    number of 128-symbol rows. Timing consensus scores at the
+    data-cancelling power for ``n_psk`` (8th power for D8PSK, else 4th).
+    ``raw=True`` skips the differential and returns the RAW per-symbol
+    projection phasors instead — the DSSS despreader's front end, where
+    chips must sum coherently per data bit BEFORE any differential
+    (ops/dsss.py; mirrors ``psk_raw_streams_batch``).
     """
     spsym = _samples_per_symbol(sample_rate, baud)
     n_dev = int(np.prod(list(mesh.shape.values())))
@@ -118,7 +124,7 @@ def demod_capture_sharded(
         # Coherence combine: psum the complex-sum components, THEN take the
         # magnitude (summing local magnitudes would over-count shards whose
         # phasors are incoherent with the rest).
-        nr, ni = _coherence_parts(dr_a, di_a, axis=(0, 2))  # (K,) each
+        nr, ni = _coherence_parts_pow(dr_a, di_a, (0, 2), n_psk)  # (K,) each
         nr = jax.lax.psum(nr, DATA_AXIS)
         ni = jax.lax.psum(ni, DATA_AXIS)
         score = jnp.hypot(nr, ni)
@@ -127,6 +133,9 @@ def demod_capture_sharded(
         out = xov @ W8j[best]  # (r_local, 256)
         re = out[:, :_BLOCK_SYM].reshape(-1)
         im = out[:, _BLOCK_SYM:].reshape(-1)
+
+        if raw:
+            return re, im
 
         # Differential: the final element needs the first symbol of the next
         # shard — project the halo window (only its symbol 0 is used, so the
@@ -322,8 +331,9 @@ def decode_capture_sharded(
     sample_rate: int = SAMPLE_RATE,
 ) -> bytes:
     """Full sequence-parallel receive: sharded demod, then sync+pack on the
-    logically-global bit array. PSK family, dual-tone FSK, and OFDM."""
-    from ..framing import MAGIC_BIT_PATTERN
+    logically-global bit array. PSK family (incl. D8PSK), DSSS, dual-tone
+    FSK, and OFDM."""
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
     from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
     from .batch import resolve_demod_plan
 
@@ -349,8 +359,77 @@ def decode_capture_sharded(
                 lambda h, l: dibit_sync_and_pack(h, l, MAGIC_BIT_PATTERN)
             )(hi, lo)
         return bytes(np.asarray(packed)[: int(n_valid)])
+    if kind == "psk8":
+        # Sharded front end at 8th-power timing consensus; rotation estimate,
+        # sector decisions, and the 8-hypothesis sync run jitted on the
+        # logically-global differential streams (GSPMD inserts the boundary
+        # comms — the streams are 8x sample-reduced, so this tail is cheap).
+        from ..ops.psk import (
+            derotate,
+            estimate_common_rotation_windows,
+            psk8_sector_stream,
+            psk8_sync_and_pack_rotations,
+        )
+
+        baud, carrier = params
+        d_re, d_im = demod_capture_sharded(
+            samples, baud, carrier, mesh, n_psk=8, sample_rate=sample_rate
+        )
+
+        @jax.jit
+        def _tail8(dr, di):
+            th = estimate_common_rotation_windows(dr, di, n_psk=8)
+            dr, di = derotate(dr, di, th)
+            sec = psk8_sector_stream(dr, di)
+            return psk8_sync_and_pack_rotations(
+                sec, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+            )
+
+        with mesh:
+            packed, n_valid, _found = _tail8(d_re, d_im)
+        return bytes(np.asarray(packed)[: int(n_valid)])
+    if kind == "dsss":
+        # Sharded CHIP front end (raw phasors — chips must sum coherently per
+        # data bit before any differential); despread + alignment consensus +
+        # DBPSK rotation sync run jitted on the global chip stream, which is
+        # spsym-reduced (80x at the default config) so the banded despread
+        # matmul and the bit-rate tail are negligible next to the front end.
+        from ..ops.common import bit_sync_and_pack_rotations
+        from ..ops.dsss import _despread_all_batch
+        from ..ops.psk import (
+            _coherence_score,
+            derotate,
+            estimate_common_rotation,
+        )
+
+        baud, carrier = params
+        re_f, im_f = demod_capture_sharded(
+            samples, baud, carrier, mesh, n_psk=2, sample_rate=sample_rate, raw=True
+        )
+
+        @jax.jit
+        def _tail_dsss(re_f, im_f):
+            b_re = _despread_all_batch(re_f[None])[0]  # (16, n_bits)
+            b_im = _despread_all_batch(im_f[None])[0]
+            d_re = b_re[:, 1:] * b_re[:, :-1] + b_im[:, 1:] * b_im[:, :-1]
+            d_im = b_im[:, 1:] * b_re[:, :-1] - b_re[:, 1:] * b_im[:, :-1]
+            a = jnp.argmax(_coherence_score(d_re, d_im, axis=1))
+            dr, di = d_re[a], d_im[a]
+            dr, di = derotate(dr, di, estimate_common_rotation(dr, di))
+            return bit_sync_and_pack_rotations(
+                (dr < 0).astype(jnp.uint8),
+                (di < 0).astype(jnp.uint8),
+                MAGIC_BIT_PATTERN,
+                MAGIC_BIT_PATTERN2,
+            )
+
+        with mesh:
+            packed, n_valid, _found = _tail_dsss(re_f, im_f)
+        return bytes(np.asarray(packed)[: int(n_valid)])
     if kind not in ("psk2", "psk4"):
-        raise ValueError(f"sequence-parallel decode supports PSK/FSK/OFDM modes, not {mode}")
+        raise ValueError(
+            f"sequence-parallel decode supports PSK/8PSK/DSSS/FSK/OFDM modes, not {mode}"
+        )
     baud, carrier = params
 
     d_re, d_im = demod_capture_sharded(

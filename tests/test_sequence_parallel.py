@@ -103,3 +103,43 @@ def test_sharded_ofdm_with_leading_silence():
     raw = decode_capture_sharded(capture, "OFDM8", 4800, get_mesh())
     frames = parse_frames(raw)
     assert frames and frames[0].data == PAYLOAD
+
+
+def test_sharded_psk8_roundtrip():
+    """D8PSK through the sequence-parallel path: the shared halo/consensus
+    front end at 8th-power timing scores, then global derotation + sector
+    decisions + 8-hypothesis rotation sync (round 4)."""
+    wave = _tx("8PSK", 9600)
+    raw = decode_capture_sharded(wave, "8PSK", 9600, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
+
+
+def test_sharded_psk8_with_leading_silence():
+    wave = _tx("8PSK", 9600)
+    capture = np.concatenate([np.zeros(60_000, np.float32), wave])
+    raw = decode_capture_sharded(capture, "8PSK", 9600, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
+
+
+def test_sharded_dsss_roundtrip():
+    """DSSS through the sequence-parallel path: sharded RAW chip front end
+    (chips sum coherently per bit BEFORE the differential), then global
+    despread + chip-alignment consensus + DBPSK rotation sync (round 4)."""
+    data = PAYLOAD[:256]
+    wave = _tx("DSSS", 9600, data)
+    raw = decode_capture_sharded(wave, "DSSS", 9600, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == data
+
+
+def test_sharded_dsss_matches_single_device():
+    from audio_modem_radio_tpu.ops.dsss import dsss_real_demodulate
+
+    data = PAYLOAD[:256]
+    wave = _tx("DSSS", 9600, data)
+    raw_sharded = decode_capture_sharded(wave, "DSSS", 9600, get_mesh())
+    raw_single = dsss_real_demodulate(wave, 9600, 3000.0, 96000)
+    f_sh, f_si = parse_frames(raw_sharded), parse_frames(raw_single)
+    assert f_sh and f_si and f_sh[0].data == f_si[0].data == data
