@@ -25,7 +25,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -138,10 +138,15 @@ def recover_header_damaged(
     seen = {(f.name, f.part_number) for f in already}
     out: List[Frame] = []
     # Expensive-validation budget: Viterbi/RS decodes over guessed spans are
-    # seconds-scale each (a whole-capture span once measured 259 s through
-    # the block-parallel Viterbi); bound both the per-candidate span and the
-    # number of expensive attempts per call so a decode can never stall.
-    _MAX_FEC_VALIDATE = 1 << 19  # bytes of guessed span fed to a decoder
+    # bounded by both a per-candidate span cap and a per-call attempt budget
+    # so a decode can never stall. The span cap depends on which Viterbi
+    # backend is loadable: the native C++ ACS sweep (native.amr_viterbi_decode)
+    # validates a 4 MB span in ~2 s, while the 64-state JAX trellis scan
+    # starves the accelerator (a whole-capture span once measured 259 s), so
+    # toolchain-less hosts keep the conservative 512 KB cap.
+    from . import native as _native
+
+    _MAX_FEC_VALIDATE = (1 << 22) if _native.viterbi_available() else (1 << 19)
     budget = [4]
 
     def emit(frame: Frame, how: str) -> None:
@@ -182,6 +187,7 @@ def recover_header_damaged(
             scan_frame_candidates(stream),
             key=lambda c: not all(32 <= ord(ch) < 127 for ch in c.frame.name),
         )
+        validated_spans: List[Tuple[int, int]] = []
         for cand in cands:
             f = cand.frame
             payload = f.data
@@ -191,11 +197,24 @@ def recover_header_damaged(
             # Viterbi), and exhausted budget stops expensive attempts.
             if (f.name, f.part_number) in seen:
                 continue
+            # A span already validated this scan: overlapping anchor
+            # geometries (name truncations, garbage-prefix variants) all
+            # describe the SAME frame region — re-decoding each one would
+            # multiply a multi-MB Viterbi sweep by the variant count.
+            if cand.payload_off >= 0 and any(
+                cand.payload_off < e and s < cand.payload_off + len(payload)
+                for s, e in validated_spans
+            ):
+                continue
             try:
                 # 1. Payload intact under the as-read pcrc: only the header
                 #    (magic / name_len / dlen) was corrupt.
                 if crc32(payload) == cand.pcrc:
                     emit(f, "pcrc")
+                    if cand.payload_off >= 0:
+                        validated_spans.append(
+                            (cand.payload_off, cand.payload_off + len(payload))
+                        )
                     continue
                 if payload[:4] not in (TAG_VITERBI, TAG_PARITY):
                     continue  # no FEC container: nothing left to prove with
@@ -221,6 +240,10 @@ def recover_header_damaged(
                     if crc32(rewrap) == cand.pcrc:
                         emit(Frame(f.name, rewrap, f.part_number, f.total_parts,
                                    f.file_size, f.file_crc), "fec-reencode")
+                        if cand.payload_off >= 0:
+                            validated_spans.append(
+                                (cand.payload_off, cand.payload_off + len(payload))
+                            )
                         continue
                 elif payload[:4] == TAG_PARITY:
                     rs = ReedSolomonFEC()
@@ -230,6 +253,10 @@ def recover_header_damaged(
                         emit(Frame(f.name, TAG_PARITY + rs.encode(decoded),
                                    f.part_number, f.total_parts,
                                    f.file_size, f.file_crc), "fec-crc")
+                        if cand.payload_off >= 0:
+                            validated_spans.append(
+                                (cand.payload_off, cand.payload_off + len(payload))
+                            )
                         continue
                 else:
                     continue
@@ -243,6 +270,10 @@ def recover_header_damaged(
                 if final is not None and crc32(final) == f.file_crc:
                     emit(Frame(f.name, TAG_RAW + final, f.part_number,
                                f.total_parts, f.file_size, f.file_crc), "fcrc")
+                    if cand.payload_off >= 0:
+                        validated_spans.append(
+                            (cand.payload_off, cand.payload_off + len(payload))
+                        )
             except Exception:
                 logger.debug("candidate validation failed", exc_info=True)
 

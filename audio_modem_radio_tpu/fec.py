@@ -144,16 +144,28 @@ class ConvolutionalEncoder:
         self.g1, self.g2 = G1, G2
 
     def encode_bits(self, bits: np.ndarray) -> np.ndarray:
-        """(T,) input bits -> (T+6, 2) output bit pairs, including flush."""
+        """(T,) input bits -> (T+6, 2) output bit pairs, including flush.
+
+        ``parity(reg & G)`` is the XOR of the register bits at G's set tap
+        positions, so each output stream is <= K shifted-array XORs — no
+        (T, K) register window is ever materialized (the windowed form
+        dominated multi-MB header-recovery re-encodes at ~5 s/2 MB;
+        decoder.py rung 2).
+        """
         bits = np.concatenate([bits.astype(np.uint8), np.zeros(FLUSH_BITS, np.uint8)])
-        # Register after consuming bit t holds bits [t-6..t], newest in LSB.
+        # Register after consuming bit t holds bits [t-6..t], newest in LSB:
+        # register bit p is the input bit from p steps back.
         padded = np.concatenate([np.zeros(K - 1, np.uint8), bits])
-        windows = np.lib.stride_tricks.sliding_window_view(padded, K)  # (T+6, K)
-        weights = (1 << np.arange(K - 1, -1, -1)).astype(np.uint32)
-        regs = (windows.astype(np.uint32) * weights).sum(axis=1)
-        return np.stack(
-            [_popcount_parity(regs & G1), _popcount_parity(regs & G2)], axis=1
-        )
+        T = len(bits)
+
+        def taps_xor(g: int) -> np.ndarray:
+            acc = np.zeros(T, np.uint8)
+            for p in range(K):
+                if (g >> p) & 1:
+                    acc ^= padded[K - 1 - p : K - 1 - p + T]
+            return acc
+
+        return np.stack([taps_xor(G1), taps_xor(G2)], axis=1)
 
     def encode(self, data: bytes) -> bytes:
         bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
@@ -274,7 +286,24 @@ class ViterbiDecoder:
         self.g1, self.g2 = G1, G2
 
     def decode_pairs(self, pairs: np.ndarray) -> np.ndarray:
-        """(T, 2) bit pairs (hard or soft) -> (T - 6,) data bits."""
+        """(T, 2) bit pairs (hard or soft) -> (T - 6,) data bits.
+
+        Long inputs route through the native C++ ACS sweep when available
+        (native.viterbi_decode_pairs) — one exact full-length pass, >100x
+        the 64-state JAX trellis scan on multi-Mbit spans (the scan leaves
+        the accelerator idle at 64 lanes; this is what lets the
+        header-recovery span cap sit at 4 MB, decoder.py). Short inputs
+        keep the already-jitted JAX path; both implement the identical
+        metric/tiebreak, so the seam is placement, not behavior.
+        """
+        if pairs.shape[0] > _VIT_CORE + 2 * _VIT_OV:
+            from . import native
+
+            decoded_n = native.viterbi_decode_pairs(
+                np.asarray(pairs), known_boundaries=True
+            )
+            if decoded_n is not None:
+                return decoded_n[: max(0, len(decoded_n) - FLUSH_BITS)]
         decoded = np.asarray(viterbi_decode_bits(jnp.asarray(pairs, jnp.float32)))
         return decoded[: max(0, len(decoded) - FLUSH_BITS)]
 

@@ -190,11 +190,17 @@ class FrameCandidate:
 
     ``pcrc`` is the as-read payload CRC field (itself possibly corrupt);
     ``exact_magic`` records whether the magic matched byte-exact.
+    ``payload_off`` is the payload's byte offset in the scanned stream —
+    overlapping anchor geometries describe the same frame region, and the
+    validator uses the offsets to skip re-decoding a span it already
+    validated (a multi-MB Viterbi sweep per variant otherwise multiplies
+    the recovery cost by the variant count).
     """
 
     frame: Frame
     pcrc: int
     exact_magic: bool
+    payload_off: int = -1
 
 
 _CRC_SCAN_CAP = 4 << 20  # bound the per-candidate prefix-CRC scan
@@ -318,6 +324,7 @@ def scan_frame_candidates(
                 Frame(name, payload, part, total, fsize, fcrc),
                 pcrc,
                 start in exact_set,
+                meta_start + _META.size,
             )
         )
 

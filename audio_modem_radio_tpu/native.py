@@ -52,16 +52,21 @@ class _FrameDesc(ctypes.Structure):
 def _build() -> bool:
     if not os.path.exists(_SRC):
         return False
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _LIB, "-lz",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
-        logger.info("native build unavailable (%s); using Python fallbacks", e)
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+    tail = [_SRC, "-o", _LIB, "-lz"]
+    # -march=native roughly doubles the Viterbi ACS sweep (vectorized metric
+    # adds); fall back to the portable build where the flag is unsupported.
+    for flags in (base + ["-march=native"] + tail, base + tail):
+        try:
+            subprocess.run(flags, check=True, capture_output=True, timeout=120)
+            return True
+        except FileNotFoundError as e:
+            logger.info("native build unavailable (%s); using Python fallbacks", e)
+            return False
+        except subprocess.SubprocessError:
+            continue
+    logger.info("native build failed; using Python fallbacks")
+    return False
 
 
 def _load():
@@ -118,6 +123,14 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32,
         ]
+        if hasattr(lib, "amr_viterbi_decode"):
+            lib.amr_viterbi_decode.restype = ctypes.c_int64
+            lib.amr_viterbi_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
         _lib = lib
         return lib
 
@@ -155,6 +168,38 @@ def crc32_prefix_find(buf: bytes, target: int) -> Optional[int]:
     if not lib:
         return None
     return int(lib.amr_crc32_prefix_find(buf, len(buf), target & 0xFFFFFFFF))
+
+
+def viterbi_available() -> bool:
+    """Whether the native ACS decoder is loadable (gates the header-recovery
+    span cap in decoder.py: multi-MB Viterbi validation is only affordable
+    through the C++ sweep — the 64-state trellis scan starves the TPU)."""
+    lib = _load()
+    return bool(lib) and hasattr(lib, "amr_viterbi_decode")
+
+
+def viterbi_decode_pairs(pairs: np.ndarray, known_boundaries: bool = True) -> Optional[np.ndarray]:
+    """Native K=7 rate-1/2 Viterbi: (T, 2) hard/soft pairs -> (T,) bits.
+
+    One exact full-length ACS sweep (no block approximation) with semantics
+    identical to ``fec._viterbi_block``: L1 branch metric, ties keep the
+    ``s >> 1`` predecessor, traceback from state 0 when ``known_boundaries``
+    else from the best end state. Returns None when the library is
+    unavailable (caller falls back to the JAX trellis scan).
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "amr_viterbi_decode"):
+        return None
+    p = np.ascontiguousarray(pairs, dtype=np.float32)
+    T = int(p.shape[0])
+    out = np.empty(T, dtype=np.uint8)
+    rc = lib.amr_viterbi_decode(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T,
+        1 if known_boundaries else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
 
 
 def load_wav_batch(

@@ -18,6 +18,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cstdio>
 #include <thread>
@@ -208,6 +209,94 @@ void amr_load_wav_batch(const char** paths, int64_t n_files, float* out,
   std::vector<std::thread> pool;
   for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Viterbi decoder for the K=7, rate-1/2 code (G1=0o171, G2=0o133) — the ACS
+// inner loop of fec.ViterbiDecoder. The 64-state trellis is a terrible fit
+// for the TPU (a 9216-step lax.scan over 64-lane vectors leaves the MXU
+// idle; a 512 KB guessed span once measured 259 s through the block-parallel
+// JAX path — decoder.py header-recovery cap), while one scalar C++ sweep
+// sustains >1 Mbit/s/core: header-tolerant recovery can afford multi-MB
+// candidate spans (decoder._MAX_FEC_VALIDATE rises 512 KB -> 4 MB when this
+// symbol is available).
+//
+// Semantics mirror fec._viterbi_block exactly: L1 branch metric against the
+// expected {0,1} output pairs (soft inputs in [0,1] welcome), ties keep the
+// p0 = s>>1 predecessor (JAX: choose1 = cand1 < cand0, strict), traceback
+// from state 0 with `known_boundaries`, else from the best end state.
+// Metrics accumulate in double (T can reach 2^24 steps; float32 would lose
+// the +1-per-step increments past 2^24 — the reason the JAX path
+// re-normalizes every step).
+
+static inline uint8_t parity7(uint32_t x) {
+  x &= 0x7f;
+  x ^= x >> 4;
+  x ^= x >> 2;
+  x ^= x >> 1;
+  return (uint8_t)(x & 1);
+}
+
+// Decode (T, 2) float pairs -> T bits. decisions: one uint64 bitmask per
+// step (bit s set = state s took the p1 = (s>>1)|32 predecessor).
+// Returns 0 on success, -1 on allocation failure.
+int64_t amr_viterbi_decode(const float* pairs, int64_t T,
+                           int32_t known_boundaries, uint8_t* bits_out) {
+  static const uint32_t G1 = 0171, G2 = 0133;  // octal, as in fec.py
+  const int NS = 64;
+  // Only 4 distinct expected output pairs exist; per (new state, predecessor
+  // choice) store the 2-bit code into a per-step 4-entry metric table.
+  uint8_t c0tab[NS], c1tab[NS];
+  for (int s = 0; s < NS; s++) {
+    uint32_t b = (uint32_t)s & 1u;
+    uint32_t p0 = (uint32_t)s >> 1;
+    uint32_t p1 = p0 | 32u;
+    uint32_t reg0 = (p0 << 1) | b;
+    uint32_t reg1 = (p1 << 1) | b;
+    c0tab[s] = (uint8_t)((parity7(reg0 & G1) << 1) | parity7(reg0 & G2));
+    c1tab[s] = (uint8_t)((parity7(reg1 & G1) << 1) | parity7(reg1 & G2));
+  }
+  uint64_t* decisions = (uint64_t*)malloc((size_t)T * sizeof(uint64_t));
+  if (!decisions && T > 0) return -1;
+
+  const double BIG = 1e12;
+  double pm[NS], pm_new[NS];
+  for (int s = 0; s < NS; s++) pm[s] = known_boundaries ? BIG : 0.0;
+  if (known_boundaries) pm[0] = 0.0;
+
+  for (int64_t t = 0; t < T; t++) {
+    const double r0 = (double)pairs[2 * t];
+    const double r1 = (double)pairs[2 * t + 1];
+    const double a0 = r0 > 0.0 ? r0 : -r0;        // |r - 0|
+    const double a1 = r0 > 1.0 ? r0 - 1.0 : 1.0 - r0;  // |r - 1|
+    const double b0 = r1 > 0.0 ? r1 : -r1;
+    const double b1 = r1 > 1.0 ? r1 - 1.0 : 1.0 - r1;
+    const double m[4] = {a0 + b0, a0 + b1, a1 + b0, a1 + b1};
+    uint64_t dec = 0;
+    for (int s = 0; s < NS; s++) {
+      const double c0 = pm[s >> 1] + m[c0tab[s]];
+      const double c1 = pm[(s >> 1) | 32] + m[c1tab[s]];
+      const int choose1 = c1 < c0;
+      pm_new[s] = choose1 ? c1 : c0;
+      dec |= (uint64_t)choose1 << s;
+    }
+    decisions[t] = dec;
+    memcpy(pm, pm_new, sizeof(pm));
+  }
+
+  int state = 0;
+  if (!known_boundaries) {
+    double best = pm[0];
+    for (int s = 1; s < NS; s++)
+      if (pm[s] < best) { best = pm[s]; state = s; }
+  }
+  for (int64_t t = T - 1; t >= 0; t--) {
+    bits_out[t] = (uint8_t)(state & 1);
+    const int ch = (int)((decisions[t] >> state) & 1u);
+    state = ch ? ((state >> 1) | 32) : (state >> 1);
+  }
+  free(decisions);
+  return 0;
 }
 
 }  // extern "C"

@@ -233,3 +233,31 @@ def test_tag_anchor_no_duplicate_names(tmp_path):
     raw = bytes(b)
     rec = recover_header_damaged(raw, [])
     assert [f.name for f in rec] == ["tol.bin"]
+
+
+def test_multi_mb_fec_part_recovers_within_budget():
+    """Round-4 ceiling raise (VERDICT #8): a 2 MB FEC-wrapped part with a
+    corrupt magic recovers through the native C++ ACS Viterbi in seconds —
+    the old 512 KB _MAX_FEC_VALIDATE cap skipped any such span outright."""
+    import time
+
+    from audio_modem_radio_tpu import native
+
+    if not native.viterbi_available():
+        pytest.skip("native Viterbi unavailable (no compiler); cap stays 512 KB")
+    rng = np.random.default_rng(31)
+    # 1 MB of incompressible data -> a ~2.1 MB coded FEC container span
+    # (rate-1/2), 4x the old cap and within the new 4 MB one.
+    data = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    payload = wrap_fec(TAG_ZLIB + zlib.compress(data, 1), "convolutional")
+    framed = pack_frame("big.bin", payload, 0, 1, len(data), crc32(data))
+    hdr = len(framed) - len(payload)
+    raw = _flip_bit(framed, 0, 1)  # kill the magic
+    for k in (100, 5000, 90001):  # plus coded-payload bit errors
+        raw = _flip_bit(raw, hdr + 4 + k, k % 8)
+    t0 = time.time()
+    frames, damaged, rec = _recover(raw)
+    dt = time.time() - t0
+    assert not frames and len(rec) == 1
+    assert rec[0].data == payload  # healed back to the TX container bytes
+    assert dt < 5.0, f"2 MB header recovery took {dt:.1f}s (budget 5s)"

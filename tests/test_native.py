@@ -112,3 +112,43 @@ def test_native_crc32_prefix_find():
     target = zlib.crc32(data[:40000]) & 0xFFFFFFFF
     assert crc32_prefix_find(data, target) == 40000
     assert crc32_prefix_find(data, 0xDEADBEEF) in (0,)  # no prefix matches
+
+
+def test_native_viterbi_matches_jax_trellis(rng):
+    """The C++ ACS sweep is decision-identical to the JAX single-block
+    trellis (same L1 metric, same p0-on-tie rule, same traceback), hard and
+    soft inputs, with and without known boundaries."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.fec import ConvolutionalEncoder, viterbi_decode_bits
+
+    if not native.viterbi_available():
+        pytest.skip("native library unavailable")
+    data = rng.integers(0, 256, 350, dtype=np.uint8).tobytes()
+    pairs = ConvolutionalEncoder().encode_bits(
+        np.unpackbits(np.frombuffer(data, np.uint8))
+    ).astype(np.float32)
+    flat = pairs.reshape(-1).copy()
+    idx = rng.choice(len(flat), 50, replace=False)
+    flat[idx] = 1 - flat[idx]
+    hard = flat.reshape(-1, 2)
+    soft = np.clip(hard + rng.normal(0, 0.2, hard.shape), 0, 1).astype(np.float32)
+    for pp in (hard, soft):
+        for kb in (True, False):
+            jx = np.asarray(viterbi_decode_bits(jnp.asarray(pp), known_boundaries=kb))
+            nt = native.viterbi_decode_pairs(pp, known_boundaries=kb)
+            np.testing.assert_array_equal(jx, nt)
+
+
+def test_native_viterbi_long_container_roundtrip(rng):
+    """Above the block-parallel threshold ViterbiDecoder routes through the
+    native sweep; a 256 KB noisy container still decodes byte-exact."""
+    from audio_modem_radio_tpu.fec import ConvolutionalEncoder, ViterbiDecoder
+
+    if not native.viterbi_available():
+        pytest.skip("native library unavailable")
+    data = rng.integers(0, 256, 256 << 10, dtype=np.uint8).tobytes()
+    enc = bytearray(ConvolutionalEncoder().encode(data))
+    for k in rng.choice(len(enc) - 8, 200, replace=False):
+        enc[k] ^= 1 << int(k % 8)  # sparse bit errors, Viterbi-correctable
+    assert ViterbiDecoder().decode(bytes(enc)) == data
