@@ -57,6 +57,13 @@ _DEFAULTS: Dict[str, Any] = {
         # process restart (the reference's FileAssembly is memory-only,
         # SURVEY.md §5). Empty string disables journaling.
         "assembly_journal": "recv/.assembly",
+        # Coherent escalation for the PSK-family receives (BPSK/QPSK/8PSK):
+        # when differential detection yields no CRC-valid frame, retry with
+        # the Viterbi&Viterbi carrier tracker (absolute-sector decisions,
+        # measured ON the coherent bound — +2.3 dB at 8PSK/DQPSK, ~1 dB at
+        # DBPSK; PERF.md "Coherent-tracked PSK escalation"). Costs one
+        # extra front-end pass ONLY on captures the fast path failed.
+        "psk_coherent_escalation": True,
         # Default for the decode-side spectral-gate denoiser (decoder.decode_*
         # ``denoise=None`` resolves here). The reference declares
         # ``noise_reduction: True`` but implements nothing; the receivers are

@@ -213,15 +213,71 @@ def _psk8_mode_modulate(d, b, c, s=96000):
     return psk8_real_modulate(d, b, c, s)
 
 
+def _coherent_escalate(raw, tracked_fn):
+    """Shared PSK coherent-escalation policy.
+
+    ``raw`` is the differential-detection byte stream; ``tracked_fn`` lazily
+    produces the Viterbi&Viterbi-tracked stream (ops/psk._tracked_phase —
+    absolute-sector decisions recover the measured noisy-reference penalty:
+    2.35 dB at 8PSK, ~2.3/1 dB at DQPSK/DBPSK; PERF.md "D8PSK sensitivity
+    decomposition"). Returns the stream to ship, or None when the caller
+    should continue its own ladder with ``raw``:
+
+    * a CRC-valid frame in ``raw`` wins outright (no tracked pass is run —
+      the escalation costs nothing on captures the fast path decodes);
+    * else a CRC-valid frame in the tracked stream wins;
+    * else the tracked stream ships IF it syncs at least as well (damaged-
+      frame candidates for the decoder's FEC/recovery ladders, then bare
+      magic) — the lower-BER bits give every downstream rescue better odds.
+    """
+    from .framing import MAGIC, parse_frames_detailed
+
+    v_raw, d_raw = parse_frames_detailed(raw)
+    if v_raw:
+        return raw
+    tracked = tracked_fn()
+    v_t, d_t = parse_frames_detailed(tracked)
+    if v_t:
+        return tracked
+    if (d_t or MAGIC in tracked) and (
+        (len(d_t), MAGIC in tracked) >= (len(d_raw), MAGIC in raw)
+    ):
+        return tracked
+    return None
+
+
+def _psk_mode_demodulate(x, b, c, sr=96000, n_psk=4):
+    """DBPSK/DQPSK mode receive with coherent escalation: when differential
+    detection yields no CRC-valid frame, retry with the V&V carrier-tracked
+    receiver before handing the stream to the decoder's recovery ladders."""
+    fn = qpsk_demodulate if n_psk == 4 else bpsk_demodulate
+    raw = fn(x, b, c, sr)
+    if CONFIG.get("modem.psk_coherent_escalation", True):
+        from .ops.psk import bpsk_tracked_demodulate, qpsk_tracked_demodulate
+
+        tfn = qpsk_tracked_demodulate if n_psk == 4 else bpsk_tracked_demodulate
+        out = _coherent_escalate(raw, lambda: tfn(x, b, c, sr))
+        if out is not None:
+            return out
+    return raw
+
+
 def _psk8_mode_demodulate(x, b, c, sr=96000):
-    """Real-D8PSK receive with probe-gated alias fallback (the real-OFDM
-    pattern): when no frame magic decodes, a short DQPSK probe detects
-    reference-style alias captures and reruns the alias demodulator."""
+    """Real-D8PSK receive with coherent escalation and probe-gated alias
+    fallback (the real-OFDM pattern): when no frame magic decodes, a short
+    DQPSK probe detects reference-style alias captures and reruns the alias
+    demodulator."""
     if CONFIG.get("modem.psk8_compat_alias", False):
         return psk8_demodulate(x, b, c, sr)
     raw = psk8_real_demodulate(x, b, c, sr)
     from .framing import MAGIC
 
+    if CONFIG.get("modem.psk_coherent_escalation", True):
+        from .ops.psk import psk8_tracked_demodulate
+
+        out = _coherent_escalate(raw, lambda: psk8_tracked_demodulate(x, b, c, sr))
+        if out is not None:
+            return out
     if MAGIC in raw:
         return raw
     xs = np.asarray(x, np.float32)
@@ -366,13 +422,13 @@ MODES: Dict[str, ModeSpec] = {
     "BPSK": _spec(
         "BPSK",
         lambda d, r: bpsk_modulate(d, r, 3000.0),
-        lambda x, r: bpsk_demodulate(x, r, 3000.0),
+        lambda x, r: _psk_mode_demodulate(x, r, 3000.0, n_psk=2),
         lambda r: r // 8,
     ),
     "QPSK": _spec(
         "QPSK",
         lambda d, r: qpsk_modulate(d, r, 3000.0),
-        lambda x, r: qpsk_demodulate(x, r, 3000.0),
+        lambda x, r: _psk_mode_demodulate(x, r, 3000.0, n_psk=4),
         lambda r: r // 4,
     ),
     "8PSK": _spec(

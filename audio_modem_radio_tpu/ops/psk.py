@@ -1420,6 +1420,224 @@ def psk8_nosync_streams(
     return [bytes(np.asarray(p)[: int(n)]) for p, n in pairs]
 
 
+def _tracked_phase(
+    re_f: jnp.ndarray, im_f: jnp.ndarray, n_psk: int, window: int
+) -> jnp.ndarray:
+    """Viterbi&Viterbi carrier phase track: per-symbol reference θ̂(n).
+
+    Differential detection pays a noisy-reference penalty (measured 2.35 dB
+    at 8PSK — PERF.md "D8PSK sensitivity decomposition",
+    benchmarks/psk8_bound_results.json; classically ~2.3 dB at DQPSK and
+    ~1 dB at DBPSK) because its phase reference is ONE noisy symbol. The
+    wire formats are differential only in their ENCODING, so a receiver
+    that rebuilds a clean carrier reference and makes ABSOLUTE sector
+    decisions (differentially decoded afterwards) reaches the coherent
+    bound.
+
+    Three data-free stages, all elementwise/cumsum (no trellis despite the
+    estimator's name), at the data-cancelling power P (z² for DBPSK's
+    half-turn alphabet, z⁴ for DQPSK's quarter-turns, z⁸ for D8PSK):
+
+    1. **Ramp removal** — residual CFO appears as a common angular rate; the
+       mean rate of the P-th-power phasors, ω̂ₚ = arg Σ uₚ[n]·conj(uₚ[n−1]),
+       is derotated out so the windowed average stays coherent under offsets
+       up to ~baud/(2P) Hz.
+    2. **Windowed average** — box filter of the energy-weighted |z|²e^{jPθ}
+       phasors over ``window`` symbols (centered): √window noise reduction
+       on the phase reference vs the single-symbol differential reference.
+    3. **Unwrap** — arg(·)/P is ambiguous mod 2π/P; per-symbol deltas of the
+       ×P phase are wrapped to (−π, π] and re-accumulated so the reference
+       follows drift continuously. A slip costs ONE differential symbol (the
+       absolute-decision/differential-decode structure localizes it), which
+       is why decisions stay differential rather than absolute-to-preamble.
+
+    Returns θ̂ (n,) float32 — subtract from the symbol phasors before sector
+    decisions. The reference framework has no tracking receiver anywhere
+    (its receivers sample one baseband point per symbol,
+    /root/reference/modem.py:137-266).
+    """
+    if n_psk == 8:
+        ur, ui = _eighth_power(re_f, im_f)
+    elif n_psk == 4:
+        ur, ui = _fourth_power(re_f, im_f)
+    else:
+        # z² is already |z|²·e^{j2θ} — the right energy weight, no division.
+        ur = re_f * re_f - im_f * im_f
+        ui = 2.0 * re_f * im_f
+    cr = ur[1:] * ur[:-1] + ui[1:] * ui[:-1]
+    ci = ui[1:] * ur[:-1] - ur[1:] * ui[:-1]
+    om = jnp.arctan2(jnp.sum(ci), jnp.sum(cr))  # rad/symbol in the ×P domain
+    n = re_f.shape[0]
+    ph = om * jnp.arange(n, dtype=jnp.float32)
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    vr = ur * c + ui * s
+    vi = ui * c - ur * s
+    k = jnp.ones((window,), jnp.float32)
+    mr = jnp.convolve(vr, k, mode="same")
+    mi = jnp.convolve(vi, k, mode="same")
+    thp = jnp.arctan2(mi, mr)
+    d = thp[1:] - thp[:-1]
+    d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
+    thu = jnp.concatenate([thp[:1], thp[0] + jnp.cumsum(d)])
+    return (thu + ph) / float(n_psk)
+
+
+def _tracked_derotate(
+    re_f: jnp.ndarray, im_f: jnp.ndarray, n_psk: int, window: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symbol phasors rotated by −θ̂(n) from :func:`_tracked_phase`."""
+    th = _tracked_phase(re_f, im_f, n_psk, window)
+    c, s = jnp.cos(th), jnp.sin(th)
+    return re_f * c + im_f * s, im_f * c - re_f * s
+
+
+def psk8_tracked_sectors(
+    re_f: jnp.ndarray, im_f: jnp.ndarray, window: int = 128
+) -> jnp.ndarray:
+    """Coherent D8PSK sector deltas from RAW symbol phasors (n−1,) uint8.
+
+    Absolute k·π/4 sector decisions against the tracked carrier reference
+    (:func:`_tracked_phase`), then differential decode in sector space —
+    drop-in for the differential-detection stream feeding
+    :func:`psk8_sync_and_pack_rotations` (deltas are invariant to the
+    tracker's constant k·π/4 ambiguity, so hypothesis k=0 matches)."""
+    wr, wi = _tracked_derotate(re_f, im_f, 8, window)
+    k_abs = psk8_sector_stream(wr, wi).astype(jnp.int32)
+    return ((k_abs[1:] - k_abs[:-1]) % 8).astype(jnp.uint8)
+
+
+def qpsk_tracked_gray_streams(
+    re_f: jnp.ndarray, im_f: jnp.ndarray, window: int = 128
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coherent DQPSK Gray dibit streams from RAW symbol phasors.
+
+    Absolute quarter-turn decisions against the tracked reference, delta in
+    sector space, Gray relabel (00→0, 01→+90°, 11→180°, 10→−90° — the wire
+    map, reference modem.py:171-200). Drop-in for the hi/lo streams feeding
+    :func:`ops.common.dibit_sync_and_pack_rotations`; the tracker's constant
+    k·π/2 ambiguity cancels in the delta, so hypothesis k=0 matches."""
+    wr, wi = _tracked_derotate(re_f, im_f, 4, window)
+    horiz = jnp.abs(wr) >= jnp.abs(wi)
+    k_abs = jnp.where(
+        horiz,
+        jnp.where(wr >= 0, 0, 2),
+        jnp.where(wi >= 0, 1, 3),
+    ).astype(jnp.int32)
+    d = (k_abs[1:] - k_abs[:-1]) % 4
+    g = d ^ (d >> 1)
+    return ((g >> 1) & 1).astype(jnp.uint8), (g & 1).astype(jnp.uint8)
+
+
+def bpsk_tracked_bits(
+    re_f: jnp.ndarray, im_f: jnp.ndarray, window: int = 128
+) -> jnp.ndarray:
+    """Coherent DBPSK bit stream from RAW symbol phasors (n−1,) uint8.
+
+    The z² tracker's residual ambiguity is k·π — a constant antipodal flip
+    that cancels in the XOR delta, so the stream needs no relabeling
+    hypotheses at all (unlike the differential path's 4 quarter-turn
+    candidates)."""
+    wr, _ = _tracked_derotate(re_f, im_f, 2, window)
+    k_abs = (wr < 0).astype(jnp.uint8)
+    return k_abs[1:] ^ k_abs[:-1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "carrier", "sample_rate", "pattern", "pattern2", "window"),
+)
+def _psk8_bytes_tracked(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int,
+    pattern: str, pattern2: str = "", window: int = 128,
+):
+    """Coherent-tracked D8PSK demod to bytes: raw-phasor front end (shared
+    pass 1/2 with the differential path), V&V tracked sectors, rotation
+    sync + pack."""
+    re_f, im_f, _ = psk_symbol_streams(samples, baud, carrier, sample_rate, n_psk=8)
+    sec = psk8_tracked_sectors(re_f, im_f, window)
+    return psk8_sync_and_pack_rotations(sec, pattern, pattern2)
+
+
+def psk8_tracked_demodulate(
+    samples: np.ndarray, baud: float = 1200, carrier: float = 3000.0,
+    samp_rate: int = 96000, window: int = 128,
+) -> bytes:
+    """Coherent-tracked D8PSK receive: ~2.35 dB more sensitive than
+    :func:`psk8_real_demodulate`'s differential detection (the measured
+    noisy-reference penalty) at ~2× the front-end cost (the raw projection
+    is re-run). The mode ladder escalates to this when the differential
+    pass finds no frame (modem._psk8_mode_demodulate)."""
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+
+    packed, n_valid, _found = _psk8_bytes_tracked(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(samp_rate), MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, int(window),
+    )
+    return bytes(np.asarray(packed)[: int(n_valid)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "baud", "carrier", "sample_rate", "n_psk", "pattern", "pattern2", "window",
+    ),
+)
+def _psk_bytes_tracked(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int,
+    n_psk: int, pattern: str, pattern2: str = "", window: int = 128,
+):
+    """Coherent-tracked DBPSK/DQPSK demod to bytes: raw-phasor front end
+    (shared pass 1/2 with the differential path), V&V tracked decisions,
+    magic sync + pack. DBPSK's z² tracker leaves only an antipodal
+    ambiguity that the XOR delta cancels, so its sync is a single validated
+    pattern find; DQPSK reuses the 4-hypothesis dibit sync (k=0 matches)."""
+    from .common import (
+        dibit_sync_and_pack_rotations,
+        find_bit_pattern_validated,
+        pack_bits_from,
+    )
+
+    re_f, im_f, _ = psk_symbol_streams(samples, baud, carrier, sample_rate, n_psk=4)
+    if n_psk == 2:
+        bits = bpsk_tracked_bits(re_f, im_f, window)
+        start, found = find_bit_pattern_validated(bits, pattern, pattern2)
+        packed, n_valid = pack_bits_from(bits, start)
+        return packed, n_valid, found
+    hi, lo = qpsk_tracked_gray_streams(re_f, im_f, window)
+    return dibit_sync_and_pack_rotations(hi, lo, pattern, pattern2)
+
+
+def qpsk_tracked_demodulate(
+    samples: np.ndarray, baud: float = 1200, carrier: float = 3000.0,
+    samp_rate: int = 96000, window: int = 128,
+) -> bytes:
+    """Coherent-tracked DQPSK receive — recovers the differential-detection
+    penalty (~2.3 dB at the 1e-3 waterfall) at ~2× front-end cost; the mode
+    ladder escalates here when the differential pass yields no valid frame
+    (modem._psk_mode_demodulate)."""
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+
+    packed, n_valid, _found = _psk_bytes_tracked(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(samp_rate), 4, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, int(window),
+    )
+    return bytes(np.asarray(packed)[: int(n_valid)])
+
+
+def bpsk_tracked_demodulate(
+    samples: np.ndarray, baud: float = 1200, carrier: float = 3000.0,
+    samp_rate: int = 96000, window: int = 128,
+) -> bytes:
+    """Coherent-tracked DBPSK receive (~1 dB over differential detection)."""
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+
+    packed, n_valid, _found = _psk_bytes_tracked(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(samp_rate), 2, MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, int(window),
+    )
+    return bytes(np.asarray(packed)[: int(n_valid)])
+
+
 @functools.partial(jax.jit, static_argnames=("baud", "carrier", "sample_rate"))
 def _psk8_soft_core(samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int):
     """Derotated D8PSK differential phasors -> per-sector scores (n, 8)."""

@@ -1045,6 +1045,45 @@ def decode_wav_batch(
                     still_lost.append(i)
             lost = still_lost
 
+    if (
+        lost
+        and kind in ("psk2", "psk4", "psk8")
+        and CONFIG.get("modem.psk_coherent_escalation", True)
+        and not (kind == "psk8" and CONFIG.get("modem.psk8_compat_alias", False))
+    ):
+        # Coherent escalation (the single-file _psk_mode_demodulate policy):
+        # captures whose differential-detection parse found nothing retry
+        # through the Viterbi&Viterbi carrier-tracked receiver — measured ON
+        # the coherent bound, recovering the 2.3 dB noisy-reference penalty
+        # (PERF.md "Coherent-tracked PSK escalation"). Host-looped over only
+        # the failed captures, so overhead stays failure-proportional.
+        from ..ops.psk import (
+            bpsk_tracked_demodulate,
+            psk8_tracked_demodulate,
+            qpsk_tracked_demodulate,
+        )
+
+        tfn = {
+            "psk2": bpsk_tracked_demodulate,
+            "psk4": qpsk_tracked_demodulate,
+            "psk8": psk8_tracked_demodulate,
+        }[kind]
+        still_lost = []
+        for i in lost:
+            if len(arrays[i]) < 2 * int(SAMPLE_RATE // params[0]):
+                still_lost.append(i)
+                continue
+            traw = tfn(arrays[i], params[0], params[1], SAMPLE_RATE)
+            frames, damaged, _tl = _ladder(traw, arrays[i], rescue=False)
+            saved = save_decoded_files(
+                frames, recv_dir, registry, damaged=damaged or None
+            )
+            if saved:
+                out[i] = saved
+            elif not frames:
+                still_lost.append(i)
+        lost = still_lost
+
     if drift_retry and lost:
         # Clock-drift hypotheses for the captures that yielded nothing: rows
         # resampled by the exact inverse stride (decode_with_retry's math),

@@ -20,6 +20,10 @@ adds exactly one impairment, so adjacent-curve gaps attribute the dB:
   prod     the full production front end (ops/psk.psk_demod_streams pass-1
            timing search, 8th-power blind derotation, sector compares),
            aligned by genie so sync/frame effects are excluded
+  vv       the production coherent escalation (ops/psk.psk8_tracked_sectors:
+           Viterbi&Viterbi 8th-power carrier track, absolute-sector
+           decisions, differential decode) — should sit ON the coherent
+           curve, recovering the ~2.35 dB differential-detection penalty
 
 SNR convention matches benchmarks/ber.py (full 48 kHz Nyquist band);
 Es/N0 = SNR * spsym / 2 is reported per row. Usage::
@@ -101,7 +105,7 @@ def measure_cell(
     # least-squares solve (ops/psk.py blocked projection).
     mf = np.linalg.pinv(basis.T)  # (2, spsym): row 0 -> cos(phi), row 1 -> sin(phi)
 
-    errs = {"coh": 0, "dd": 0, "prod": 0}
+    errs = {"coh": 0, "dd": 0, "prod": 0, "vv": 0}
     tot = 0
     rng = np.random.default_rng(seed)
     n_pre = len(psk.PSK8_PREAMBLE_BITS) // 3
@@ -161,6 +165,16 @@ def measure_cell(
             best = e if best is None else min(best, e)
         errs["prod"] += best
 
+        # vv: the production coherent escalation — raw phasors through the
+        # V&V tracker; deltas are rotation-invariant, so no genie relabel.
+        re_f, im_f, _ = psk.psk_symbol_streams(
+            jnp.asarray(noisy, jnp.float32), baud, carrier, samp_rate, n_psk=8
+        )
+        d_vv = np.asarray(psk.psk8_tracked_sectors(re_f, im_f)).astype(np.int64)
+        errs["vv"] += int(
+            np.sum(_delta_bits(d_vv[n_pre - 1 :][: len(deltas) - n_pre]) != tx_bits)
+        )
+
         tot += len(tx_bits)
 
     esn0_db = snr_db + 10.0 * math.log10(spsym / 2.0)
@@ -174,6 +188,7 @@ def measure_cell(
         "ber_coh": errs["coh"] / tot,
         "ber_dd": errs["dd"] / tot,
         "ber_prod": errs["prod"] / tot,
+        "ber_vv": errs["vv"] / tot,
         "bits": tot,
     }
 
@@ -220,7 +235,10 @@ def main() -> None:
         )
 
     t = args.target_ber
-    summary = {k: _snr_at_ber(rows, k, t) for k in ("ber_coh", "ber_dd", "ber_prod")}
+    summary = {
+        k: _snr_at_ber(rows, k, t)
+        for k in ("ber_coh", "ber_dd", "ber_prod", "ber_vv")
+    }
     # Theory crossing, solved on a dense grid.
     grid = np.arange(rows[0]["snr_db"], rows[-1]["snr_db"] + 0.01, 0.01)
     spsym = int(args.samp_rate / args.baud)
@@ -246,6 +264,9 @@ def main() -> None:
             ),
             "receiver_front_end_loss": round(
                 summary["ber_prod"] - summary["ber_dd"], 2
+            ),
+            "vv_tracker_vs_coherent": round(
+                summary["ber_vv"] - summary["ber_coh"], 2
             ),
         },
     }

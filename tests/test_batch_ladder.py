@@ -189,3 +189,49 @@ def test_batch_fsk_mlse_escalation(workdir):
     )
     assert len(results[0]) == 1 and len(results[1]) == 1
     assert open(results[1][0], "rb").read() == data
+
+
+def test_batch_psk_coherent_escalation(workdir):
+    """Round 4: a PSK capture inside the differential-detection penalty
+    window (2.2 dB full-band SNR — differential BER ~1e-3, tracked ~6e-5)
+    must be re-dispatched through the coherent V&V-tracked receiver when the
+    batch's differential parse finds nothing, exactly like the single-file
+    mode ladder. Pinned by config toggle: with the escalation disabled the
+    batch loses the capture; with the default it recovers bit-exact."""
+    from audio_modem_radio_tpu.config import CONFIG
+    from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
+    from audio_modem_radio_tpu.modem import modulate
+    from audio_modem_radio_tpu.parallel.batch import decode_sample_batch
+
+    rate = 4800
+    data = np.random.default_rng(3).integers(0, 256, 512, dtype=np.uint8).tobytes()
+    framed = pack_frame("t.bin", data, 0, 1, len(data), crc32(data))
+    wave = np.asarray(modulate("QPSK", framed, rate), np.float32)
+    sigma = float(np.sqrt(np.mean(wave**2) / 10 ** (2.2 / 10)))
+    noisy = (
+        wave + np.random.default_rng(23).normal(0, sigma, len(wave))
+    ).astype(np.float32)
+
+    # Precondition: the batched differential dispatch parses nothing.
+    raws = decode_sample_batch(noisy[None, :], "QPSK", rate)
+    assert not parse_frames(raws[0]), "seed must defeat differential detection"
+
+    p = str(workdir / "marginal_psk.wav")
+    write_wav(p, noisy, 96000)
+
+    CONFIG.set("modem.psk_coherent_escalation", False)
+    try:
+        res_off = decode_wav_batch(
+            [p], "QPSK", rate, recv_dir=str(workdir / "batch_off"),
+            registry=AssemblyRegistry(), mesh=get_mesh(), drift_retry=False,
+        )
+    finally:
+        CONFIG.set("modem.psk_coherent_escalation", True)
+    assert not res_off[0], "without escalation this capture must be lost"
+
+    results = decode_wav_batch(
+        [p], "QPSK", rate, recv_dir=str(workdir / "batch_on"),
+        registry=AssemblyRegistry(), mesh=get_mesh(),
+    )
+    assert len(results[0]) == 1
+    assert open(results[0][0], "rb").read() == data

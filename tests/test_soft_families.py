@@ -37,7 +37,18 @@ def _damaged_fecv_capture(mode, rate, nbytes, seed, sigma):
     noisy = wave + np.random.default_rng(seed).normal(0, sigma, len(wave)).astype(
         np.float32
     )
-    raw = amr.demodulate(mode, pad_to_bucket(noisy), rate)
+    # HARD differential demod only: the coherent-tracked escalation (round 4)
+    # recovers these seeds outright through the HARD Viterbi (its stream
+    # carries ~10x fewer errors), which would invalidate the hard-fail
+    # premise this harness exists to pin. The soft ladder under test starts
+    # from the differential stream, so build the capture the same way.
+    from audio_modem_radio_tpu.config import CONFIG
+
+    CONFIG.set("modem.psk_coherent_escalation", False)
+    try:
+        raw = amr.demodulate(mode, pad_to_bucket(noisy), rate)
+    finally:
+        CONFIG.set("modem.psk_coherent_escalation", True)
     frames, damaged = parse_frames_detailed(raw)
     assert not frames, "seed must not decode cleanly"
     assert damaged and damaged[0].total_parts == 1, "seed must keep the header"
