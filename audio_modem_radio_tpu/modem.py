@@ -213,6 +213,20 @@ def _psk8_mode_modulate(d, b, c, s=96000):
     return psk8_real_modulate(d, b, c, s)
 
 
+def _capture_complete(valid, damaged):
+    """True when a parsed capture needs no rescue: no damaged frames, and
+    every file whose frames appear has all ``total_parts`` part numbers
+    CRC-valid. A multi-frame capture that decoded SOME frames is still
+    incomplete — the lost frames may sit inside the ~2.3 dB
+    differential-detection penalty the tracked receiver recovers."""
+    if damaged:
+        return False
+    parts = {}
+    for f in valid:
+        parts.setdefault((f.name, f.file_crc, f.total_parts), set()).add(f.part_number)
+    return all(len(got) >= total for (_, _, total), got in parts.items())
+
+
 def _coherent_escalate(raw, tracked_fn):
     """Shared PSK coherent-escalation policy.
 
@@ -223,8 +237,12 @@ def _coherent_escalate(raw, tracked_fn):
     decomposition"). Returns the stream to ship, or None when the caller
     should continue its own ladder with ``raw``:
 
-    * a CRC-valid frame in ``raw`` wins outright (no tracked pass is run —
-      the escalation costs nothing on captures the fast path decodes);
+    * a COMPLETE capture in ``raw`` (every file's parts all CRC-valid, no
+      damaged frames) wins outright — no tracked pass is run, so the
+      escalation costs nothing on captures the fast path fully decodes;
+    * an INCOMPLETE multi-frame decode (some frames valid, others damaged
+      or missing) runs the tracked pass and ships whichever stream carries
+      MORE CRC-valid frames (tie → raw: zero risk on what already parsed);
     * else a CRC-valid frame in the tracked stream wins;
     * else the tracked stream ships IF it syncs at least as well (damaged-
       frame candidates for the decoder's FEC/recovery ladders, then bare
@@ -233,12 +251,12 @@ def _coherent_escalate(raw, tracked_fn):
     from .framing import MAGIC, parse_frames_detailed
 
     v_raw, d_raw = parse_frames_detailed(raw)
-    if v_raw:
+    if v_raw and _capture_complete(v_raw, d_raw):
         return raw
     tracked = tracked_fn()
     v_t, d_t = parse_frames_detailed(tracked)
-    if v_t:
-        return tracked
+    if v_raw or v_t:
+        return tracked if len(v_t) > len(v_raw) else raw
     if (d_t or MAGIC in tracked) and (
         (len(d_t), MAGIC in tracked) >= (len(d_raw), MAGIC in raw)
     ):

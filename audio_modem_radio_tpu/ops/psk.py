@@ -1468,7 +1468,21 @@ def _tracked_phase(
     ci = ui[1:] * ur[:-1] - ur[1:] * ui[:-1]
     om = jnp.arctan2(jnp.sum(ci), jnp.sum(cr))  # rad/symbol in the ×P domain
     n = re_f.shape[0]
-    ph = om * jnp.arange(n, dtype=jnp.float32)
+    # The naive ramp om*arange(n) is unbounded: at ~1e6 rad (a few hundred-k
+    # symbols of nonzero ω̂) float32 resolution is ~0.1 rad and the
+    # derotation decoheres. Build the ramp pre-wrapped via a two-level index
+    # split (idx = q·4096 + r) with every intermediate wrapped mod 2π·P — a
+    # whole number of turns, so cos/sin below are unchanged and the returned
+    # θ̂ = (thu+ph)/P only shifts by whole 2π turns. Worst-case intermediate
+    # is ~5e4 rad (float32 res ~4e-3 rad in the ×P domain → ~5e-4 rad on θ̂).
+    wrap = 2.0 * jnp.pi * float(n_psk)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    om_hi = jnp.mod(om * 4096.0, wrap)
+    ph = jnp.mod(
+        jnp.mod(om_hi * (idx // 4096).astype(jnp.float32), wrap)
+        + om * (idx % 4096).astype(jnp.float32),
+        wrap,
+    )
     c, s = jnp.cos(ph), jnp.sin(ph)
     vr = ur * c + ui * s
     vi = ui * c - ur * s

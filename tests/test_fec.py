@@ -339,8 +339,14 @@ def test_soft_payload_fec_recovers_damaged_fecv(tmp_path, monkeypatch, rng):
     recovered by the soft-decision payload escalation
     (decoder.recover_payload_fec_soft), validated by the exact
     re-encode-CRC proof, end-to-end through decode_from_buffer. The noise
-    seed is a measured hard-fail/soft-win point (sigma=0.42, ~2 dB gap)."""
+    seed is a measured hard-fail/soft-win point (sigma=0.42, ~2 dB gap)
+    FOR THE DIFFERENTIAL receiver — the round-4 coherent escalation
+    (modem.psk_coherent_escalation) makes the demodulated stream clean
+    enough that hard FEC succeeds, so the escalation is pinned OFF here:
+    this fixture tests the soft-FEC rung, not the tracked receiver (which
+    has its own tests in test_psk8_tracked.py)."""
     import audio_modem_radio_tpu as amr
+    from audio_modem_radio_tpu.config import CONFIG
     from audio_modem_radio_tpu.decoder import decode_from_buffer, recover_payload_fec_soft
     from audio_modem_radio_tpu.fec import unwrap_fec, wrap_fec
     from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames_detailed
@@ -352,22 +358,26 @@ def test_soft_payload_fec_recovers_damaged_fecv(tmp_path, monkeypatch, rng):
     wave = np.asarray(amr.modulate("QPSK", framed, 9600), np.float32)
     noisy = wave + np.random.default_rng(1006).normal(0, 0.42, len(wave)).astype(np.float32)
 
-    raw = amr.demodulate("QPSK", noisy, 9600)
-    frames, damaged = parse_frames_detailed(raw)
-    assert not frames and damaged, "seed must yield a damaged-payload frame"
-    assert damaged[0].total_parts == 1, "seed must keep the header fields intact"
-    assert unwrap_fec(damaged[0].data) != data, "seed must defeat hard FEC"
+    CONFIG.set("modem.psk_coherent_escalation", False)
+    try:
+        raw = amr.demodulate("QPSK", noisy, 9600)
+        frames, damaged = parse_frames_detailed(raw)
+        assert not frames and damaged, "seed must yield a damaged-payload frame"
+        assert damaged[0].total_parts == 1, "seed must keep the header fields intact"
+        assert unwrap_fec(damaged[0].data) != data, "seed must defeat hard FEC"
 
-    rec = recover_payload_fec_soft(raw, noisy, "QPSK", 9600, damaged)
-    assert rec and unwrap_fec(rec[0].data) == data
+        rec = recover_payload_fec_soft(raw, noisy, "QPSK", 9600, damaged)
+        assert rec and unwrap_fec(rec[0].data) == data
 
-    from audio_modem_radio_tpu.assembly import AssemblyRegistry
+        from audio_modem_radio_tpu.assembly import AssemblyRegistry
 
-    reg = AssemblyRegistry()
-    saved = decode_from_buffer(noisy, "QPSK", 9600, recv_dir=str(tmp_path / "recv"),
-                               registry=reg)
-    assert saved and open(saved[0], "rb").read() == data
-    assert reg.stats.get("soft_fec_recoveries", 0) >= 1
+        reg = AssemblyRegistry()
+        saved = decode_from_buffer(noisy, "QPSK", 9600,
+                                   recv_dir=str(tmp_path / "recv"), registry=reg)
+        assert saved and open(saved[0], "rb").read() == data
+        assert reg.stats.get("soft_fec_recoveries", 0) >= 1
+    finally:
+        CONFIG.set("modem.psk_coherent_escalation", True)
 
 
 def test_soft_payload_fec_works_on_ofdm(rng):

@@ -141,7 +141,14 @@ def test_qpsk_tracked_ber_improvement():
 
 def test_bpsk_tracked_ber_improvement():
     """DBPSK's z² tracker: fewer stream errors than differential detection
-    at 0 dB (the ~1 dB noisy-reference penalty window)."""
+    in the noisy-reference penalty window.
+
+    Operating point: -4 dB full-band SNR (spsym=20 → Eb/N0 ≈ 6 dB), where
+    the differential stream carries ~130 errors in 16k bits and the tracker
+    roughly halves them (measured e_diff 128/136, e_vv 76/72 on seeds
+    31/47). 0 dB full-band (Eb/N0 ≈ 10 dB) produced ZERO differential
+    errors with the round-4 receiver, so the guard below tripped — the
+    fixture must sit where differential detection actually errs."""
     import jax.numpy as jnp
 
     _, framed = _frame(n=2048, seed=5)
@@ -152,13 +159,13 @@ def test_bpsk_tracked_ber_improvement():
     bits_t = np.asarray(d_re < 0).astype(np.uint8)
     n = len(wave) // (SR // BAUD) - 1
 
-    noisy = _noisy(wave, 0.0, seed=31)
+    noisy = _noisy(wave, -4.0, seed=31)
     dr, _, _ = psk.psk_demod_streams(jnp.asarray(noisy), BAUD, 3000.0, SR)
     e_diff = int(np.sum(np.asarray(dr < 0).astype(np.uint8)[:n] != bits_t[:n]))
     rf, imf, _ = psk.psk_symbol_streams(jnp.asarray(noisy), BAUD, 3000.0, SR, n_psk=4)
     bv = np.asarray(psk.bpsk_tracked_bits(rf, imf))
     e_vv = int(np.sum(bv[:n] != bits_t[:n]))
-    assert e_diff >= 5, f"SNR point drifted: diff errors {e_diff}"
+    assert e_diff >= 30, f"SNR point drifted: diff errors {e_diff}"
     assert e_vv < e_diff, f"tracked {e_vv} vs diff {e_diff}"
 
 
@@ -179,3 +186,42 @@ def test_tracked_matches_differential_sectors_clean():
     sec_vv = np.asarray(psk.psk8_tracked_sectors(re_f, im_f))
     n_sym = len(wave) // (SR // BAUD)
     np.testing.assert_array_equal(sec_vv[: n_sym - 1], sec_dd[: n_sym - 1])
+
+
+def test_escalation_rescues_partial_multiframe_capture():
+    """Round-5 escalation policy (ADVICE r4 low #4): a multi-frame capture
+    where differential detection decodes part 0 but loses part 1 inside the
+    ~2.3 dB noisy-reference penalty window must still get the tracked pass —
+    the old policy returned raw on ANY CRC-valid frame, stranding the lost
+    frames. Operating point: part 1 at 3 dB full-band SNR (measured: diff
+    parses 1 valid + 1 damaged; tracked parses both on 5/6 seeds — seed 20
+    chosen). The 3200-sample gap is 160 symbols = 320 bits = 40 bytes, so
+    frame 1 stays byte-aligned after the single global magic alignment."""
+    from audio_modem_radio_tpu.framing import pack_frame, parse_frames_detailed
+    from audio_modem_radio_tpu.modem import modulate
+
+    def _part(n, part, seed):
+        payload = np.random.default_rng(seed).integers(0, 256, n, dtype=np.uint8)
+        payload = payload.tobytes()
+        return payload, pack_frame("two.bin", payload, part, 2, 2 * n, 0)
+
+    p1, f1 = _part(600, 0, 10)
+    p2, f2 = _part(600, 1, 11)
+    w1 = np.asarray(modulate("QPSK", f1, BAUD), np.float32)
+    w2 = np.asarray(modulate("QPSK", f2, BAUD), np.float32)
+    rng = np.random.default_rng(20)
+    sigma = np.sqrt(np.mean(w2**2) / 10 ** (3.0 / 10.0))
+    w2n = (w2 + rng.normal(0.0, sigma, len(w2))).astype(np.float32)
+    cap = np.concatenate([w1, np.zeros(3200, np.float32), w2n])
+
+    CONFIG.set("modem.psk_coherent_escalation", False)
+    try:
+        v_off, d_off = parse_frames_detailed(demodulate("QPSK", cap, BAUD))
+    finally:
+        CONFIG.set("modem.psk_coherent_escalation", True)
+    assert len(v_off) == 1 and d_off, "operating point drifted: want 1 valid + damage"
+
+    v_on, _ = parse_frames_detailed(demodulate("QPSK", cap, BAUD))
+    assert len(v_on) == 2
+    assert sorted(f.part_number for f in v_on) == [0, 1]
+    assert {f.data for f in v_on} == {p1, p2}
