@@ -195,6 +195,21 @@ def _ofdm_mode_demodulate(x, baud, carrier, num_subcarriers, samp_rate=96000):
     raw = ofdm_demodulate(x, baud, carrier, num_subcarriers, samp_rate)
     from .framing import MAGIC
 
+    if CONFIG.get("modem.psk_coherent_escalation", True):
+        # Per-subcarrier V&V tracking (round 5): OFDM is differential DQPSK
+        # per subcarrier across time, so the same coherent escalation the
+        # single-carrier PSK family uses applies — ~2 dB at the waterfall
+        # (benchmarks/ofdm_bound.py).
+        from .ops.ofdm import ofdm_tracked_demodulate
+
+        out = _coherent_escalate(
+            raw,
+            lambda: ofdm_tracked_demodulate(
+                x, baud, carrier, num_subcarriers, samp_rate
+            ),
+        )
+        if out is not None:
+            return out
     if MAGIC in raw:
         return raw
     xs = np.asarray(x, np.float32)
@@ -344,6 +359,16 @@ def _dsss_mode_demodulate(x, b, c, sr=96000):
     raw = dsss_real_demodulate(x, b, c, sr)
     from .framing import MAGIC
 
+    if CONFIG.get("modem.psk_coherent_escalation", True):
+        # z² V&V tracking on the despread bit stream (round 5): the
+        # despread phasors are DBPSK, so the single-carrier tracker applies
+        # verbatim — ~1 dB at the below-noise-floor waterfall
+        # (benchmarks/dsss_bound.py).
+        from .ops.dsss import dsss_tracked_demodulate
+
+        out = _coherent_escalate(raw, lambda: dsss_tracked_demodulate(x, b, c, sr))
+        if out is not None:
+            return out
     if MAGIC in raw:
         return raw
     xs = np.asarray(x, np.float32)

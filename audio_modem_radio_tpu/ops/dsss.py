@@ -93,14 +93,17 @@ def _despread_all(re_f: jnp.ndarray, im_f: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     return jnp.stack(rows_re), jnp.stack(rows_im)
 
 
-def _dsss_best_diff(
+def _dsss_best_raw(
     samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Shared DSSS receive core: chip phasors -> best-alignment despread bit
-    DIFFERENTIALS, blind-derotated. Returns ``(dr, di)``; the data rides the
-    real axis (bit = dr < 0). Used by the sync tail, the no-sync rescue, and
-    the soft-bit producer — three consumers of the identical front end."""
-    from .psk import _coherence_score, derotate, estimate_common_rotation
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Chip phasors -> best-alignment despread RAW bit phasors.
+
+    Returns ``(b_re[a], b_im[a], a)`` — the coherent 16-chip sums BEFORE the
+    differential, at the chip alignment selected by 4-fold coherence of the
+    bit differentials. Shared by the differential core (below) and the
+    round-5 tracked receiver, which needs raw phasors (its z² carrier track
+    replaces the one-noisy-symbol differential reference)."""
+    from .psk import _coherence_score
 
     re_f, im_f, _score = psk_symbol_streams(
         samples, baud, carrier, sample_rate, n_psk=2
@@ -109,7 +112,21 @@ def _dsss_best_diff(
     d_re = b_re[:, 1:] * b_re[:, :-1] + b_im[:, 1:] * b_im[:, :-1]
     d_im = b_im[:, 1:] * b_re[:, :-1] - b_re[:, 1:] * b_im[:, :-1]
     a = jnp.argmax(_coherence_score(d_re, d_im, axis=1))
-    dr, di = d_re[a], d_im[a]
+    return b_re[a], b_im[a], a
+
+
+def _dsss_best_diff(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared DSSS receive core: chip phasors -> best-alignment despread bit
+    DIFFERENTIALS, blind-derotated. Returns ``(dr, di)``; the data rides the
+    real axis (bit = dr < 0). Used by the sync tail, the no-sync rescue, and
+    the soft-bit producer — three consumers of the identical front end."""
+    from .psk import derotate, estimate_common_rotation
+
+    br, bi, _a = _dsss_best_raw(samples, baud, carrier, sample_rate)
+    dr = br[1:] * br[:-1] + bi[1:] * bi[:-1]
+    di = bi[1:] * br[:-1] - br[1:] * bi[:-1]
     return derotate(dr, di, estimate_common_rotation(dr, di))
 
 
@@ -146,6 +163,51 @@ def dsss_real_demodulate(
     packed, n_valid, _found = _dsss_bits_cfo(
         jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
         int(samp_rate), MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2,
+    )
+    return bytes(np.asarray(packed)[: int(n_valid)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "carrier", "sample_rate", "pattern", "pattern2", "window"),
+)
+def _dsss_bytes_tracked(
+    samples: jnp.ndarray, baud: float, carrier: float, sample_rate: int,
+    pattern: str, pattern2: str = "", window: int = 128,
+):
+    """Coherent-tracked DSSS demod to bytes: shared chip front end + despread
+    (raw phasors), z² V&V carrier track on the despread BIT stream, absolute
+    antipodal decisions, XOR differential decode, single-pattern sync.
+
+    The despread stream is DBPSK (post-despread per-bit Es/N0 at the −9 dB
+    full-band operating point is ~13 dB — the 16-chip coherent sum is the
+    ~22 dB per-bit processing gain), so ops/psk's z² tracker applies
+    verbatim; its residual antipodal ambiguity cancels in the XOR delta."""
+    from .common import find_bit_pattern_validated, pack_bits_from
+    from .psk import bpsk_tracked_bits
+
+    br, bi, _a = _dsss_best_raw(samples, baud, carrier, sample_rate)
+    bits = bpsk_tracked_bits(br, bi, window)
+    start, found = find_bit_pattern_validated(bits, pattern, pattern2)
+    packed, n_valid = pack_bits_from(bits, start)
+    return packed, n_valid, found
+
+
+def dsss_tracked_demodulate(
+    samples: np.ndarray, baud: float = 1200, carrier: float = 3000.0,
+    samp_rate: int = 96000, window: int = 128,
+) -> bytes:
+    """Coherent-tracked DSSS receive — recovers the DBPSK noisy-reference
+    penalty on the despread stream (~1 dB at the waterfall,
+    benchmarks/dsss_bound.py) at ~zero extra cost over the shared front end
+    (the tracker runs at the bit rate, baud/16). The mode ladder escalates
+    here when the differential pass finds no complete capture
+    (modem._dsss_mode_demodulate)."""
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+
+    packed, n_valid, _found = _dsss_bytes_tracked(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(samp_rate), MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, int(window),
     )
     return bytes(np.asarray(packed)[: int(n_valid)])
 

@@ -224,6 +224,8 @@ def _ofdm_decision_streams(
     n_offsets: int = 0,
     cfo: bool = True,
     tables: Optional[jnp.ndarray] = None,
+    tracked: bool = False,
+    window: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Demodulate OFDM to dual dibit streams (hi, lo, best_score, gains).
 
@@ -398,14 +400,117 @@ def _ofdm_decision_streams(
         theta = estimate_common_rotation(dr, di)
         dr, di = derotate(dr, di, theta)
 
-    swap = jnp.abs(di) > jnp.abs(dr)
-    neg = jnp.where(swap, di < 0, dr < 0)
-    hi = neg.astype(jnp.uint8)
-    lo = jnp.where(swap, ~neg, neg).astype(jnp.uint8)
+    if tracked:
+        hi, lo = _ofdm_tracked_dibits(re, im, r * L, K, n_sym, window)
+    else:
+        swap = jnp.abs(di) > jnp.abs(dr)
+        neg = jnp.where(swap, di < 0, dr < 0)
+        hi = neg.astype(jnp.uint8)
+        lo = jnp.where(swap, ~neg, neg).astype(jnp.uint8)
     # Round-robin subcarrier order: symbol-major, subcarrier-minor — dibit i
     # is (hi[i], lo[i]); already the flat wire order. (dr, di) ride along for
     # the soft-decision escalations (ofdm_soft_bits).
     return hi, lo, score[best], gains, dr, di
+
+
+def _ofdm_tracked_dibits(
+    re: jnp.ndarray, im: jnp.ndarray, n_tot: int, K: int, n_sym, window: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-subcarrier Viterbi&Viterbi-tracked Gray dibit streams (wire order).
+
+    OFDM is per-subcarrier differential DQPSK across TIME, so each
+    subcarrier pays the same ~2.3 dB noisy-reference penalty the
+    single-carrier PSK family stopped paying in round 4
+    (ops/psk._tracked_phase; PERF.md "Coherent-tracked PSK escalation").
+    This applies the z⁴ tracker independently per subcarrier — the channel
+    phase differs per subcarrier, the residual-CFO rate is common but each
+    track re-estimates it from its own stream (K ≤ 8 streams, so the
+    redundant estimate is noise-averaging, not a cost) — then makes
+    ABSOLUTE quarter-turn decisions against each track and differentially
+    decodes in sector space across time. The per-subcarrier constant k·π/2
+    track ambiguity cancels in the delta, exactly like the PSK family.
+
+    Layout note: this reshapes the flat symbol-major/K-minor streams to
+    (K, n_sym) — an (n, K<128) minor-dim layout the fast path bans
+    (PERF.md rule 1). The tracked pass is escalation-only (runs when the
+    differential pass found no complete capture), so the relayout tax is
+    failure-proportional, not a hot-path cost.
+
+    Trailing padded symbols are zero phasors: they contribute zero to the
+    energy-weighted window average and the ramp estimate, and their sector
+    deltas land beyond ``n_sym - 1`` where the caller truncates.
+    """
+    from .psk import _tracked_phase
+
+    reK = re.reshape(n_tot, K).T  # (K, n_tot) per-subcarrier streams
+    imK = im.reshape(n_tot, K).T
+    th = jax.vmap(lambda a, b: _tracked_phase(a, b, 4, window))(reK, imK)
+    c, s = jnp.cos(th), jnp.sin(th)
+    wr = reK * c + imK * s
+    wi = imK * c - reK * s
+    horiz = jnp.abs(wr) >= jnp.abs(wi)
+    k_abs = jnp.where(
+        horiz, jnp.where(wr >= 0, 0, 2), jnp.where(wi >= 0, 1, 3)
+    ).astype(jnp.int32)
+    d = (k_abs[:, 1:] - k_abs[:, :-1]) % 4  # (K, n_tot-1) deltas across time
+    g = d ^ (d >> 1)  # sector delta -> Gray dibit (same wire map as DQPSK)
+    hi = ((g >> 1) & 1).astype(jnp.uint8).T.reshape(-1)  # symbol-major, k-minor
+    lo = (g & 1).astype(jnp.uint8).T.reshape(-1)
+    n_d = (n_sym - 1) * K
+    return hi[:n_d], lo[:n_d]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("baud", "carrier", "n_sub", "sample_rate", "pattern", "pattern2", "window"),
+)
+def _ofdm_bytes_tracked(
+    samples: jnp.ndarray,
+    baud: float,
+    carrier: float,
+    n_sub: int,
+    sample_rate: int,
+    pattern: str,
+    pattern2: str = "",
+    window: int = 64,
+):
+    """Tracked-OFDM demod to bytes: shared projection front end, per-
+    subcarrier V&V tracked dibits, 4-hypothesis rotation sync + pack (the
+    tracker's k·π/2 ambiguities cancel in the deltas, so hypothesis k=0
+    matches — the shared sync costs nothing extra)."""
+    from .common import dibit_sync_and_pack_rotations
+
+    hi, lo, _s, _g, _dr, _di = _ofdm_decision_streams(
+        samples, baud, carrier, n_sub, sample_rate, tracked=True, window=window
+    )
+    return dibit_sync_and_pack_rotations(hi, lo, pattern, pattern2)
+
+
+def ofdm_tracked_demodulate(
+    samples: np.ndarray,
+    baud: float = 9600,
+    carrier: float = 12000.0,
+    num_subcarriers: int = 4,
+    samp_rate: int = SAMPLE_RATE,
+    window: int = 64,
+) -> bytes:
+    """Coherent-tracked OFDM receive — recovers the per-subcarrier
+    differential-detection penalty (~2 dB at the OFDM4/OFDM8 waterfalls,
+    benchmarks/ofdm_bound.py) at ~1× extra decision cost over the shared
+    projection front end. The mode ladder escalates here when the
+    differential pass yields no complete capture
+    (modem._ofdm_mode_demodulate); the default 64-symbol window (vs PSK's
+    128) reflects OFDM's shorter per-subcarrier streams — an OFDM symbol
+    carries K dibits, so streams are K× shorter than the single-carrier
+    equivalent."""
+    from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+
+    packed, n_valid, _found = _ofdm_bytes_tracked(
+        jnp.asarray(samples, jnp.float32), float(baud), float(carrier),
+        int(num_subcarriers), int(samp_rate),
+        MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2, int(window),
+    )
+    return bytes(np.asarray(packed)[: int(n_valid)])
 
 
 @functools.partial(

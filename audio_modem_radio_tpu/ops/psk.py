@@ -1486,6 +1486,10 @@ def _tracked_phase(
     c, s = jnp.cos(ph), jnp.sin(ph)
     vr = ur * c + ui * s
     vi = ui * c - ur * s
+    # Streams shorter than the window (e.g. a probe or an alias capture at
+    # a high chip rate): jnp.convolve('same') returns max(len, window)
+    # elements, breaking the thu+ph add below — clamp to the stream.
+    window = max(1, min(int(window), int(n)))
     k = jnp.ones((window,), jnp.float32)
     mr = jnp.convolve(vr, k, mode="same")
     mi = jnp.convolve(vi, k, mode="same")
