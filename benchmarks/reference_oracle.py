@@ -35,7 +35,7 @@ reference-generated captures and vice versa):
   per-pixel tone burst, peak-normalized to 0.8. The glyph font itself is
   wire data (not logic) and is taken from the package's re-encoded table
   (ops.hell.char_map — byte-identical to the reference's CHAR_MAP, verified
-  in tests/test_hell.py).
+  in tests/test_ber_parity.py::test_tx_oracles_byte_exact_with_reference).
 
 This is an oracle for benchmarks only — nothing in the package imports it.
 The TPU receivers live in audio_modem_radio_tpu/ops/ and share no code or
