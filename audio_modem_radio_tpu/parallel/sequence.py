@@ -24,6 +24,7 @@ communication for the shifted slices).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -323,6 +324,154 @@ def demod_ofdm_capture_sharded(
     return _shard_demod(x_dev, T, tables)
 
 
+def demod_hell_capture_sharded(
+    samples: np.ndarray,
+    baud: float,
+    mesh: Mesh,
+    sample_rate: int = SAMPLE_RATE,
+    threshold: float = 0.1,
+) -> jnp.ndarray:
+    """Hellschreiber pixel detection of ONE capture, sample axis sharded.
+
+    The cross-shard couplings are NIL BY CONSTRUCTION: shards are padded to
+    whole pixel windows (spp samples each), and pixel-energy detection
+    (ops/hell._pixel_energies — a per-window mean-square) never looks across
+    a window boundary, so no halo exchange is needed; glyph segmentation
+    (sync-run skip + 7×7 block matching) runs on the host over the gathered
+    logically-global pixel stream, which is spp× reduced (~784× at the
+    122.5 Bd default). Returns the per-pixel on/off stream, still sharded
+    on the mesh's data axis."""
+    spp = int(round(sample_rate / baud))
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    n = len(samples)
+    pix_local = max(1, -(-(-(-n // spp)) // n_dev))
+    L = pix_local * spp
+    x = np.zeros(n_dev * L, dtype=np.float32)
+    x[:n] = samples[: n_dev * L]
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS)
+    )
+    def _shard_pixels(x_local: jnp.ndarray) -> jnp.ndarray:
+        w = x_local.reshape(pix_local, spp)
+        energy = jnp.mean(w * w, axis=1)
+        return (energy > threshold).astype(jnp.uint8)
+
+    x_dev = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(DATA_AXIS)))
+    return _shard_pixels(x_dev)
+
+
+def demod_neural_capture_sharded(
+    samples: np.ndarray,
+    symbol_rate: int,
+    mesh: Mesh,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NEURAL demod of ONE capture, sample axis sharded over ``mesh``.
+
+    Cross-shard couplings, each handled explicitly:
+
+    * **Distributed matched-filter sync** — every shard runs the preamble
+      time-domain correlation (ops/neural._td_corr — the blocked-matmul
+      matched filter) over ITS OWN lag span with a halo of
+      preamble+symbol samples from the right neighbor (one ``ppermute``),
+      so a preamble anywhere in the capture — including straddling a shard
+      boundary — is found. An ``all_gather`` of the local peak magnitudes
+      picks the global winner; its lag and channel phasor broadcast via
+      masked ``psum``. (The batched path limits sync to a capture PREFIX
+      for cost; here the search is naturally distributed, so the full-lag
+      sweep costs each shard only its slice.)
+    * **Chip-grid alignment** — shard length is a multiple of the symbol
+      span (8 chips × chip_len, itself a multiple of 4 so the fs/4 sign-
+      mask downconversion pattern stays aligned per shard), so the traced
+      start offset ``k0 mod spsym`` is IDENTICAL on every shard and each
+      shard extracts exactly ``L/spsym`` symbols — consecutive shards'
+      symbol streams concatenate to the global stream with no gaps.
+
+    Returns ``(symbols, k0)``: per-position byte symbols still sharded on
+    the data axis, and the replicated global sync lag. Symbol ``q + 32``
+    onward (q = k0 // spsym) is the framed payload byte stream; the FBPC
+    parser's magic scan absorbs the lead garbage, so callers can also just
+    parse ``bytes(symbols)`` directly."""
+    from ..ops.neural import (
+        CHIPS_PER_SYMBOL,
+        _chip_len,
+        _codebook,
+        _corr_table,
+        _td_corr,
+        _td_peak,
+    )
+
+    chip_len = _chip_len(int(symbol_rate))
+    spsym = CHIPS_PER_SYMBOL * chip_len
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    corr_t = jnp.asarray(_corr_table(chip_len))
+    P_pre = int(corr_t.shape[0] - 128)
+    cb = jnp.asarray(_codebook())
+
+    # Shard length: a multiple of lcm(spsym, 128) — 128 for the correlation
+    # row grid, spsym for the uniform chip-grid alignment (spsym is even,
+    # so the fs/4 pattern alignment is implied).
+    lcm = spsym * 128 // math.gcd(spsym, 128)
+    n = len(samples)
+    L = max(lcm, -(-(-(-n // lcm)) // n_dev) * lcm)
+    x = np.zeros(n_dev * L, dtype=np.float32)
+    x[:n] = samples[: n_dev * L]
+    ns = L // spsym
+    halo_len = -(-(P_pre + spsym) // 4) * 4  # keep the osc pattern aligned
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS),
+        out_specs=(P(DATA_AXIS), P()),
+    )
+    def _shard_demod(x_local: jnp.ndarray):
+        # fs/4 downconversion by sign masks; g0 = idx*L ≡ 0 (mod 4), so the
+        # local pattern equals the global one on every shard AND on the halo.
+        nl = x_local.shape[0]
+        osc_c = jnp.tile(jnp.asarray([1.0, 0.0, -1.0, 0.0], jnp.float32), -(-nl // 4))[:nl]
+        osc_s = jnp.tile(jnp.asarray([0.0, -1.0, 0.0, 1.0], jnp.float32), -(-nl // 4))[:nl]
+        zr = x_local * osc_c
+        zi = x_local * osc_s
+
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        halo = jax.lax.ppermute(
+            jnp.stack([zr[:halo_len], zi[:halo_len]])[None], DATA_AXIS, perm
+        )[0]
+        zre = jnp.concatenate([zr, halo[0]])
+        zie = jnp.concatenate([zi, halo[1]])
+
+        # Distributed matched filter: local lags [0, L) with the halo
+        # covering windows that extend past the shard.
+        cre, cim = _td_corr(zre, zie, corr_t, L // 128)
+        k0_l, pr_l, pi_l, pk_l = _td_peak(cre, cim)
+
+        idx = jax.lax.axis_index(DATA_AXIS)
+        pk_all = jax.lax.all_gather(pk_l, DATA_AXIS)
+        win = jnp.argmax(pk_all)
+        mine = (idx == win).astype(jnp.float32)
+        k0 = jax.lax.psum(jnp.where(idx == win, k0_l + idx * L, 0), DATA_AXIS)
+        pr = jax.lax.psum(pr_l * mine, DATA_AXIS)
+        pi = jax.lax.psum(pi_l * mine, DATA_AXIS)
+
+        # Uniform extraction: s0 = k0 mod spsym is shard-invariant (L is a
+        # multiple of spsym), so each shard yields exactly ns symbols and
+        # the gathered stream is gap-free.
+        s0 = jnp.mod(k0, spsym)
+        zr_s = jax.lax.dynamic_slice(zre, (s0,), (ns * spsym,))
+        zi_s = jax.lax.dynamic_slice(zie, (s0,), (ns * spsym,))
+        wr = zr_s * pr + zi_s * pi  # z · conj(phase)
+        wi = zi_s * pr - zr_s * pi
+        cr = wr.reshape(ns, CHIPS_PER_SYMBOL, chip_len).mean(-1)
+        ci = wi.reshape(ns, CHIPS_PER_SYMBOL, chip_len).mean(-1)
+        rx = jnp.concatenate([cr, ci], axis=-1)  # (ns, 16)
+        sym = jnp.argmax(rx @ cb.T, axis=-1).astype(jnp.uint8)
+        return sym, k0
+
+    x_dev = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(DATA_AXIS)))
+    return _shard_demod(x_dev)
+
+
 def decode_capture_sharded(
     samples: np.ndarray,
     mode: str,
@@ -331,8 +480,9 @@ def decode_capture_sharded(
     sample_rate: int = SAMPLE_RATE,
 ) -> bytes:
     """Full sequence-parallel receive: sharded demod, then sync+pack on the
-    logically-global bit array. PSK family (incl. D8PSK), DSSS, dual-tone
-    FSK, and OFDM."""
+    logically-global bit array. Covers all 7 shardable families: PSK
+    (incl. D8PSK), DSSS, FSK, OFDM, NEURAL, and the text modes (HELL —
+    which returns decoded TEXT bytes, like the batched text path)."""
     from ..framing import MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
     from ..ops.common import dibit_sync_and_pack, find_bit_pattern, pack_bits_from
     from .batch import resolve_demod_plan
@@ -426,9 +576,23 @@ def decode_capture_sharded(
         with mesh:
             packed, n_valid, _found = _tail_dsss(re_f, im_f)
         return bytes(np.asarray(packed)[: int(n_valid)])
+    if kind == "hell":
+        (baud_h,) = params
+        pixels = demod_hell_capture_sharded(
+            samples, baud_h, mesh, sample_rate=sample_rate
+        )
+        from ..ops.hell import _decode_blocks
+
+        return _decode_blocks(np.asarray(pixels)).encode("utf-8", "replace")
+    if kind == "neural":
+        (rate_n,) = params
+        syms, _k0 = demod_neural_capture_sharded(samples, int(rate_n), mesh)
+        # The symbol stream IS bytes (1 byte/symbol); the FBPC parser's
+        # magic scan absorbs the pre-preamble lead and the preamble itself.
+        return bytes(np.asarray(syms))
     if kind not in ("psk2", "psk4"):
         raise ValueError(
-            f"sequence-parallel decode supports PSK/8PSK/DSSS/FSK/OFDM modes, not {mode}"
+            f"sequence-parallel decode supports PSK/8PSK/DSSS/FSK/OFDM/NEURAL/HELL modes, not {mode}"
         )
     baud, carrier = params
 

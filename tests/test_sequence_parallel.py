@@ -44,12 +44,37 @@ def test_sharded_with_leading_silence():
     assert frames and frames[0].data == PAYLOAD
 
 
-def test_unsupported_mode_raises():
-    # Text-fax modes have no sequence-parallel path (FSK joined in round 3).
-    with pytest.raises(ValueError):
-        decode_capture_sharded(
-            np.zeros(96000, np.float32), "HELLSCHREIBER", 1200, get_mesh()
-        )
+def test_sharded_hell_roundtrip():
+    """HELL through the sequence-parallel path (round 5): shards are padded
+    to whole pixel windows so detection has no cross-shard coupling; glyph
+    segmentation runs on the gathered pixel stream. Text modes yield TEXT
+    bytes, like the batched text path."""
+    from audio_modem_radio_tpu.ops.hell import hellschreiber_modulate
+
+    text = "SEQUENCE PARALLEL HELL 123"
+    wave = np.asarray(hellschreiber_modulate(text), np.float32)
+    out = decode_capture_sharded(wave, "HELLSCHREIBER", 1200, get_mesh())
+    assert out.decode("utf-8") == text
+
+
+def test_sharded_neural_roundtrip():
+    """NEURAL through the sequence-parallel path (round 5): distributed
+    preamble matched filter (per-shard lag spans + halo + all_gather
+    consensus), uniform chip-grid extraction, per-shard codebook argmax."""
+    wave = _tx("NEURAL", 1200)
+    raw = decode_capture_sharded(wave, "NEURAL", 1200, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
+
+
+def test_sharded_neural_with_leading_silence():
+    """The preamble landing mid-capture (even straddling a shard boundary)
+    must still win the distributed sync consensus."""
+    wave = _tx("NEURAL", 1200)
+    padded = np.concatenate([np.zeros(31337, np.float32), wave])
+    raw = decode_capture_sharded(padded, "NEURAL", 1200, get_mesh())
+    frames = parse_frames(raw)
+    assert frames and frames[0].data == PAYLOAD
 
 
 def test_sharded_fsk_roundtrip():
