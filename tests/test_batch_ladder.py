@@ -63,14 +63,17 @@ def _sync_killed_capture(content: bytes, symbol_rate: int) -> np.ndarray:
 def test_batch_recovers_everything_single_path_does(workdir):
     rate = 4800
     contents = [
-        bytes(f"ladder capture {i} ".encode() * 50) for i in range(3)
+        bytes(f"ladder capture {i} ".encode() * 50) for i in range(4)
     ]
     clean_wavs = [
         _encode(workdir, f"src{i}.bin", contents[i], mode="QPSK", symbol_rate=rate)
         for i in range(2)
     ]
     # capture 0: clean; capture 1: +5% TX clock drift; capture 2: magic
-    # destroyed (no-sync rescue).
+    # destroyed (no-sync rescue); capture 3: AWGN at 2.5 dB full-band SNR —
+    # inside the differential-detection penalty window, so only the shared
+    # ladder's coherent-tracked escalation recovers it (round 5: both paths
+    # consume decoder.run_recovery_ladder, so this pins they stay equal).
     damaged_paths = []
     for i, wav in enumerate(clean_wavs):
         samples, sr = read_wav(wav)
@@ -82,6 +85,14 @@ def test_batch_recovers_everything_single_path_does(workdir):
     p2 = str(workdir / "damaged2.wav")
     write_wav(p2, _sync_killed_capture(contents[2], rate), 96000)
     damaged_paths.append(p2)
+    wav3 = _encode(workdir, "src3.bin", contents[3], mode="QPSK", symbol_rate=rate)
+    s3, sr3 = read_wav(wav3)
+    s3 = np.asarray(s3, np.float32)
+    rng3 = np.random.default_rng(77)
+    sigma3 = np.sqrt(np.mean(s3**2) / 10 ** (2.5 / 10.0))
+    p3 = str(workdir / "damaged3.wav")
+    write_wav(p3, (s3 + rng3.normal(0, sigma3, len(s3))).astype(np.float32), sr3)
+    damaged_paths.append(p3)
 
     # The single path recovers each one (sanity precondition).
     for i, p in enumerate(damaged_paths):
@@ -100,7 +111,7 @@ def test_batch_recovers_everything_single_path_does(workdir):
         damaged_paths, "QPSK", rate, recv_dir=str(workdir / "batch"),
         registry=reg, mesh=get_mesh(),
     )
-    assert [len(r) for r in results] == [1, 1, 1]
+    assert [len(r) for r in results] == [1, 1, 1, 1]
     for saved, expected in zip(results, contents):
         assert open(saved[0], "rb").read() == expected
 
