@@ -107,7 +107,7 @@ _DEFAULTS: Dict[str, Any] = {
     "intelligence": {
         # False (default): the mode recommender scores measured-waterfall
         # profiles over every real mode family (intelligence.MODE_PROFILES,
-        # floors from benchmarks/ber_results.json). True: the reference's
+        # floors from benchmarks/ber_results_r5.json). True: the reference's
         # exact 5-mode static table for behavior parity
         # (/root/reference/intelligent_communication.py:37-42).
         "compat_profiles": False,

@@ -33,24 +33,29 @@ REFERENCE_MODE_PROFILES: Dict[str, Dict[str, float]] = {
     "FSK19200": {"robustness": 0.5, "speed": 0.9, "min_snr": 18},
 }
 
-# Measured waterfall floors (benchmarks/ber_results.json, round 3 matrix,
-# 8 trials/cell, full-band AWGN SNR): the lowest swept SNR with 100% frame
-# recovery per mode at its BER operating point. HELL from the glyph text
-# round-trip sweep (6/6 at 3 dB, 0/6 at 0 dB; round 4). DSSS is the
-# designated below-the-noise-floor mode (100% at -9 dB @4800 chips/s,
-# 62% at -12 dB). These drive the recommender: the reference's static table
+# Measured waterfall floors (benchmarks/ber_results_r5.json — the round-5
+# matrix through the coherent-tracked receivers, 8 trials/cell, full-band
+# AWGN SNR): the lowest swept SNR with 100% frame recovery per mode at its
+# BER operating point. The per-subcarrier / despread-stream V&V tracking
+# extensions (ops/ofdm.py, ops/dsss.py) and the PSK tracker moved every
+# differential family's floor 2-7.5 dB below the round-3 matrix that
+# previously drove this table (QPSK 10->5, BPSK 5->2.5, 8PSK 15->10,
+# OFDM4 10->7.5, OFDM8 15->7.5). HELLSCHREIBER is now a committed text-mode
+# row in the same artifact (100% char-exact at 0 dB, 0% at -3). DSSS stays
+# the designated below-the-noise-floor mode (100% at -9 dB @4800 chips/s,
+# 50% at -12 dB). These drive the recommender: the reference's static table
 # (above) cannot recommend the modes that define this framework's envelope
 # (VERDICT r3 missing #3).
 MEASURED_MIN_SNR: Dict[str, float] = {
     "DSSS": -9.0,
     "FSK1200": 0.0,
-    "HELLSCHREIBER": 3.0,
-    "BPSK": 5.0,
-    "QPSK": 10.0,
-    "OFDM4": 10.0,
+    "HELLSCHREIBER": 0.0,
+    "BPSK": 2.5,
+    "QPSK": 5.0,
+    "OFDM4": 7.5,
+    "OFDM8": 7.5,
     "NEURAL": 10.0,
-    "8PSK": 15.0,
-    "OFDM8": 15.0,
+    "8PSK": 10.0,
     "FSK19200": 15.0,
     "FSK9600": 20.0,
 }

@@ -52,6 +52,74 @@ def _bit_errors(sent: bytes, received: bytes) -> float:
     return float(np.mean(a != b))
 
 
+#: Printable-ASCII alphabet of the Hellschreiber font (ops/hell.py
+#: char_map) used for the text-mode matrix rows.
+_HELL_CHARSET = (
+    " !\"#$%&'()*+,-./0123456789:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "[\\]^_`abcdefghijklmnopqrstuvwxyz{|}~"
+)
+
+#: Text-mode families measured by char round-trip, not frame CRC: the
+#: Hellschreiber wire carries glyph pixels with no framing or checksum
+#: (reference hellschreiber.py:109-186), so "frame recovery" for these
+#: rows means the decoded text matches the transmitted text exactly and
+#: "ber" is the per-character error rate.
+TEXT_MODES = ("HELLSCHREIBER", "SLOW_HELL", "FELD_HELL")
+
+
+def measure_text_mode(
+    mode: str,
+    snr_db: float,
+    n_chars: int = 160,
+    trials: int = 3,
+    seed: int = 0,
+) -> Dict:
+    """One (text mode, SNR) cell: char error rate + exact-text recovery.
+
+    Fills the gap VERDICT r4 flagged: the HELL waterfall floor that drives
+    the recommender (intelligence.MEASURED_MIN_SNR) previously came from an
+    uncommitted side sweep; this puts the text-mode rows in the committed
+    matrix artifact alongside the frame modes.
+    """
+    from audio_modem_radio_tpu.modem import demodulate, modulate
+
+    rng = np.random.default_rng(seed)
+    cers: List[float] = []
+    recovered = 0
+    for _ in range(trials):
+        text = "".join(
+            _HELL_CHARSET[i]
+            for i in rng.integers(0, len(_HELL_CHARSET), n_chars)
+        )
+        wave = np.asarray(
+            modulate(mode, text.encode("utf-8"), 4800), np.float64
+        )
+        p_sig = float(np.mean(wave**2))
+        p_noise = p_sig / (10 ** (snr_db / 10))
+        noisy = (wave + rng.normal(0, np.sqrt(p_noise), len(wave))).astype(
+            np.float32
+        )
+        got = demodulate(mode, noisy, 4800).decode("utf-8", "ignore")
+        if got == text:
+            recovered += 1
+            cers.append(0.0)
+        else:
+            n = min(len(got), len(text))
+            errs = sum(a != b for a, b in zip(got[:n], text[:n]))
+            errs += abs(len(got) - len(text))
+            cers.append(errs / max(len(text), 1))
+    return {
+        "mode": mode,
+        "snr_db": snr_db,
+        "ber": float(np.mean(cers)),  # char error rate for text modes
+        "frame_recovery_rate": recovered / trials,
+        "trials": trials,
+        "payload_len": n_chars,
+        "symbol_rate": 4800,
+        "text_mode": True,
+    }
+
+
 def measure_mode(
     mode: str,
     snr_db: float,
@@ -74,6 +142,9 @@ def measure_mode(
     from audio_modem_radio_tpu.framing import crc32, pack_frame, parse_frames
     from audio_modem_radio_tpu.modem import demodulate, modulate
 
+    if mode in TEXT_MODES:
+        # Text modes carry glyphs, not FBPC frames; measure char round-trip.
+        return measure_text_mode(mode, snr_db, trials=trials, seed=seed)
     if fec:
         from audio_modem_radio_tpu.decoder import recover_payload_fec_soft
         from audio_modem_radio_tpu.fec import unwrap_fec, wrap_fec
@@ -155,6 +226,42 @@ def measure_mode(
         cell["fec"] = fec
         cell["recovery_hard"] = recovered_hard / trials
     return cell
+
+
+#: The round-5 regeneration matrix (VERDICT r4 next #1): the legacy
+#: 0/5/10/15/20/30 grid every prior round used, PLUS half-step points
+#: bracketing each family's measured waterfall so the coherent-tracked
+#: receivers' ~2 dB gains are visible in the committed artifact, PLUS the
+#: modes the old matrix lacked (HELLSCHREIBER text rows) and DSSS's
+#: below-noise-floor grid.
+MATRIX_GRIDS: Dict[str, List[float]] = {
+    "QPSK": [0, 2.5, 5, 7.5, 10, 15, 20, 30],
+    "BPSK": [-2.5, 0, 2.5, 5, 10, 15, 20, 30],
+    "8PSK": [0, 2.5, 5, 7.5, 10, 12.5, 15, 20, 30],
+    "FSK1200": [-3, 0, 2.5, 5, 10, 15, 20, 30],
+    "FSK9600": [0, 5, 10, 12.5, 15, 17.5, 20, 30],
+    "FSK19200": [0, 5, 10, 12.5, 15, 20, 30],
+    "OFDM4": [0, 2.5, 5, 7.5, 10, 12.5, 15, 20, 30],
+    "OFDM8": [0, 2.5, 5, 7.5, 10, 12.5, 15, 20, 30],
+    "NEURAL": [0, 2.5, 5, 7.5, 10, 15, 20, 30],
+    "DSSS": [-15, -12, -10.5, -9, -6, -3, 0, 5],
+    "HELLSCHREIBER": [-3, 0, 1.5, 3, 5, 10, 20],
+}
+
+
+def run_matrix(payload_len: int, trials: int) -> List[Dict]:
+    """Run the full per-mode-grid waterfall matrix (MATRIX_GRIDS)."""
+    results = []
+    for mode, snrs in MATRIX_GRIDS.items():
+        for snr in snrs:
+            cell = measure_mode(mode, float(snr), payload_len, trials=trials)
+            results.append(cell)
+            print(
+                f"{mode:14s} SNR {snr:6.1f} dB  BER {cell['ber']:.4f}  "
+                f"frames {cell['frame_recovery_rate']:.0%}",
+                flush=True,
+            )
+    return results
 
 
 def run(modes: List[str], snrs: List[float], payload_len: int, trials: int,
@@ -243,6 +350,8 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default="ber_results.json")
     ap.add_argument("--cfo", action="store_true", help="run the CFO tolerance sweep instead")
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the full per-mode-grid waterfall matrix (MATRIX_GRIDS)")
     ap.add_argument("--fec", action="store_true",
                     help="convolutional-FEC rows: hard + soft recovery ladder per cell")
     args = ap.parse_args()
@@ -259,13 +368,16 @@ def main() -> int:
         print(f"wrote {out}")
         return 0
 
-    results = run(
-        args.modes.split(","),
-        [float(s) for s in args.snrs.split(",")],
-        args.payload,
-        args.trials,
-        fec="conv" if args.fec else "",
-    )
+    if args.matrix:
+        results = run_matrix(args.payload, args.trials)
+    else:
+        results = run(
+            args.modes.split(","),
+            [float(s) for s in args.snrs.split(",")],
+            args.payload,
+            args.trials,
+            fec="conv" if args.fec else "",
+        )
     default_name = "ber_fec_results.json" if args.fec else "ber_results.json"
     out_path = args.out if args.out != "ber_results.json" else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), default_name

@@ -84,6 +84,51 @@ def main() -> int:
     def full_kernel(v):
         return nn.demod_td_batch(v, chip_len, kernel=True)
 
+    # Kernel-path stage isolation (VERDICT r4 next #8): the production TPU
+    # path downconverts only the sync prefix span and runs extraction as
+    # ONE Pallas kernel — time each piece so the 6.29 GS/s full-pipeline
+    # number decomposes into sync vs extraction vs dispatch.
+    from audio_modem_radio_tpu.ops.pallas_kernels import neural_extract_batch
+
+    n_pad = -(-N // 128) * 128
+    r3 = n_pad // 128
+    r_pre = max(1, r3 // 8)
+    nb = P // 128
+    cpr = 128 // chip_len
+    spr = cpr // nn.CHIPS_PER_SYMBOL
+    pre_span = min(n_pad, (r_pre + nb + 1) * 128)
+    e_tab = jnp.asarray(nn._energy_table(P))
+    e_pre = nn._preamble_energy(chip_len)
+
+    def prefix_sync_kernelpath(v):
+        zp_r, zp_i = jax.vmap(nn._td_prep)(v[:, :pre_span])
+
+        def one(a, b):
+            cre, cim = nn._td_corr(a, b, corr_t, r_pre)
+            k0, pr, pi, pk = nn._td_peak(cre, cim)
+            e2 = nn._td_corr_rows(a * a + b * b, r_pre, nb) @ e_tab
+            ew = e2.reshape(-1)[k0]
+            return k0, pr, pi, pk / (e_pre * ew + 1e-12)
+
+        k0, pr, pi, rho = jax.vmap(one)(zp_r, zp_i)
+        return k0 + (rho > 0)
+
+    def extract_kernel(v):
+        k0 = jnp.zeros((v.shape[0],), jnp.int32) + 77
+        pr = jnp.ones((v.shape[0],), jnp.float32)
+        pi = jnp.zeros((v.shape[0],), jnp.float32)
+        chip_tab = nn._chip_shift_table(chip_len, 1.0 + 0.0 * v[0, 0])
+        return neural_extract_batch(
+            v.reshape(v.shape[0] * r3, 128),
+            chip_tab,
+            cb_b,
+            jnp.stack([pr, pi], axis=1),
+            k0,
+            rows_per_capture=r3,
+            spr=spr,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     total = B * N
     print(f"backend={jax.default_backend()}  NEURAL, {B} x 2^{args.samples}, chip_len={chip_len}")
     results = {}
@@ -91,6 +136,8 @@ def main() -> int:
         ("prep", prep),
         ("prefix_sync", prefix),
         ("extract", extract),
+        ("prefix_sync_kernelpath", prefix_sync_kernelpath),
+        ("extract_kernel", extract_kernel),
         ("full_xla", full_xla),
         ("full_kernel", full_kernel),
     ):

@@ -60,7 +60,7 @@ def test_dsss_roundtrip_clean_and_offset():
 def test_dsss_processing_gain_below_noise_floor():
     """The whole point of the mode: frames recover at -6 dB full-band SNR,
     where the plain-DBPSK alias cannot even find its magic (~+3 dB floor;
-    benchmarks/ber_results.json BPSK rows). ~12 dB of coherent 16-chip gain
+    benchmarks/ber_results_r5.json BPSK rows). ~12 dB of coherent 16-chip gain
     minus differential-detection losses."""
     payload, framed = _framed(100, name="nf.bin")
     wave = np.asarray(dsss_real_modulate(framed, 9600, 3000.0, 96000), np.float32)
