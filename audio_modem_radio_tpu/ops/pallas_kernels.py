@@ -289,8 +289,8 @@ def _project_diff_body_succ(x_ref, xn_ref, w2d) -> Tuple[jnp.ndarray, jnp.ndarra
 
 
 def _kernel_decide(
-    best_ref, rot_ref, x_ref, xn_ref, w_ref, hi_ref, lo_ref, *, steps_per_capture, n_psk,
-    variant="roll",
+    best_ref, rot_ref, x_ref, xn_ref, w_ref, hi_ref, lo_ref=None, *,
+    steps_per_capture, n_psk, variant="roll",
 ):
     """Projection + differential + per-capture derotation + bit decision.
 
@@ -299,6 +299,14 @@ def _kernel_decide(
     separate derotate and Gray-decision passes disappear). ``rot_ref`` holds
     (cosθ, sinθ) per capture from the pass-1 blind CFO estimate; the
     identity rotation makes this the plain (cfo-off) pipeline.
+
+    ``n_psk=8`` (round 5) emits the π/4-sector stream (uint8 0..7, ONE
+    output lane) — the input format of the D8PSK Pallas sync tail
+    (parallel.batch.psk8_kernel_sync_tail) — replacing the float-stream
+    front end + XLA windowed derotation + elementwise sector pass that
+    round-trip ~9 B/symbol through HBM (psk8_stage_profile.json r4: the
+    front half of the 8PSK pipeline ran at 78 GS/s where QPSK's fused
+    decide runs 141).
     """
     del best_ref  # consumed by the template index_map
     if variant == "succ":
@@ -310,7 +318,28 @@ def _kernel_decide(
     s = rot_ref[cap, 1]
     dr = dre * c + dim * s
     di = dim * c - dre * s
-    if n_psk == 4:
+    if n_psk == 8:
+        # Nearest k·π/4 sector, boundaries at 22.5°+k·45° (ops.psk.
+        # psk8_sector_stream math verbatim): axis sector when one component
+        # dominates by > tan(67.5°), diagonal otherwise. Float selects
+        # throughout (bool-valued where lowers to an i8->i1 truncation
+        # Mosaic rejects); one f32->i32->u8 cast at the store.
+        t = float(np.tan(np.pi / 8))
+        ax, bx = jnp.abs(dr), jnp.abs(di)
+        diag = (bx > t * ax) & (ax > t * bx)
+        k_axis = jnp.where(
+            ax >= bx,
+            jnp.where(dr >= 0, 0.0, 4.0),
+            jnp.where(di >= 0, 2.0, 6.0),
+        )
+        k_diag = jnp.where(
+            di >= 0,
+            jnp.where(dr >= 0, 1.0, 3.0),
+            jnp.where(dr >= 0, 7.0, 5.0),
+        )
+        sec = jnp.where(diag, k_diag, k_axis)
+        hi_ref[:] = sec.astype(jnp.int32).astype(jnp.uint8)
+    elif n_psk == 4:
         # Gray sectors, boundaries at odd 45 degrees: sign/compare only.
         # Select FLOATS, not bools — a bool-valued where lowers to an
         # i8->i1 vector truncation Mosaic rejects.
@@ -354,8 +383,9 @@ def psk_project_decide_batch(
         roll body's three per-tile VPU relayouts.
       best: (B,) int32 winning timing offset per capture.
       rot: (B, 2) float32 per-capture (cosθ, sinθ) derotation.
-    Returns (hi, lo) uint8 of shape (B, R, 128); capture-tail entries are
-    garbage (pad rows), which sync/parse ignores.
+    Returns (hi, lo) uint8 of shape (B, R, 128) for ``n_psk`` 2/4, or ONE
+    uint8 (B, R, 128) π/4-sector array for ``n_psk=8``; capture-tail
+    entries are garbage (pad rows), which sync/parse ignores.
     """
     b, r, row = x3d.shape
     if r != rows_per_capture or r % block_rows:
@@ -393,23 +423,26 @@ def psk_project_decide_batch(
                 ),
             ),
         ],
-        out_specs=[
-            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, best_ref, rot_ref: (i, 0)),
-            pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, best_ref, rot_ref: (i, 0)),
-        ],
+        out_specs=(
+            # n_psk=8 emits ONE uint8 sector lane; 2/4 emit (hi, lo) lanes.
+            [pl.BlockSpec((block_rows, _BLOCK_SYM), lambda i, best_ref, rot_ref: (i, 0))]
+            * (1 if n_psk == 8 else 2)
+        ),
     )
     kern = functools.partial(
         _kernel_decide, steps_per_capture=steps_per_capture, n_psk=n_psk, variant=variant
     )
-    hi, lo = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b * r, _BLOCK_SYM), jnp.uint8),
-            jax.ShapeDtypeStruct((b * r, _BLOCK_SYM), jnp.uint8),
-        ],
+            jax.ShapeDtypeStruct((b * r, _BLOCK_SYM), jnp.uint8)
+        ] * (1 if n_psk == 8 else 2),
         interpret=interpret,
     )(best.astype(jnp.int32), rot.astype(jnp.float32), x2d, x2d, w_all)
+    if n_psk == 8:
+        return out[0].reshape(b, r, _BLOCK_SYM)
+    hi, lo = out
     return hi.reshape(b, r, _BLOCK_SYM), lo.reshape(b, r, _BLOCK_SYM)
 
 

@@ -944,6 +944,61 @@ def psk_decision_streams_batch(
     return jax.vmap(lambda a, c: _decide_streams(a, c, n_psk))(d_re, d_im)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("baud", "carrier", "sample_rate", "cfo", "n_offsets")
+)
+def psk8_sector_rows_batch(
+    samples: jnp.ndarray,
+    baud: float,
+    carrier: float,
+    sample_rate: int,
+    cfo: bool = True,
+    n_offsets: int = 8,
+) -> jnp.ndarray:
+    """Batched D8PSK sector stream through the fused decide kernel (round 5).
+
+    Returns uint8 π/4 sectors of shape (B, n_out) — the input of the Pallas
+    sector-matcher sync tail. On TPU the whole front half is ONE kernel:
+    projection matmul, differential, per-capture derotation (θ from the
+    pass-1 8th-power scoring windows — the full float diff stream is never
+    materialized in HBM) and the 8-sector decision. The previous production
+    path (psk_demod_streams_batch + estimate_common_rotation_windows +
+    derotate + psk8_sector_stream) round-tripped ~9 B/symbol of float
+    streams through HBM between those stages and held the mode to 55 GS/s
+    vs the QPSK family's 141 through the same math (psk8_stage_profile.json,
+    VERDICT r4 next #7).
+
+    Off-TPU or for large symbols it falls back to exactly that float
+    staged path, which remains the reference for the equivalence tests.
+    """
+    spsym = _samples_per_symbol(sample_rate, baud)
+    setup = _batch_block_setup(samples, spsym)
+    if setup is None or jax.default_backend() != "tpu":
+        d_re, d_im = psk_demod_streams_batch(
+            samples, baud, carrier, sample_rate, n_offsets, n_psk=8
+        )
+        if cfo:
+            theta = estimate_common_rotation_windows(d_re, d_im, n_psk=8)
+            d_re, d_im = derotate(d_re, d_im, theta)
+        return psk8_sector_stream(d_re, d_im)
+    b, n_frames, x3d, r = setup
+    x3d, r, best, theta = _batch_pass1(
+        samples, x3d, b, n_frames, spsym, carrier, sample_rate, n_offsets, r,
+        n_psk=8,
+    )
+    W8 = jnp.asarray(_blocked_templates(spsym, float(carrier), sample_rate, n_offsets))
+    if cfo:
+        rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+    else:
+        rot = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (b, 1))
+    from .pallas_kernels import psk_project_decide_batch
+
+    sec = psk_project_decide_batch(
+        x3d, W8, best, rot, rows_per_capture=r, n_psk=8, block_rows=256
+    )
+    return sec.reshape(b, -1)
+
+
 def blocked_row_shape(n_samples: int, baud: float, sample_rate: int) -> Optional[Tuple[int, int]]:
     """Host helper: (rows, row_width) for pre-shaping a capture of
     ``n_samples`` for :func:`psk_demod_streams_batch`, or None when the

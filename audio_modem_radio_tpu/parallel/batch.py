@@ -353,23 +353,34 @@ def demod_pack_batch(
         # 64 vs the QPSK family's 141 through the same front end).
         from ..ops.psk import (
             estimate_common_rotation_windows,
+            psk8_sector_rows_batch,
             psk8_sector_stream,
             psk8_sync_and_pack_rotations,
         )
         from ..ops.psk import derotate as psk_derotate
 
         baud, carrier = params
-        d_re, d_im = psk_demod_streams_batch(
-            samples, baud, carrier, SAMPLE_RATE, n_psk=8
-        )
-        if cfo_retry:
-            theta = estimate_common_rotation_windows(d_re, d_im, n_psk=8)
-            d_re, d_im = psk_derotate(d_re, d_im, theta)
-        sec = psk8_sector_stream(d_re, d_im)
         use_kernels = (
             jax.default_backend() == "tpu"
             and CONFIG.get("tpu.demod_backend", "auto") != "xla"
         )
+        if use_kernels:
+            # Round 5: the whole front half is the fused decide kernel
+            # (projection + differential + derotation + sector decision,
+            # uint8 sectors the only full-stream HBM write) — the staged
+            # float path below kept the mode at 55 GS/s vs QPSK's 141
+            # (psk8_stage_profile.json; VERDICT r4 next #7).
+            sec = psk8_sector_rows_batch(
+                samples, baud, carrier, SAMPLE_RATE, cfo=cfo_retry
+            )
+        else:
+            d_re, d_im = psk_demod_streams_batch(
+                samples, baud, carrier, SAMPLE_RATE, n_psk=8
+            )
+            if cfo_retry:
+                theta = estimate_common_rotation_windows(d_re, d_im, n_psk=8)
+                d_re, d_im = psk_derotate(d_re, d_im, theta)
+            sec = psk8_sector_stream(d_re, d_im)
         if use_kernels:
             # Pad to the matcher's tile granularity: zero-pad sectors cannot
             # match the exact region (the magic's tribits hit 5 distinct
@@ -642,14 +653,15 @@ def host_shape_batch(
             i16 = CONFIG.get("tpu.int16_rows", None)
             if i16 is None:
                 i16 = jax.default_backend() == "tpu"
-            if kind in ("psk8", "dsss"):
-                # The D8PSK and DSSS batch paths run float-stream front ends
-                # (psk_demod_streams_batch / psk_raw_streams_batch via the
-                # XLA einsum), which take f32 rows — an int16 einsum operand
-                # materializes the convert in HBM; the int16/int8 in-VMEM
-                # casts live in the decide kernel the psk2/psk4 paths use.
+            if kind == "dsss":
+                # The DSSS batch path runs a float-stream front end
+                # (psk_raw_streams_batch via the XLA einsum), which takes
+                # f32 rows — an int16 einsum operand materializes the
+                # convert in HBM. The in-VMEM int16/int8 casts live in the
+                # decide kernel, which psk2/psk4 — and, since round 5,
+                # psk8 (psk8_sector_rows_batch) — use.
                 i16 = False
-            if CONFIG.get("tpu.int8_rows", False) and kind not in ("psk8", "dsss"):
+            if CONFIG.get("tpu.int8_rows", False) and kind != "dsss":
                 # Opt-in: quarters the f32 HBM read of the DMA-bound decide
                 # kernel. ~-50 dB quantization noise — negligible against
                 # any channel this modem operates in, but NOT bit-exact to

@@ -78,6 +78,79 @@ def test_decide_kernel_interpret_matches_xla(n_psk, rng):
     assert np.array_equal(lo_k[:, :n_sym_sig], lo_x[:, :n_sym_sig])
 
 
+def test_decide_kernel_psk8_sectors_match_xla(rng):
+    """The n_psk=8 decide-kernel branch (round 5) == XLA projection +
+    derotate + psk8_sector_stream, on the modulated span, for identical
+    (best, rot) inputs — the fused front half of the D8PSK batch path."""
+    from audio_modem_radio_tpu.ops.psk import (
+        _BLOCK_SYM,
+        _batch_pass1,
+        _blocked_templates,
+        _samples_per_symbol,
+        derotate,
+        psk8_sector_stream,
+    )
+    from audio_modem_radio_tpu.ops.pallas_kernels import psk_project_decide_batch
+
+    baud, carrier, sr = 9600.0, 12000.0, 96000
+    spsym = _samples_per_symbol(sr, baud)
+    batch, _ = _make_batch("8PSK", int(baud), n_captures=2, seed=8)
+    batch[1] = np.roll(batch[1], 5)  # distinct winning offsets per capture
+    b, n = batch.shape
+    samples = jnp.asarray(batch)
+    x3d, r, best, theta = _batch_pass1(
+        samples, None, b, n // spsym, spsym, carrier, sr, 8, 0, n_psk=8
+    )
+    W8 = jnp.asarray(_blocked_templates(spsym, carrier, sr, 8))
+    rot = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)
+
+    sec_k = np.asarray(
+        psk_project_decide_batch(
+            x3d, W8, best, rot, rows_per_capture=r, n_psk=8, block_rows=256,
+            interpret=True,
+        ).reshape(b, -1)
+    )
+
+    row = _BLOCK_SYM * spsym
+    ov = W8.shape[1] - row
+    x_next = jnp.concatenate([x3d[:, 1:, :ov], jnp.zeros((b, 1, ov), jnp.float32)], axis=1)
+    xov = jnp.concatenate([x3d, x_next], axis=2)
+    out = jnp.einsum("brc,bck->brk", xov, W8[best])
+    re_f = out[:, :, :_BLOCK_SYM].reshape(b, -1)
+    im_f = out[:, :, _BLOCK_SYM:].reshape(b, -1)
+    d_re = re_f[:, 1:] * re_f[:, :-1] + im_f[:, 1:] * im_f[:, :-1]
+    d_im = im_f[:, 1:] * re_f[:, :-1] - re_f[:, 1:] * im_f[:, :-1]
+    d_re, d_im = derotate(d_re, d_im, theta)
+    sec_x = np.asarray(psk8_sector_stream(d_re, d_im))
+
+    n_sym_sig = n // spsym - 2
+    assert np.array_equal(sec_k[:, :n_sym_sig], sec_x[:, :n_sym_sig])
+
+
+def test_psk8_sector_rows_batch_cpu_fallback_decodes(rng):
+    """psk8_sector_rows_batch's staged fallback feeds the sync tail to a
+    bit-exact decode (the CPU production path is unchanged by round 5)."""
+    from audio_modem_radio_tpu.ops.psk import (
+        psk8_sector_rows_batch,
+        psk8_sync_and_pack_rotations,
+    )
+    from audio_modem_radio_tpu.framing import (
+        MAGIC_BIT_PATTERN,
+        MAGIC_BIT_PATTERN2,
+    )
+
+    batch, payload = _make_batch("8PSK", 9600, n_captures=2, seed=3)
+    sec = psk8_sector_rows_batch(jnp.asarray(batch), 9600.0, 12000.0, 96000)
+    for i in range(2):
+        packed, n_valid, found = psk8_sync_and_pack_rotations(
+            sec[i], MAGIC_BIT_PATTERN, MAGIC_BIT_PATTERN2
+        )
+        assert bool(found)
+        raw = np.asarray(packed)[: int(n_valid) // 8].tobytes()
+        frames = parse_frames(raw)
+        assert frames and frames[0].data == payload
+
+
 @pytest.mark.parametrize("n_psk", [2, 4])
 def test_decide_kernel_succ_variant_bitwise_equal(n_psk):
     """The successor-column body == the roll body, bitwise (same template
