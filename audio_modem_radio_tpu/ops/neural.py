@@ -295,7 +295,8 @@ TD_PREFIX_RHO = 0.12
 
 
 def demod_td_batch(
-    samples: jnp.ndarray, chip_len: int, kernel: Optional[bool] = None
+    samples: jnp.ndarray, chip_len: int, kernel: Optional[bool] = None,
+    kernel_bf16: bool = False,
 ) -> jnp.ndarray:
     """(B, N) -> (B, n_sym) uint8 symbols: batched TD demod, prefix sync.
 
@@ -385,6 +386,7 @@ def demod_td_batch(
             rows_per_capture=r3,
             spr=spr,
             interpret=jax.default_backend() != "tpu",
+            bf16=kernel_bf16,
         )
         shift = ((k0 // 128) * spr).astype(jnp.int32)
 

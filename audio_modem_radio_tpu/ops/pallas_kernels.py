@@ -933,7 +933,8 @@ def fsk_quad_margin_batch(
 # --- fused NEURAL chip extraction + codebook detection --------------------------
 
 def _kernel_neural_extract(
-    s_ref, ph_ref, x_ref, xn_ref, ct_ref, cb_ref, out_ref, *, nrow, spr, spc
+    s_ref, ph_ref, x_ref, xn_ref, ct_ref, cb_ref, out_ref, *, nrow, spr, spc,
+    bf16=False,
 ):
     """Fused learned-modem demod body: fs/4 downconversion + two-tile chip
     windows + per-offset chip projection + channel-phase unrotation +
@@ -968,12 +969,20 @@ def _kernel_neural_extract(
     # blocks ([zr_j | zr_j+1 | zi_j | zi_j+1] @ ct): a lane-concat of rolled
     # tiles carries a sublane-offset layout Mosaic's concatenate rejects
     # (the PERF.md {1,0}-layout trap); dot operands relayout cleanly.
-    ct = ct_ref[0]               # (512, 128)
+    # bf16 matmul inputs (opt-in): the kernel is MXU-bound on the codebook
+    # scorer (~5.6 ms of the 12.1 ms extraction at f32 — the block-diagonal
+    # layout pays an inherent 16x K-padding waste, so halving the MXU rate
+    # term is the only lever left); bf16 doubles the MXU rate on v5e. The
+    # ~8-bit mantissa loss sits on SCORES whose argmax margins are set by
+    # codeword separation — symbol-exactness is pinned by test + the A/B
+    # harness refuses to adopt a run whose symbols differ (PERF.md r5).
+    mxu = jnp.bfloat16 if bf16 else jnp.float32
+    ct = ct_ref[0].astype(mxu)   # (512, 128)
     chips = (
-        jnp.dot(zr[:nrow], ct[:128], preferred_element_type=jnp.float32)
-        + jnp.dot(nxt(zr)[:nrow], ct[128:256], preferred_element_type=jnp.float32)
-        + jnp.dot(zi[:nrow], ct[256:384], preferred_element_type=jnp.float32)
-        + jnp.dot(nxt(zi)[:nrow], ct[384:512], preferred_element_type=jnp.float32)
+        jnp.dot(zr[:nrow].astype(mxu), ct[:128], preferred_element_type=jnp.float32)
+        + jnp.dot(nxt(zr)[:nrow].astype(mxu), ct[128:256], preferred_element_type=jnp.float32)
+        + jnp.dot(zi[:nrow].astype(mxu), ct[256:384], preferred_element_type=jnp.float32)
+        + jnp.dot(nxt(zi)[:nrow].astype(mxu), ct[384:512], preferred_element_type=jnp.float32)
     )
 
     # Channel-phase unrotation as a (128, 128) block-rotation matmul built
@@ -988,7 +997,10 @@ def _kernel_neural_extract(
     kk = (i2 == j2 + half).astype(jnp.float32) - (i2 + half == j2).astype(jnp.float32)
     chips = jnp.dot(chips, a * eye + b_ * kk, preferred_element_type=jnp.float32)
 
-    scores = jnp.dot(chips, cb_ref[:], preferred_element_type=jnp.float32)
+    scores = jnp.dot(
+        chips.astype(mxu), cb_ref[:].astype(mxu),
+        preferred_element_type=jnp.float32,
+    )
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (nrow, 256), 1)
     sym8 = jnp.zeros((nrow, 128), jnp.float32)
     for g in range(spr):  # first-max argmax per 256-lane codeword group
@@ -1014,7 +1026,7 @@ def _kernel_neural_extract(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows_per_capture", "spr", "nrow", "interpret")
+    jax.jit, static_argnames=("rows_per_capture", "spr", "nrow", "interpret", "bf16")
 )
 def neural_extract_batch(
     x2d: jnp.ndarray,
@@ -1026,6 +1038,7 @@ def neural_extract_batch(
     spr: int,
     nrow: int = 512,
     interpret: bool = False,
+    bf16: bool = False,
 ) -> jnp.ndarray:
     """Whole-batch fused NEURAL symbol extraction.
 
@@ -1077,7 +1090,9 @@ def neural_extract_batch(
             pl.BlockSpec((nrow // cpk, 128), lambda i, s_ref, ph_ref: (i, 0)),
         ],
     )
-    kern = functools.partial(_kernel_neural_extract, nrow=nrow, spr=spr, spc=spc)
+    kern = functools.partial(
+        _kernel_neural_extract, nrow=nrow, spr=spr, spc=spc, bf16=bf16
+    )
     (sym,) = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

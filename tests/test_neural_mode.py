@@ -296,6 +296,13 @@ def test_td_kernel_matches_xla_extract(rng):
         assert np.array_equal(
             s_k[i, PREAMBLE_LEN : PREAMBLE_LEN + len(payload)], payload
         )
+    # The bf16 MXU variant (measured-negative for speed on chip, kept
+    # opt-in — PERF.md r5) must stay symbol-exact over the payload span.
+    s_b = np.asarray(
+        demod_td_batch(jnp.asarray(batch), chip_len, kernel=True, kernel_bf16=True)
+    )
+    for i in range(3):
+        assert np.array_equal(s_k[i, :n_use], s_b[i, :n_use])
 
 
 def test_td_kernel_gate_falls_back(rng):
