@@ -185,6 +185,47 @@ def run_smoke() -> dict:
     except Exception as e:
         checks["psk8_tail"] = {"ok": False, "error": repr(e)[:200]}
 
+    # Round-5 fused n_psk=8 decide branch (the D8PSK front half): device
+    # sectors vs the XLA projection+derotate+sector reference on the same
+    # device with identical (best, rot) inputs.
+    try:
+        from audio_modem_radio_tpu.ops.psk import psk8_sector_stream as _sec8
+
+        batch8d = _capture_batch("8PSK", int(baud), seed=13)
+        b8, n8 = batch8d.shape
+        s8 = jnp.asarray(batch8d)
+        x3d8, r8, best8, th8 = _batch_pass1(
+            s8, None, b8, n8 // spsym, spsym, 12000.0, sr, 8, 0, n_psk=8
+        )
+        W8c = jnp.asarray(_blocked_templates(spsym, 12000.0, sr, 8))
+        rot8 = jnp.stack([jnp.cos(th8), jnp.sin(th8)], axis=1)
+        sec_k = psk_project_decide_batch(
+            x3d8, W8c, best8, rot8, rows_per_capture=r8, n_psk=8, block_rows=256
+        ).reshape(b8, -1)
+        row8 = _BLOCK_SYM * spsym
+        ov8 = W8c.shape[1] - row8
+        xf = x3d8.astype(jnp.float32)
+        x_next8 = jnp.concatenate(
+            [xf[:, 1:, :ov8], jnp.zeros((b8, 1, ov8), jnp.float32)], axis=1
+        )
+        xov8 = jnp.concatenate([xf, x_next8], axis=2)
+        proj8 = jnp.einsum("brc,bck->brk", xov8, W8c[best8])
+        re8 = proj8[:, :, :_BLOCK_SYM].reshape(b8, -1)
+        im8 = proj8[:, :, _BLOCK_SYM:].reshape(b8, -1)
+        dr8 = re8[:, 1:] * re8[:, :-1] + im8[:, 1:] * im8[:, :-1]
+        di8 = im8[:, 1:] * re8[:, :-1] - re8[:, 1:] * im8[:, :-1]
+        dr8, di8 = derotate(dr8, di8, th8)
+        sec_x = _sec8(dr8, di8)
+        n_sig8 = n8 // spsym - 2
+        ok = bool(
+            np.array_equal(
+                np.asarray(sec_k)[:, :n_sig8], np.asarray(sec_x)[:, :n_sig8]
+            )
+        )
+        checks["decide_npsk8"] = {"ok": ok, "sha": _sha(sec_k)}
+    except Exception as e:
+        checks["decide_npsk8"] = {"ok": False, "error": repr(e)[:200]}
+
     # Opt-in fused dual-tone FSK kernel (not the production path; PERF.md).
     try:
         from audio_modem_radio_tpu.ops.fsk import (
