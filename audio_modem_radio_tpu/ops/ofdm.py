@@ -401,6 +401,12 @@ def _ofdm_decision_streams(
         dr, di = derotate(dr, di, theta)
 
     if tracked:
+        # The tracked decisions read only the raw phasors (re, im); the
+        # differential/equalization/derotation chain above feeds only the
+        # (dr, di) ride-along outputs, which the sole tracked caller
+        # (_ofdm_bytes_tracked, jitted) discards — XLA dead-code-eliminates
+        # the whole chain from the compiled escalation program, so sharing
+        # one front end costs trace time only, not runtime.
         hi, lo = _ofdm_tracked_dibits(re, im, r * L, K, n_sym, window)
     else:
         swap = jnp.abs(di) > jnp.abs(dr)

@@ -1023,16 +1023,24 @@ def decode_wav_batch(
 
     if (
         lost
-        and kind in ("psk2", "psk4", "psk8")
+        and kind in ("psk2", "psk4", "psk8", "ofdm", "dsss")
         and CONFIG.get("modem.psk_coherent_escalation", True)
         and not (kind == "psk8" and CONFIG.get("modem.psk8_compat_alias", False))
+        and not (kind == "ofdm" and CONFIG.get("modem.ofdm_compat_alias", False))
+        and not (kind == "dsss" and CONFIG.get("modem.dsss_compat_alias", False))
     ):
-        # Coherent escalation (the single-file _psk_mode_demodulate policy):
+        # Coherent escalation (the single-file mode-demodulate policy):
         # captures whose differential-detection parse found nothing retry
         # through the Viterbi&Viterbi carrier-tracked receiver — measured ON
         # the coherent bound, recovering the 2.3 dB noisy-reference penalty
-        # (PERF.md "Coherent-tracked PSK escalation"). Host-looped over only
-        # the failed captures, so overhead stays failure-proportional.
+        # (PERF.md "Coherent-tracked PSK escalation"); OFDM tracks per
+        # subcarrier and DSSS tracks the despread bit stream (round 5 —
+        # without these rows a batch OFDM/DSSS capture inside the tracked
+        # floors would decode strictly worse than single-file, violating
+        # this file's parity invariant). Host-looped over only the failed
+        # captures, so overhead stays failure-proportional.
+        from ..ops.dsss import dsss_tracked_demodulate
+        from ..ops.ofdm import ofdm_tracked_demodulate
         from ..ops.psk import (
             bpsk_tracked_demodulate,
             psk8_tracked_demodulate,
@@ -1043,6 +1051,10 @@ def decode_wav_batch(
             "psk2": bpsk_tracked_demodulate,
             "psk4": qpsk_tracked_demodulate,
             "psk8": psk8_tracked_demodulate,
+            "ofdm": lambda s, b, c, sr: ofdm_tracked_demodulate(
+                s, b, c, int(params[2]), sr
+            ),
+            "dsss": dsss_tracked_demodulate,
         }[kind]
         still_lost = []
         for i in lost:

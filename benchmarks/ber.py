@@ -144,7 +144,16 @@ def measure_mode(
 
     if mode in TEXT_MODES:
         # Text modes carry glyphs, not FBPC frames; measure char round-trip.
-        return measure_text_mode(mode, snr_db, trials=trials, seed=seed)
+        # The frame-mode payload length maps to a char count (1 glyph/byte);
+        # capped so a --payload sized for frame modes doesn't turn one HELL
+        # cell into a minutes-long render. FEC doesn't apply (no FECV
+        # container on the glyph wire) — reject rather than silently
+        # measure a non-FEC cell into an FEC artifact.
+        if fec:
+            raise ValueError(f"{mode} carries glyphs, not FECV frames; --fec has no text-mode path")
+        return measure_text_mode(
+            mode, snr_db, n_chars=min(payload_len, 1024), trials=trials, seed=seed
+        )
     if fec:
         from audio_modem_radio_tpu.decoder import recover_payload_fec_soft
         from audio_modem_radio_tpu.fec import unwrap_fec, wrap_fec
@@ -249,12 +258,19 @@ MATRIX_GRIDS: Dict[str, List[float]] = {
 }
 
 
-def run_matrix(payload_len: int, trials: int) -> List[Dict]:
-    """Run the full per-mode-grid waterfall matrix (MATRIX_GRIDS)."""
+def run_matrix(payload_len: int, trials: int, fec: str = "") -> List[Dict]:
+    """Run the full per-mode-grid waterfall matrix (MATRIX_GRIDS).
+
+    ``fec`` forwards to every frame-mode cell (``--matrix --fec`` used to
+    silently measure the hard path while naming the output
+    ber_fec_results.json); text modes have no FECV container and are
+    skipped from an FEC matrix."""
     results = []
     for mode, snrs in MATRIX_GRIDS.items():
+        if fec and mode in TEXT_MODES:
+            continue
         for snr in snrs:
-            cell = measure_mode(mode, float(snr), payload_len, trials=trials)
+            cell = measure_mode(mode, float(snr), payload_len, trials=trials, fec=fec)
             results.append(cell)
             print(
                 f"{mode:14s} SNR {snr:6.1f} dB  BER {cell['ber']:.4f}  "
@@ -369,7 +385,7 @@ def main() -> int:
         return 0
 
     if args.matrix:
-        results = run_matrix(args.payload, args.trials)
+        results = run_matrix(args.payload, args.trials, fec="conv" if args.fec else "")
     else:
         results = run(
             args.modes.split(","),
