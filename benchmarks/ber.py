@@ -269,8 +269,13 @@ def run_matrix(payload_len: int, trials: int, fec: str = "") -> List[Dict]:
     for mode, snrs in MATRIX_GRIDS.items():
         if fec and mode in TEXT_MODES:
             continue
+        # Text-mode matrix rows pin the canonical 160-char operating point
+        # (the committed ber_results_r5.json cells and the floors derived
+        # from them) regardless of --payload, which sizes FRAME-mode cells;
+        # use --modes/--payload explicitly for off-grid text measurements.
+        cell_payload = 160 if mode in TEXT_MODES else payload_len
         for snr in snrs:
-            cell = measure_mode(mode, float(snr), payload_len, trials=trials, fec=fec)
+            cell = measure_mode(mode, float(snr), cell_payload, trials=trials, fec=fec)
             results.append(cell)
             print(
                 f"{mode:14s} SNR {snr:6.1f} dB  BER {cell['ber']:.4f}  "

@@ -124,15 +124,23 @@ def test_record_with_file_recorder(vm, tmp_path):
 
 
 def test_single_worker_at_a_time(vm, tmp_path):
+    """Starting an operation while another runs must be refused with an
+    error event (the reference disables the button). Deterministic: the
+    first worker is held open by an explicit gate — racing a real 100-byte
+    encode against the second start made this flaky on a loaded box (the
+    encode could finish first, legitimately allowing the second start)."""
+    import threading
+
     src = tmp_path / "f.bin"
     src.write_bytes(b"x" * 100)
-    started = vm.start_encode(str(src))
-    # Immediately starting another operation must fail with an error event
-    # (the reference disables the button; we refuse the second worker).
+    gate = threading.Event()
+    started = vm._spawn("encode", gate.wait)
+    assert vm.busy
     vm.start_decode(str(src))
     events = _drain(vm)
-    assert any(e[0] == "error" and "running" in e[2] for e in events) or vm.busy is False
+    gate.set()
     started.join(timeout=60)
+    assert any(e[0] == "error" and "running" in e[2] for e in events), events
 
 
 def test_progress_and_multipart(vm, tmp_path):
