@@ -934,7 +934,7 @@ def fsk_quad_margin_batch(
 
 def _kernel_neural_extract(
     s_ref, ph_ref, x_ref, xn_ref, ct_ref, cb_ref, out_ref, *, nrow, spr, spc,
-    bf16=False,
+    bf16=False, compaction="loop", argmax="loop",
 ):
     """Fused learned-modem demod body: fs/4 downconversion + two-tile chip
     windows + per-offset chip projection + channel-phase unrotation +
@@ -1001,32 +1001,79 @@ def _kernel_neural_extract(
         chips.astype(mxu), cb_ref[:].astype(mxu),
         preferred_element_type=jnp.float32,
     )
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (nrow, 256), 1)
-    sym8 = jnp.zeros((nrow, 128), jnp.float32)
-    for g in range(spr):  # first-max argmax per 256-lane codeword group
-        sc = scores[:, 256 * g : 256 * (g + 1)]
-        mx = jnp.max(sc, axis=1, keepdims=True)
-        idx = jnp.min(jnp.where(sc >= mx, lane2, 256), axis=1, keepdims=True)
-        sym8 = sym8 + jnp.where(lane1 == g, idx.astype(jnp.float32), 0.0)
+    if argmax == "dot":
+        # Index extraction as MXU work: per group, one-hot the max and dot
+        # against a (256, 128) index/count matrix — lane g accumulates the
+        # winning codeword INDEX, lane spr+g the number of maxima. The
+        # VPU's where(lane2)/min reduction passes become one bf16 matmul
+        # (one-hot and indices <= 255 are bf16-exact; f32 accumulation).
+        # Tie semantics differ from the loop's first-max ONLY on exact
+        # multi-way score ties between distinct codewords: the count gate
+        # maps those to symbol 0 — identical on all-zero (padded/silence)
+        # rows, where every score ties at 0 and the loop also yields 0.
+        mxu2 = jnp.bfloat16
+        r256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+        l128 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+        agg = jnp.zeros((nrow, 128), jnp.float32)
+        for g in range(spr):
+            sc = scores[:, 256 * g : 256 * (g + 1)]
+            mx = jnp.max(sc, axis=1, keepdims=True)
+            oh = (sc >= mx).astype(mxu2)
+            bg = (
+                jnp.where(l128 == g, r256.astype(jnp.float32), 0.0)
+                + jnp.where(l128 == spr + g, 1.0, 0.0)
+            ).astype(mxu2)
+            agg = agg + jnp.dot(oh, bg, preferred_element_type=jnp.float32)
+        cnt_l = pltpu.roll(agg, 128 - spr, axis=1)  # lane g <- count_g
+        sym8 = jnp.where((lane1 < spr) & (cnt_l == 1.0), agg, 0.0)
+    else:
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (nrow, 256), 1)
+        sym8 = jnp.zeros((nrow, 128), jnp.float32)
+        for g in range(spr):  # first-max argmax per 256-lane codeword group
+            sc = scores[:, 256 * g : 256 * (g + 1)]
+            mx = jnp.max(sc, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(sc >= mx, lane2, 256), axis=1, keepdims=True)
+            sym8 = sym8 + jnp.where(lane1 == g, idx.astype(jnp.float32), 0.0)
 
     # Compact (nrow, spr used lanes) -> (nrow//cpk, 128) symbol tiles:
-    # out[jj, t*spr + g] = sym8[cpk*jj + t, g] (selection dots + lane rolls).
+    # out[jj, t*spr + g] = sym8[cpk*jj + t, g].
     cpk = 128 // spr
-    col = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, nrow), 1)
-    orow = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, nrow), 0)
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, 128), 1)
     acc = jnp.zeros((nrow // cpk, 128), jnp.float32)
-    for t in range(cpk):
-        P = (col == cpk * orow + t).astype(jnp.float32)
-        part = jnp.dot(P, sym8, preferred_element_type=jnp.float32)
-        rolled = pltpu.roll(part, t * spr, axis=1)
-        keep = (lane_o >= t * spr) & (lane_o < t * spr + spr)
-        acc = acc + jnp.where(keep, rolled, 0.0)
+    if compaction == "stack":
+        # One FULL-SIZE (nrow, nrow) @ (nrow, 128) selection dot instead of
+        # cpk M=32 dots: chunk t of the product rows is exactly P_t @ sym8
+        # (row q selects sym8 row cpk*(q % (nrow//cpk)) + q//(nrow//cpk)),
+        # so only the cheap roll/mask epilogue stays per-t. Bit-exact vs
+        # the loop (each output lane has exactly ONE nonzero product term).
+        orows = nrow // cpk
+        qi = jax.lax.broadcasted_iota(jnp.int32, (nrow, nrow), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (nrow, nrow), 1)
+        Ps = (ci == cpk * (qi % orows) + qi // orows).astype(jnp.float32)
+        out_big = jnp.dot(Ps, sym8, preferred_element_type=jnp.float32)
+        for t in range(cpk):
+            part = jax.lax.slice(out_big, (t * orows, 0), ((t + 1) * orows, 128))
+            rolled = pltpu.roll(part, t * spr, axis=1)
+            keep = (lane_o >= t * spr) & (lane_o < t * spr + spr)
+            acc = acc + jnp.where(keep, rolled, 0.0)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, nrow), 1)
+        orow = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, nrow), 0)
+        for t in range(cpk):
+            P = (col == cpk * orow + t).astype(jnp.float32)
+            part = jnp.dot(P, sym8, preferred_element_type=jnp.float32)
+            rolled = pltpu.roll(part, t * spr, axis=1)
+            keep = (lane_o >= t * spr) & (lane_o < t * spr + spr)
+            acc = acc + jnp.where(keep, rolled, 0.0)
     out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows_per_capture", "spr", "nrow", "interpret", "bf16")
+    jax.jit,
+    static_argnames=(
+        "rows_per_capture", "spr", "nrow", "interpret", "bf16", "compaction",
+        "argmax",
+    ),
 )
 def neural_extract_batch(
     x2d: jnp.ndarray,
@@ -1039,6 +1086,8 @@ def neural_extract_batch(
     nrow: int = 512,
     interpret: bool = False,
     bf16: bool = False,
+    compaction: str = "loop",
+    argmax: str = "loop",
 ) -> jnp.ndarray:
     """Whole-batch fused NEURAL symbol extraction.
 
@@ -1091,7 +1140,8 @@ def neural_extract_batch(
         ],
     )
     kern = functools.partial(
-        _kernel_neural_extract, nrow=nrow, spr=spr, spc=spc, bf16=bf16
+        _kernel_neural_extract, nrow=nrow, spr=spr, spc=spc, bf16=bf16,
+        compaction=compaction, argmax=argmax,
     )
     (sym,) = pl.pallas_call(
         kern,

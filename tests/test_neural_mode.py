@@ -322,3 +322,49 @@ def test_td_kernel_gate_falls_back(rng):
     assert np.array_equal(
         syms[0, PREAMBLE_LEN : PREAMBLE_LEN + len(payload)], payload
     )
+
+
+def test_extract_kernel_vpu_variants_symbol_equal(rng):
+    """The VPU-residue kernel variants (compaction="stack" single selection
+    dot; argmax="dot" one-hot index matmul with tie-count gate) must stay
+    symbol-exact against the production loop kernel — clean AND noisy, with
+    leading silence (all-zero rows exercise the 256-way-tie path, where the
+    count gate and the loop's first-max must both yield symbol 0). Both
+    variants measured SLOWER or break-even on chip (neural_compaction_ab /
+    neural_vpu_ab artifacts) and stay opt-in-off; this pins their
+    correctness so the negative result remains reproducible."""
+    import jax.numpy as jnp
+
+    from audio_modem_radio_tpu.ops import neural as nn
+    from audio_modem_radio_tpu.ops.pallas_kernels import neural_extract_batch
+
+    chip_len = _chip_len(9600)
+    payload = rng.integers(0, 256, 700, dtype=np.uint8)
+    wave = np.asarray(neural_mode_modulate(payload.tobytes(), 9600), np.float32)
+    n = 1 << 16  # r3 = 512, one kernel block
+    cap = np.zeros((2, n), np.float32)
+    cap[0, : len(wave)] = wave[:n]
+    cap[1, 4096 : 4096 + len(wave)] = wave[: n - 4096]  # leading silence
+    p = float(np.mean(wave**2))
+    cap[1] = cap[1] + rng.normal(0, np.sqrt(p / 10), n).astype(np.float32)
+
+    r3 = n // 128
+    cpr = 128 // chip_len
+    spr = cpr // CHIPS_PER_SYMBOL
+    cb = jnp.asarray(nn._codebook_blocked(chip_len))
+    ct = nn._chip_shift_table(chip_len, jnp.float32(1.0))
+    k0 = jnp.zeros((2,), jnp.int32) + 5
+    ph = jnp.stack([jnp.ones((2,)), jnp.zeros((2,))], axis=1)
+
+    def run(**kw):
+        return np.asarray(
+            neural_extract_batch(
+                jnp.asarray(cap).reshape(2 * r3, 128), ct, cb, ph, k0,
+                rows_per_capture=r3, spr=spr, interpret=True, **kw,
+            )
+        )
+
+    base = run()
+    assert np.array_equal(base, run(compaction="stack"))
+    assert np.array_equal(base, run(argmax="dot"))
+    assert np.array_equal(base, run(compaction="stack", argmax="dot"))
