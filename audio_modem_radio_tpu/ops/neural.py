@@ -296,7 +296,7 @@ TD_PREFIX_RHO = 0.12
 
 def demod_td_batch(
     samples: jnp.ndarray, chip_len: int, kernel: Optional[bool] = None,
-    kernel_bf16: bool = False,
+    kernel_bf16: bool = False, kernel_argmax: str = "dot",
 ) -> jnp.ndarray:
     """(B, N) -> (B, n_sym) uint8 symbols: batched TD demod, prefix sync.
 
@@ -387,6 +387,11 @@ def demod_td_batch(
             spr=spr,
             interpret=jax.default_backend() != "tpu",
             bf16=kernel_bf16,
+            # Production default since round 5: the one-hot index-matmul
+            # argmax (symbol-equal; 12.0 -> 7.9 ms extraction on chip,
+            # benchmarks/neural_vpu_ab.json — the first-max lane reductions
+            # were the kernel's dominant VPU residue).
+            argmax=kernel_argmax,
         )
         shift = ((k0 // 128) * spr).astype(jnp.int32)
 
