@@ -1061,7 +1061,15 @@ def decode_wav_batch(
             if len(arrays[i]) < 2 * int(SAMPLE_RATE // params[0]):
                 still_lost.append(i)
                 continue
-            traw = tfn(arrays[i], params[0], params[1], SAMPLE_RATE)
+            try:
+                traw = tfn(arrays[i], params[0], params[1], SAMPLE_RATE)
+            except ValueError:
+                # Tracked receivers have per-mode minimum-length contracts
+                # beyond the generic 2-symbol guard (e.g. OFDM requires
+                # three OFDM symbols) — a degenerate capture must stay
+                # "lost", not crash the whole batch.
+                still_lost.append(i)
+                continue
             frames, damaged, _tl = _ladder(traw, arrays[i], rescue=False)
             saved = save_decoded_files(
                 frames, recv_dir, registry, damaged=damaged or None

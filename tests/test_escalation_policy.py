@@ -205,3 +205,11 @@ def test_alias_probe_runs_before_tracked_pass(monkeypatch):
     monkeypatch.setattr(ofdm_ops, "ofdm_tracked_demodulate", boom)
     frames = parse_frames(demodulate("OFDM4", wave, BAUD))
     assert frames and frames[0].data == content
+
+
+def test_batch_escalation_survives_degenerate_short_capture(workdir):
+    """A lost capture shorter than the tracked receiver's per-mode minimum
+    (OFDM needs three OFDM symbols) must stay lost, not crash the batch."""
+    tiny = np.random.default_rng(0).normal(0, 0.1, 64).astype(np.float32)
+    out = _batch_decode_one(workdir, tiny, "OFDM4", BAUD)
+    assert out == [[]]
