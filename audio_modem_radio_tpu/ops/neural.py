@@ -388,9 +388,14 @@ def demod_td_batch(
             interpret=jax.default_backend() != "tpu",
             bf16=kernel_bf16,
             # Production default since round 5: the one-hot index-matmul
-            # argmax (symbol-equal; 12.0 -> 7.9 ms extraction on chip,
+            # argmax (12.0 -> 7.9 ms extraction on chip,
             # benchmarks/neural_vpu_ab.json — the first-max lane reductions
-            # were the kernel's dominant VPU residue).
+            # were the kernel's dominant VPU residue). Symbol-equal to the
+            # loop kernel and the XLA path on every measured capture; the
+            # one admitted divergence is an EXACT multi-way f32 score tie
+            # between distinct nonzero codewords (degenerate inputs only),
+            # which the count gate maps to symbol 0 where first-max picks
+            # the lowest index — see _kernel_neural_extract's dot branch.
             argmax=kernel_argmax,
         )
         shift = ((k0 // 128) * spr).astype(jnp.int32)

@@ -1039,32 +1039,37 @@ def _kernel_neural_extract(
     # out[jj, t*spr + g] = sym8[cpk*jj + t, g].
     cpk = 128 // spr
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, 128), 1)
-    acc = jnp.zeros((nrow // cpk, 128), jnp.float32)
     if compaction == "stack":
         # One FULL-SIZE (nrow, nrow) @ (nrow, 128) selection dot instead of
         # cpk M=32 dots: chunk t of the product rows is exactly P_t @ sym8
-        # (row q selects sym8 row cpk*(q % (nrow//cpk)) + q//(nrow//cpk)),
-        # so only the cheap roll/mask epilogue stays per-t. Bit-exact vs
-        # the loop (each output lane has exactly ONE nonzero product term).
+        # (row q selects sym8 row cpk*(q % (nrow//cpk)) + q//(nrow//cpk)).
+        # Bit-exact vs the loop (each output lane has exactly ONE nonzero
+        # product term) — but measured SLOWER on chip
+        # (neural_compaction_ab.json / neural_vpu_ab.json), kept opt-in.
         orows = nrow // cpk
         qi = jax.lax.broadcasted_iota(jnp.int32, (nrow, nrow), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (nrow, nrow), 1)
         Ps = (ci == cpk * (qi % orows) + qi // orows).astype(jnp.float32)
         out_big = jnp.dot(Ps, sym8, preferred_element_type=jnp.float32)
-        for t in range(cpk):
-            part = jax.lax.slice(out_big, (t * orows, 0), ((t + 1) * orows, 128))
-            rolled = pltpu.roll(part, t * spr, axis=1)
-            keep = (lane_o >= t * spr) & (lane_o < t * spr + spr)
-            acc = acc + jnp.where(keep, rolled, 0.0)
+        parts = [
+            jax.lax.slice(out_big, (t * orows, 0), ((t + 1) * orows, 128))
+            for t in range(cpk)
+        ]
     else:
         col = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, nrow), 1)
         orow = jax.lax.broadcasted_iota(jnp.int32, (nrow // cpk, nrow), 0)
-        for t in range(cpk):
-            P = (col == cpk * orow + t).astype(jnp.float32)
-            part = jnp.dot(P, sym8, preferred_element_type=jnp.float32)
-            rolled = pltpu.roll(part, t * spr, axis=1)
-            keep = (lane_o >= t * spr) & (lane_o < t * spr + spr)
-            acc = acc + jnp.where(keep, rolled, 0.0)
+        parts = [
+            jnp.dot(
+                (col == cpk * orow + t).astype(jnp.float32), sym8,
+                preferred_element_type=jnp.float32,
+            )
+            for t in range(cpk)
+        ]
+    acc = jnp.zeros((nrow // cpk, 128), jnp.float32)
+    for t, part in enumerate(parts):
+        rolled = pltpu.roll(part, t * spr, axis=1)
+        keep = (lane_o >= t * spr) & (lane_o < t * spr + spr)
+        acc = acc + jnp.where(keep, rolled, 0.0)
     out_ref[:] = acc.astype(jnp.int32).astype(jnp.uint8)
 
 

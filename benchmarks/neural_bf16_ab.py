@@ -39,6 +39,10 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--samples", type=int, default=22)
+    ap.add_argument("--argmax", default="dot", choices=("dot", "loop"),
+                    help="argmax kernel variant to measure bf16 against "
+                         "(default: the production 'dot'; 'loop' reproduces "
+                         "the original round-5 A/B, neural_bf16_ab.json)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -58,7 +62,8 @@ def main() -> int:
     p = float(np.mean(sig**2))
     noisy = (sig + rng.normal(0, np.sqrt(p / 10), len(sig))).astype(np.float32)
 
-    res = {"config": {"batch": B, "n_samples": N, "chip_len": chip_len}}
+    res = {"config": {"batch": B, "n_samples": N, "chip_len": chip_len,
+                      "argmax": args.argmax}}
 
     # --- symbol-exactness gate (clean + 10 dB), full production path ------
     sym_equal = True
@@ -90,7 +95,7 @@ def main() -> int:
         return neural_extract_batch(
             v.reshape(v.shape[0] * r3, 128), chip_tab, cb_b,
             jnp.stack([pr, pi], axis=1), k0,
-            rows_per_capture=r3, spr=spr, bf16=bf16,
+            rows_per_capture=r3, spr=spr, bf16=bf16, argmax=args.argmax,
         )
 
     for name, fn in (

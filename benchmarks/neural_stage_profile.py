@@ -28,6 +28,10 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--samples", type=int, default=22)
+    ap.add_argument("--argmax", default="dot", choices=("dot", "loop"),
+                    help="extraction-kernel argmax variant (default: the "
+                         "production 'dot' adopted in round 5; 'loop' "
+                         "reproduces the committed neural_stage_profile.json)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -127,6 +131,7 @@ def main() -> int:
             rows_per_capture=r3,
             spr=spr,
             interpret=jax.default_backend() != "tpu",
+            argmax=args.argmax,
         )
 
     total = B * N

@@ -329,10 +329,12 @@ def test_extract_kernel_vpu_variants_symbol_equal(rng):
     dot; argmax="dot" one-hot index matmul with tie-count gate) must stay
     symbol-exact against the production loop kernel — clean AND noisy, with
     leading silence (all-zero rows exercise the 256-way-tie path, where the
-    count gate and the loop's first-max must both yield symbol 0). Both
-    variants measured SLOWER or break-even on chip (neural_compaction_ab /
-    neural_vpu_ab artifacts) and stay opt-in-off; this pins their
-    correctness so the negative result remains reproducible."""
+    count gate and the loop's first-max must both yield symbol 0). On-chip
+    verdicts (neural_vpu_ab.json): argmax="dot" ADOPTED as the production
+    default (extraction 12.0 -> 7.9 ms); compaction="stack" measured
+    NEGATIVE and stays opt-in-off (neural_compaction_ab.json). This pins
+    every variant combination symbol-equal so both the adopted path and
+    the recorded negative result remain reproducible."""
     import jax.numpy as jnp
 
     from audio_modem_radio_tpu.ops import neural as nn
